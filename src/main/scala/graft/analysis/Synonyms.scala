@@ -1,0 +1,154 @@
+package graft.analysis
+
+import scala.collection.mutable
+
+/** Greedy longest-match multi-word synonym expansion (SURVEY.md §2.3).
+  *
+  * Reference semantics reproduced (all cites into
+  * `/root/reference/LuceneSearchEngine/`):
+  *  - rules are `input-phrase → output-phrase (+ keepOrig)`; phrases are
+  *    token sequences joined by a word separator
+  *    (`src/SynonymMap.java:63`);
+  *  - identity rules are elided at build
+  *    (`src/SynonymMap.java:211-213`);
+  *  - duplicate rules are deduped (`src/SynonymMap.java:92-98,294-301`);
+  *  - language-tagged entries `nike:EN` split on the LAST ':'
+  *    (`src/SynonymMap.java:54-59,197-198`); at emit time the language is
+  *    stripped and only the bare term is emitted
+  *    (`src/SynonymFilter.java:534-545`);
+  *  - matching is greedy: the earliest-starting, longest match wins
+  *    (`src/SynonymFilter.java:50-66`), case-folded per codepoint at match
+  *    time (`src/SynonymFilter.java:401`);
+  *  - after a match the scan resumes AFTER the matched span
+  *    (`inputSkipCount = matchInputLength`,
+  *    `src/SynonymFilter.java:445-449`) — so rules `a→x, a b→y, b c d→z`
+  *    on input `a b c d e` yield `y c d e` (the upstream javadoc's
+  *    `y b c d` example does not match the implementation);
+  *  - matched span replaced by the stacked outputs; originals kept iff
+  *    keepOrig (bit 0 of the encoded output,
+  *    `src/SynonymFilter.java:465-467`); unmatched tokens pass through
+  *    (`src/SynonymFilter.java:569-587`).
+  *
+  * The reference compiles the dictionary to an FST; at our dictionary
+  * sizes a broadcast hash map of token-vectors preserves the exact
+  * semantics without the FST machinery (SURVEY.md Y1). Synonym outputs are
+  * flattened into the token multiset (position stacking is irrelevant for
+  * bag-of-words BM25 — documented simplification, SURVEY.md Y3).
+  */
+final case class SynOutput(tokens: Vector[String], lang: Option[String])
+    extends Serializable
+
+final case class SynEntry(outputs: Vector[SynOutput], keepOrig: Boolean)
+    extends Serializable
+
+final class SynonymDict(
+    val entries: Map[Vector[String], SynEntry],
+    val maxInputLen: Int) extends Serializable {
+
+  def isEmpty: Boolean = entries.isEmpty
+
+  /** Greedy earliest-longest expansion over an (already case-folded)
+    * token sequence. Pure; deterministic output order: keepOrig originals
+    * first, then outputs in rule order. */
+  def expand(tokens: IndexedSeq[String]): Vector[String] = {
+    if (entries.isEmpty) return tokens.toVector
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      var matchLen = 0
+      var matched: SynEntry = null
+      var len = math.min(maxInputLen, n - i)
+      while (len >= 1) {
+        if (matchLen == 0) {
+          val key = tokens.slice(i, i + len).toVector
+          entries.get(key) match {
+            case Some(e) => matched = e; matchLen = len
+            case None =>
+          }
+        }
+        len -= 1
+      }
+      if (matched != null) {
+        if (matched.keepOrig) { var k = i; while (k < i + matchLen) { out += tokens(k); k += 1 } }
+        matched.outputs.foreach(o => o.tokens.foreach(out += _))
+        i += matchLen
+      } else {
+        out += tokens(i)
+        i += 1
+      }
+    }
+    out.result()
+  }
+}
+
+object SynonymDict {
+
+  val empty: SynonymDict = new SynonymDict(Map.empty, 0)
+
+  /** Split a phrase on its LAST ':' into (bare phrase, language tag) —
+    * reference `Tool.splitLastIndex` use at `src/SynonymMap.java:197-198`.
+    * A trailing-':'-free phrase has no language. */
+  private[analysis] def splitLang(phrase: String): (String, Option[String]) = {
+    val idx = phrase.lastIndexOf(':')
+    if (idx <= 0 || idx == phrase.length - 1) (phrase, None)
+    else (phrase.substring(0, idx), Some(phrase.substring(idx + 1)))
+  }
+
+  private def keyOf(phrase: String): Vector[String] =
+    Tokenizer.tokenize(phrase).toVector // fold + split in one pass
+
+  /** Programmatic rule add mirroring `SynonymMap.add(input, output,
+    * keepOrig)`. Build with `builder += ((in, out, keepOrig, lang))`. */
+  def build(rules: Seq[(String, String, Boolean, Option[String])]): SynonymDict = {
+    val acc = mutable.LinkedHashMap.empty[Vector[String], (mutable.LinkedHashSet[SynOutput], Boolean)]
+    rules.foreach { case (in, outPhrase, keepOrig, lang) =>
+      val key = keyOf(in)
+      val out = SynOutput(keyOf(outPhrase), lang)
+      if (key.nonEmpty && out.tokens.nonEmpty && key != out.tokens) { // identity elision + dedup
+        val (set, ko) = acc.getOrElseUpdate(key, (mutable.LinkedHashSet.empty[SynOutput], false))
+        set += out
+        acc(key) = (set, ko || keepOrig)
+      }
+    }
+    val entries = acc.map { case (k, (set, ko)) => k -> SynEntry(set.toVector, ko) }.toMap
+    val maxLen = if (entries.isEmpty) 0 else entries.keys.map(_.length).max
+    new SynonymDict(entries, maxLen)
+  }
+
+  /** Parse the fixture format (FIXTURES.md §3):
+    * {{{
+    *   # comment
+    *   a => x            // explicit mapping, original dropped (keepOrig=false)
+    *   a b => y, z       // multi-token lhs; comma-separated outputs
+    *   nike:EN,나이키:KO  // equivalence class, language-tagged; every member
+    *                     // maps to every other member, originals kept
+    *   foo => foo        // identity — elided at build (SynonymMap.java:211-213)
+    * }}}
+    */
+  def parse(lines: Iterable[String]): SynonymDict = {
+    val rules = Vector.newBuilder[(String, String, Boolean, Option[String])]
+    lines.foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        if (line.contains("=>")) {
+          val Array(lhs, rhs) = line.split("=>", 2)
+          for (in <- lhs.split(',').map(_.trim).filter(_.nonEmpty);
+               out <- rhs.split(',').map(_.trim).filter(_.nonEmpty)) {
+            val (inPhrase, _) = splitLang(in)
+            val (outPhrase, outLang) = splitLang(out)
+            rules += ((inPhrase, outPhrase, false, outLang))
+          }
+        } else {
+          val members = line.split(',').map(_.trim).filter(_.nonEmpty)
+          for (in <- members; out <- members if in != out) {
+            val (inPhrase, _) = splitLang(in)
+            val (outPhrase, outLang) = splitLang(out)
+            rules += ((inPhrase, outPhrase, true, outLang))
+          }
+        }
+      }
+    }
+    build(rules.result())
+  }
+}

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the analysis chain (SURVEY.md §2.11).
+  * Each has real `doGenCode` (static call into [[GraftRuntime]]) so the
+  * whole analysis chain stays inside whole-stage codegen — no UDF
+  * serialization overhead on the 10^12-row hot path. */
+
+/** `extract_text(html BINARY) → STRING` — SURVEY.md A11. */
+case class ExtractTextExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // ImplicitCast: a STRING html column is auto-encoded to UTF-8 bytes —
+  // exactly the decode this expression starts with.
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "extract_text"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.extractText(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.extractText($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `qube_tokenize(text STRING) → ARRAY<STRING>` — SURVEY.md A1+A2
+  * (Unicode-whitespace split + codepoint UPPERCASE fold). */
+case class QubeTokenizeExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_tokenize"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.tokenize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `normalize_sort_key(s STRING) → STRING` — SURVEY.md A4 (trim +
+  * fullwidth fold + codepoint uppercase; the reference's SymbolMap sort
+  * normalization, Indexer.java:541-548). */
+case class NormalizeSortKeyExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "normalize_sort_key"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.normalizeSortKey(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.normalizeSortKey($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT>>` —
+  * posting-blob decode for the query path (SURVEY.md §2.11 UDTF row). */
+case class VbDecodeExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("tf", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vb_decode"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.vbDecode(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.vbDecode($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API + SQL-registry surface for the custom expressions. */
+object graftFunctions {
+  private def col(e: Expression): Column =
+    org.apache.spark.sql.graft.Bridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.graft.Bridge.expression(c)
+
+  def extract_text(c: Column): Column = col(ExtractTextExpr(expr(c)))
+  def qube_tokenize(c: Column): Column = col(QubeTokenizeExpr(expr(c)))
+  def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
+  def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
+
+  /** Register for `spark.sql` use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("extract_text", es => ExtractTextExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("qube_tokenize", es => QubeTokenizeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("normalize_sort_key", es => NormalizeSortKeyExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vb_decode", es => VbDecodeExpr(es.head), "scala_udf")
+  }
+}
