@@ -1,0 +1,156 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Physical index layout + snapshot/manifest bookkeeping ("Iceberg-
+  * emulated", SURVEY.md §0.3): partitioned Parquet tables plus JSON
+  * manifests that carry the snapshot/lineage/metrics concepts the north
+  * rule needs (resumable builds, per-partition checkpoints, atomic
+  * snapshot swap). All IO goes through the Hadoop FileSystem API so the
+  * same code runs on HDFS/S3A on a real cluster; a real Iceberg catalog
+  * could replace this object without touching engine code.
+  *
+  * Layout:
+  * {{{
+  *   <root>/segments/<segName>/docstore/        parquet
+  *   <root>/segments/<segName>/postings/        parquet, partitionBy(part)
+  *   <root>/segments/<segName>/term_stats/      parquet
+  *   <root>/segments/<segName>/stats/           parquet (1 row)
+  *   <root>/segments/<segName>/manifest.jsonl   per-part lineage + metrics
+  *   <root>/tombstones/<name>.txt               deleted PKs (urls), 1/line
+  *   <root>/snapshots/snap-<n>.json             active segment list
+  *   <root>/snapshots/LATEST                    atomic pointer (rename swap)
+  * }}}
+  *
+  * Mirrors the reference lifecycle: FULL build = new snapshot from
+  * scratch (`OpenMode.CREATE`, Indexer.java:196-220), APPEND = extra
+  * segment + snapshot advance (S1/S4), delete-by-PK = tombstone file
+  * (S5, Indexer.java:915-917), searcher hot-swap = LATEST pointer flip
+  * (Searcher.java:527-583).
+  */
+object IndexStore {
+
+  final case class ManifestRow(part: Int, rows: Long, bytes: Long,
+                               checksum: Long, inputSnapshot: String,
+                               wallMs: Long)
+
+  final case class Snapshot(id: Long, segments: Seq[String],
+                            tombstones: Seq[String])
+
+  def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def segmentDir(root: String, seg: String) = s"$root/segments/$seg"
+  def docstorePath(root: String, seg: String) = s"${segmentDir(root, seg)}/docstore"
+  def postingsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/postings"
+  def termStatsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/term_stats"
+  def statsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/stats"
+  def manifestPath(root: String, seg: String) = s"${segmentDir(root, seg)}/manifest.jsonl"
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  // --- manifest (per-partition lineage + metrics; the resume key) ---
+
+  def manifestLine(r: ManifestRow): String =
+    s"""{"part":${r.part},"rows":${r.rows},"bytes":${r.bytes},""" +
+      s""""checksum":${r.checksum},"input_snapshot":"${r.inputSnapshot}",""" +
+      s""""wall_ms":${r.wallMs}}"""
+
+  private val partRe = """"part":(\d+)""".r
+  private val rowsRe = """"rows":(\d+)""".r
+  private val checksumRe = """"checksum":(-?\d+)""".r
+
+  def appendManifest(spark: SparkSession, root: String, seg: String,
+                     rows: Seq[ManifestRow]): Unit = {
+    val f = fs(spark, root)
+    val p = new Path(manifestPath(root, seg))
+    val existing = if (f.exists(p)) readString(f, p) else ""
+    writeString(f, p, existing + rows.map(manifestLine).mkString("", "\n", "\n"))
+  }
+
+  def readManifest(spark: SparkSession, root: String, seg: String): Seq[(Int, Long, Long)] = {
+    val f = fs(spark, root)
+    val p = new Path(manifestPath(root, seg))
+    if (!f.exists(p)) Seq.empty
+    else readString(f, p).linesIterator.filter(_.nonEmpty).map { line =>
+      val part = partRe.findFirstMatchIn(line).map(_.group(1).toInt).getOrElse(-1)
+      val rows = rowsRe.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+      val cks = checksumRe.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(0L)
+      (part, rows, cks)
+    }.toSeq
+  }
+
+  /** Parts already completed in a previous (possibly killed) build —
+    * the resume set. */
+  def completedParts(spark: SparkSession, root: String, seg: String): Set[Int] =
+    readManifest(spark, root, seg).map(_._1).toSet
+
+  // --- snapshots (atomic pointer swap) ---
+
+  def writeSnapshot(spark: SparkSession, root: String, snap: Snapshot): Unit = {
+    val f = fs(spark, root)
+    val segs = snap.segments.map(s => s""""$s"""").mkString("[", ",", "]")
+    val tombs = snap.tombstones.map(s => s""""$s"""").mkString("[", ",", "]")
+    val body = s"""{"id":${snap.id},"segments":$segs,"tombstones":$tombs}"""
+    val snapPath = new Path(s"$root/snapshots/snap-${snap.id}.json")
+    writeString(f, snapPath, body)
+    // atomic pointer flip: write tmp, rename over LATEST
+    val tmp = new Path(s"$root/snapshots/.LATEST.tmp")
+    writeString(f, tmp, s"snap-${snap.id}.json")
+    val latest = new Path(s"$root/snapshots/LATEST")
+    if (f.exists(latest)) f.delete(latest, false)
+    f.rename(tmp, latest)
+  }
+
+  private val idRe = """"id":(\d+)""".r
+  private val segsRe = """"segments":\[([^\]]*)\]""".r
+  private val tombsRe = """"tombstones":\[([^\]]*)\]""".r
+
+  def readLatestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val f = fs(spark, root)
+    val latest = new Path(s"$root/snapshots/LATEST")
+    if (!f.exists(latest)) return None
+    val name = readString(f, latest).trim
+    val body = readString(f, new Path(s"$root/snapshots/$name"))
+    val id = idRe.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
+    def parseList(s: String): Seq[String] =
+      s.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val segs = segsRe.findFirstMatchIn(body).map(m => parseList(m.group(1))).getOrElse(Seq.empty)
+    val tombs = tombsRe.findFirstMatchIn(body).map(m => parseList(m.group(1))).getOrElse(Seq.empty)
+    Some(Snapshot(id, segs, tombs))
+  }
+
+  // --- tombstones (delete-by-PK, S5) ---
+
+  def writeTombstones(spark: SparkSession, root: String, name: String,
+                      urls: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    writeString(f, new Path(s"$root/tombstones/$name.txt"), urls.mkString("\n"))
+  }
+
+  def readTombstones(spark: SparkSession, root: String, names: Seq[String]): Seq[String] = {
+    val f = fs(spark, root)
+    names.flatMap { n =>
+      val p = new Path(s"$root/tombstones/$n.txt")
+      if (f.exists(p)) readString(f, p).linesIterator.filter(_.nonEmpty).toSeq
+      else Seq.empty
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft.golden
+
+import graft.analysis.{SynonymDict, Tokenizer, TextExtract}
+import graft.index.WebtextGen
+
+/** The golden model (SURVEY.md §0.1, §5.2.1): a deliberately-obvious,
+  * single-threaded re-implementation of the reference's documented
+  * scoring semantics — Lucene 6.3 default BM25 (k1=1.2, b=0.75, version
+  * pin `/root/reference/LuceneSearchEngine/src/Searcher.java:106`), top-k
+  * by (score desc, docId asc) (`Searcher.java:779-787`), non-scoring
+  * filter clause (`Searcher.java:734-737`). The distributed engine must
+  * be rank-identical with bit-identical scores: both sum per-term
+  * contributions in ascending term order.
+  */
+object GoldenBM25 {
+
+  final case class Doc(docId: Long, url: String, lang: String,
+                       tokens: Vector[String])
+  final case class Hit(docId: Long, score: Double)
+
+  /** Build golden docs from the same generator the engine indexes:
+    * doc_id = rank in url sort order (the engine's assignment rule). */
+  def docsFromWebtext(seed: Long, n: Int, dict: SynonymDict): Vector[Doc] =
+    WebtextGen.pages(seed, n)
+      .map { p =>
+        val text = if (p.text != null) p.text else TextExtract.extractText(p.html)
+        (p.url, p.lang, dict.expand(Tokenizer.tokenize(text).toIndexedSeq))
+      }
+      .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((url, lang, toks), i) => Doc(i.toLong, url, lang, toks) }
+      .toVector
+
+  final class Model(docs: Seq[Doc], k1: Double = 1.2, b: Double = 0.75) {
+    private val nDocs: Long = docs.size.toLong
+    private val avgdl: Double =
+      if (nDocs == 0) 0.0 else docs.map(_.tokens.size.toLong).sum.toDouble / nDocs
+    private val dl: Map[Long, Int] = docs.map(d => d.docId -> d.tokens.size).toMap
+    /** term → docId → tf */
+    private val postings: Map[String, Map[Long, Int]] =
+      docs.flatMap(d => d.tokens.groupBy(identity).map { case (t, g) => (t, d.docId, g.size) })
+        .groupBy(_._1)
+        .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
+    private val byId: Map[Long, Doc] = docs.map(d => d.docId -> d).toMap
+
+    def df(term: String): Long = postings.get(term).map(_.size.toLong).getOrElse(0L)
+
+    private def idf(term: String): Double = {
+      val d = df(term)
+      math.log(1.0 + (nDocs - d + 0.5) / (d + 0.5))
+    }
+
+    def analyze(query: String, dict: SynonymDict): Seq[String] =
+      dict.expand(Tokenizer.tokenize(query).toIndexedSeq).distinct.sorted
+
+    /** All matches with scores; contributions summed in ascending term
+      * order (the shared determinism contract). */
+    def scoreAll(terms: Seq[String], conjunctive: Boolean,
+                 filter: Doc => Boolean = _ => true): Seq[Hit] = {
+      val ts = terms.distinct.sorted
+      if (ts.isEmpty) return Seq.empty
+      if (conjunctive && ts.exists(df(_) == 0L)) return Seq.empty
+      val perTerm = ts.flatMap(t => postings.get(t).map(t -> _))
+      val candidates: Seq[Long] =
+        if (conjunctive)
+          perTerm.map(_._2.keySet).reduceOption((a, b) => a intersect b)
+            .getOrElse(Set.empty).toSeq
+        else perTerm.flatMap(_._2.keys).distinct
+      candidates
+        .filter(id => filter(byId(id)))
+        .map { id =>
+          var s = 0.0
+          perTerm.foreach { case (t, post) =>
+            post.get(id).foreach { tf =>
+              s += idf(t) * (tf * (k1 + 1.0)) /
+                (tf + k1 * ((1.0 - b) + b * dl(id) / avgdl))
+            }
+          }
+          Hit(id, s)
+        }
+    }
+
+    def topK(terms: Seq[String], k: Int, start: Int = 0,
+             conjunctive: Boolean = true,
+             filter: Doc => Boolean = _ => true): Seq[Hit] =
+      scoreAll(terms, conjunctive, filter)
+        .sortBy(h => (-h.score, h.docId))
+        .slice(start, start + k)
+  }
+}

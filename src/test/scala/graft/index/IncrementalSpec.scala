@@ -1,0 +1,131 @@
+package graft.index
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.analysis.{SynonymDict, TextExtract, Tokenizer}
+import graft.golden.GoldenBM25
+import graft.query.Searcher
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental indexing (SURVEY.md §7 step 5): APPEND segments with
+  * PK-upsert latest-wins, tombstone deletes, and the distributed merge —
+  * verified against a golden model that mirrors Lucene's
+  * deleted-docs-still-in-stats behavior, and against a from-scratch
+  * rebuild after merge. */
+class IncrementalSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Seed = 42L
+  private val N = 400 // batch 1 size
+  private val dict = SynonymDict.empty
+  private val cfg = IndexBuilder.IndexConfig(
+    numParts = 8, rangeParts = 4, saltDf = 100, saltFanout = 4)
+
+  private val dayMs = 86400000L
+
+  private val batch1: Seq[WebtextGen.Page] = WebtextGen.pages(Seed, N)
+
+  /** 10% of batch-1 urls re-crawled a day later with new content, plus 40
+    * brand-new pages (FIXTURES.md §1 PK/upsert rule). */
+  private val batch2: Seq[WebtextGen.Page] = {
+    val upserts = batch1.zipWithIndex.collect { case (p, i) if i % 10 == 0 =>
+      val fresh = WebtextGen.page(Seed + 7777, i.toLong)
+      p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + dayMs),
+        html = fresh.html, text = null, lang = fresh.lang)
+    }
+    val newPages = (N until N + 40).map(i => WebtextGen.page(Seed, i.toLong))
+    upserts ++ newPages
+  }
+
+  private val deletedUrls: Seq[String] =
+    batch1.zipWithIndex.collect { case (p, i) if i % 10 == 1 => p.url }.take(5)
+
+  private def toDf(pages: Seq[WebtextGen.Page]) = {
+    import spark.implicits._
+    pages.toDF()
+  }
+
+  /** Golden docs with engine id assignment: per segment, url-sorted rank
+    * offset by the previous maxDoc. */
+  private def goldenDocs(segments: Seq[Seq[WebtextGen.Page]]): Vector[GoldenBM25.Doc] = {
+    var base = 0L
+    segments.flatMap { seg =>
+      val docs = seg.map { p =>
+        val text = if (p.text != null) p.text else TextExtract.extractText(p.html)
+        (p.url, p.lang, dict.expand(Tokenizer.tokenize(text).toIndexedSeq))
+      }.sortBy(_._1).zipWithIndex.map { case ((u, l, t), i) =>
+        GoldenBM25.Doc(base + i, u, l, t)
+      }
+      base += seg.size
+      docs
+    }.toVector
+  }
+
+  test("append + upsert + delete: engine matches golden with Lucene-like " +
+    "dead-docs-in-stats semantics") {
+    val root = tmpDir("graft-inc-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "batch1")
+    IndexBuilder.appendSegment(spark, toDf(batch2), dict, root, cfg, "batch2")
+    IndexBuilder.deleteByPk(spark, root, deletedUrls)
+
+    val all = goldenDocs(Seq(batch1, batch2))
+    val upsertedUrls = batch2.map(_.url).toSet
+    val dead: Set[Long] = all.filter { d =>
+      (d.docId < batch1.size && upsertedUrls.contains(d.url)) || // superseded
+        deletedUrls.contains(d.url)                              // tombstoned
+    }.map(_.docId).toSet
+    // stats (N, avgdl, df) include dead docs until merge — golden model
+    // is built over ALL docs, dead ones only filtered from results
+    val golden = new GoldenBM25.Model(all)
+
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.maxDoc == all.size.toLong)
+      assert(s.numDocs == (all.size - dead.size).toLong)
+      for (q <- Seq("spark", "index data", "w200", "nike")) {
+        val terms = golden.analyze(q, dict)
+        val g = golden.topK(terms, 10, filter = d => !dead(d.docId))
+          .map(h => (h.docId, h.score))
+        val e = s.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(e == g, s"query '$q'")
+      }
+      // a deleted url must never surface
+      val hits = s.search("spark", all.size).select("url")
+        .collect().map(_.getString(0)).toSet
+      assert(deletedUrls.forall(u => !hits.contains(u)))
+    } finally s.close()
+  }
+
+  test("merge compacts to the logical view: identical to a from-scratch " +
+    "build over the surviving pages") {
+    val root = tmpDir("graft-merge-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "batch1")
+    IndexBuilder.appendSegment(spark, toDf(batch2), dict, root, cfg, "batch2")
+    IndexBuilder.deleteByPk(spark, root, deletedUrls)
+    IndexBuilder.merge(spark, root, dict, cfg)
+
+    // logical corpus: batch2 wins on upserts, deletes removed
+    val byUrl = scala.collection.mutable.LinkedHashMap.empty[String, WebtextGen.Page]
+    (batch1 ++ batch2).foreach(p => byUrl(p.url) = p) // batch2 overwrites
+    deletedUrls.foreach(byUrl.remove)
+    val survivors = byUrl.values.toSeq
+
+    val fresh = tmpDir("graft-fresh-")
+    IndexBuilder.buildFull(spark, toDf(survivors), dict, fresh, cfg, "survivors")
+
+    val sm = new Searcher(spark, root, dict)
+    val sf = new Searcher(spark, fresh, dict)
+    try {
+      assert(sm.snapshot.segments.size == 1 && sm.snapshot.tombstones.isEmpty)
+      assert(sm.docCount == sf.docCount && sm.avgdl == sf.avgdl)
+      for (q <- Seq("spark", "index data", "w200")) {
+        val em = sm.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val ef = sf.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(em == ef, s"query '$q'")
+      }
+    } finally { sm.close(); sf.close() }
+  }
+}

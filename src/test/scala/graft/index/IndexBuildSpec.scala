@@ -1,0 +1,94 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.analysis.SynonymDict
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Build determinism + per-partition checkpoint/resume (north rule:
+  * "resumable from checkpoint with per-partition lineage + metrics"). */
+class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Seed = 42L
+  private val N = 300
+  private val dict = SynonymDict.empty
+  private val cfg = IndexBuilder.IndexConfig(
+    numParts = 8, rangeParts = 4, saltDf = 100, saltFanout = 4)
+
+  private def postingsFingerprint(root: String): Seq[(Int, String, Long, Long)] =
+    spark.read.parquet(IndexStore.postingsPath(root, "seg-000000"))
+      .select(col("part"), col("term"), col("df_local"),
+        crc32(col("blob")).as("cks"))
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("part")), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("FULL build is deterministic: two builds produce identical " +
+    "postings and manifests (SURVEY.md §5.2.5)") {
+    val a = tmpDir("graft-det-a-")
+    val b = tmpDir("graft-det-b-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, a, cfg, "x")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, b, cfg, "x")
+    assert(postingsFingerprint(a) == postingsFingerprint(b))
+    val ma = IndexStore.readManifest(spark, a, "seg-000000").sortBy(_._1)
+    val mb = IndexStore.readManifest(spark, b, "seg-000000").sortBy(_._1)
+    assert(ma == mb && ma.nonEmpty)
+  }
+
+  test("resume after a partial build rebuilds ONLY the missing posting " +
+    "partitions and converges to the identical index") {
+    val full = tmpDir("graft-res-full-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, full, cfg, "x")
+    val want = postingsFingerprint(full)
+    val manifestAll = IndexStore.readManifest(spark, full, "seg-000000")
+    assert(manifestAll.map(_._1).toSet.size > 2)
+
+    // simulate a crash: lose posting partitions 0 and 3 + their manifest rows
+    val lost = Set(0, 3)
+    val segDir = java.nio.file.Paths.get(IndexStore.postingsPath(full, "seg-000000"))
+    lost.foreach { p =>
+      val d = segDir.resolve(s"part=$p")
+      if (java.nio.file.Files.exists(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val mPath = java.nio.file.Paths.get(IndexStore.manifestPath(full, "seg-000000"))
+    val kept = java.nio.file.Files.readAllLines(mPath).toArray.map(_.toString)
+      .filter(l => !lost.exists(p => l.contains(s""""part":$p,""")))
+    java.nio.file.Files.write(mPath, kept.mkString("\n").concat("\n").getBytes)
+    // drop Hadoop LocalFS's checksum sidecar — we rewrote the file behind
+    // its back to simulate the crash
+    java.nio.file.Files.deleteIfExists(mPath.resolveSibling(".manifest.jsonl.crc"))
+
+    assert(IndexStore.completedParts(spark, full, "seg-000000") ==
+      manifestAll.map(_._1).toSet -- lost)
+
+    IndexBuilder.buildSegment(spark, WebtextGen.df(spark, Seed, N), dict,
+      full, "seg-000000", 0L, cfg, "x", resume = true)
+
+    assert(postingsFingerprint(full) == want)
+    assert(IndexStore.completedParts(spark, full, "seg-000000") ==
+      manifestAll.map(_._1).toSet)
+  }
+
+  test("salting splits head terms across multiple posting partitions") {
+    val root = tmpDir("graft-salt-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, root, cfg, "x")
+    val posts = spark.read.parquet(IndexStore.postingsPath(root, "seg-000000"))
+    // 'spark' is the Zipf head: df ≈ N ≥ saltDf=100 ⇒ must be sharded
+    val sparkShards = posts.filter(col("term") === "SPARK")
+      .select("part").distinct().count()
+    assert(sparkShards > 1, s"head term not salted (shards=$sparkShards)")
+    // a tail term stays unsalted (exactly one row)
+    val tailRows = posts.filter(col("term") === "W4000").count()
+    assert(tailRows <= 1)
+    // shard-local df sums to the global df in term_stats
+    val dfSum = posts.filter(col("term") === "SPARK")
+      .agg(sum("df_local")).head().getLong(0)
+    val dfGlobal = spark.read.parquet(IndexStore.termStatsPath(root, "seg-000000"))
+      .filter(col("term") === "SPARK").select("df").head().getLong(0)
+    assert(dfSum == dfGlobal)
+  }
+}

@@ -1,0 +1,148 @@
+package graft.query
+
+import graft.SparkTestBase
+import graft.analysis.SynonymDict
+import graft.golden.GoldenBM25
+import graft.index.{IndexBuilder, WebtextGen}
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** THE correctness gate (SURVEY.md §5.2.1): the distributed engine must
+  * reproduce the golden model's top-k docIDs and BM25 scores
+  * rank-identically, with bit-identical doubles, on the full reference
+  * query set over the synthetic webtext corpus. */
+class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Seed = 42L
+  private val NDocs = 1000
+  private val K = 10
+
+  private lazy val dict = SynonymDict.parse(resourceLines("/synonyms.txt"))
+
+  private lazy val root: String = {
+    val dir = tmpDir("graft-index-")
+    val cfg = IndexBuilder.IndexConfig(
+      numParts = 8, rangeParts = 4, saltDf = 200, saltFanout = 4)
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, NDocs), dict,
+      dir, cfg, inputSnapshot = s"webtext(seed=$Seed,n=$NDocs)")
+    dir
+  }
+
+  private lazy val searcher = new Searcher(spark, root, dict)
+  private lazy val golden =
+    new GoldenBM25.Model(GoldenBM25.docsFromWebtext(Seed, NDocs, dict))
+
+  private case class Q(name: String, query: String, conjunctive: Boolean,
+                       filterLang: Option[String])
+
+  private lazy val querySet: Seq[Q] =
+    resourceLines("/queries.txt")
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val f = l.split('\t')
+        Q(f(0), f(1), f(2) == "AND",
+          if (f(3).startsWith("lang=")) Some(f(3).stripPrefix("lang=")) else None)
+      }
+
+  private def engineTopK(q: Q): Seq[(Long, Double)] =
+    searcher.search(q.query, K, conjunctive = q.conjunctive,
+        filter = q.filterLang.map(l => col("lang") === l))
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def goldenTopK(q: Q): Seq[(Long, Double)] = {
+    val terms = golden.analyze(q.query, dict)
+    golden.topK(terms, K, conjunctive = q.conjunctive,
+        filter = q.filterLang.map(l => (d: GoldenBM25.Doc) => d.lang == l)
+          .getOrElse((_: GoldenBM25.Doc) => true))
+      .map(h => (h.docId, h.score))
+  }
+
+  test("engine top-10 is rank-identical with bit-identical scores on the " +
+    "full reference query set") {
+    val failures = querySet.flatMap { q =>
+      val e = engineTopK(q)
+      val g = goldenTopK(q)
+      if (e == g) None
+      else Some(s"${q.name}: engine=${e.take(3)}... golden=${g.take(3)}... " +
+        s"(sizes ${e.size}/${g.size})")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // sanity: the set is not degenerate — most queries return hits
+    val nonEmpty = querySet.count(q => goldenTopK(q).nonEmpty)
+    assert(nonEmpty >= 20, s"only $nonEmpty queries had hits")
+  }
+
+  test("zero-result semantics: unknown term AND ⇒ MatchNoDocs (Q2/Q5)") {
+    assert(engineTopK(Q("z", "zzzqqqxyz", conjunctive = true, None)).isEmpty)
+    assert(engineTopK(Q("z2", "spark zzzqqqxyz", conjunctive = true, None)).isEmpty)
+    // but OR with one known term still matches
+    assert(engineTopK(Q("z3", "spark zzzqqqxyz", conjunctive = false, None)).nonEmpty)
+  }
+
+  test("hit metadata: totalHits and maxScore match golden (Q12)") {
+    for (q <- Seq(querySet.head, querySet(10), querySet(25))) {
+      val (_, meta) = searcher.searchWithMeta(q.query, K,
+        conjunctive = q.conjunctive,
+        filter = q.filterLang.map(l => col("lang") === l))
+      val terms = golden.analyze(q.query, dict)
+      val all = golden.scoreAll(terms, q.conjunctive,
+        q.filterLang.map(l => (d: GoldenBM25.Doc) => d.lang == l)
+          .getOrElse((_: GoldenBM25.Doc) => true))
+      assert(meta.total == all.size.toLong, q.name)
+      val gMax = if (all.isEmpty) 0.0 else all.map(_.score).max
+      assert(meta.maxScore == gMax, q.name)
+    }
+  }
+
+  test("pagination: page 2 equals golden slice [10,20) (Q11)") {
+    val q = querySet.head // head term, plenty of hits
+    val e = searcher.search(q.query, K, start = 10)
+      .select("doc_id", "score").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val terms = golden.analyze(q.query, dict)
+    val g = golden.topK(terms, K, start = 10).map(h => (h.docId, h.score))
+    assert(e == g)
+  }
+
+  test("sort-by-field mode (Q6): matches ordered by url desc") {
+    val e = searcher.searchSortByField("spark", Seq(col("url").desc), 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val terms = golden.analyze("spark", dict)
+    val g = golden.scoreAll(terms, conjunctive = true)
+      .map(h => h.docId)
+    val urlOf = GoldenBM25.docsFromWebtext(Seed, NDocs, dict)
+      .map(d => d.docId -> d.url).toMap
+    val gSorted = g.sortBy(id => (urlOf(id), id))(
+      Ordering.Tuple2(Ordering.String.reverse, Ordering.Long)).take(5)
+    assert(e == gSorted)
+  }
+
+  test("docID-order and match-set modes agree with golden match set (Q7/Q8)") {
+    val terms = golden.analyze("facet", dict)
+    val g = golden.scoreAll(terms, conjunctive = true).map(_.docId).sorted
+    val e7 = searcher.matchesInDocIdOrder("facet").collect().map(_.getLong(0)).toSeq
+    val e8 = searcher.matchSet("facet").collect().map(_.getLong(0)).sorted.toSeq
+    assert(e7 == g && e8 == g)
+  }
+
+  test("stored-field fetch returns the byte-identical extracted text (S8)") {
+    val ids = engineTopK(querySet.head).map(_._1).take(3)
+    val fetched = searcher.doc(ids).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val goldenDocs = GoldenBM25.docsFromWebtext(Seed, NDocs, dict)
+    // reconstruct expected text through the same public chain
+    val byId = goldenDocs.map(d => d.docId -> d.url).toMap
+    val pages = WebtextGen.pages(Seed, NDocs).map(p => p.url -> p).toMap
+    ids.foreach { id =>
+      val p = pages(byId(id))
+      val expected = if (p.text != null) p.text
+        else graft.analysis.TextExtract.extractText(p.html)
+      assert(fetched(id) == expected)
+    }
+  }
+
+  override def afterAll(): Unit = {
+    searcher.close()
+    super.afterAll()
+  }
+}
