@@ -1,13 +1,585 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analysis.SynonymDict
+import graft.index.{IndexBuilder, WebtextGen}
+import graft.pipeline.{Multimodal, TextOps, VectorOps}
+import graft.query.{Facets, Searcher}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` exposes each implemented operator (SURVEY.md §2 + the
+  * training-data pipeline ops) over the driver's parquet tables so the
+  * DuckDB oracle can replay `oracleSql` and hash-compare. Conventions for
+  * cross-engine hash parity: every computed column aliased identically on
+  * both sides, doubles rounded (4dp; money 2dp), sums over INT cast to
+  * BIGINT in SQL (DuckDB widens to HUGEINT otherwise), deterministic
+  * ORDER BY with a unique tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship on sf=0.001-scale input; driver smoke-checks rows>0: build
+    * a real term-partitioned index over generated webtext and run a BM25
+    * top-10 through the full engine. */
+  def entry(spark: SparkSession): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-entry-").toString
+    val dict = SynonymDict.parse(Seq("nike:EN,나이키:KO", "big data => bigdata"))
+    val cfg = IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+      saltDf = 200, saltFanout = 4)
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 42L, 500), dict, root,
+      cfg, "entry(seed=42,n=500)")
+    val s = new Searcher(spark, root, dict)
+    s.search("spark index", 10)
+  }
+
+  // ---- shared SQL fragments (DuckDB dialect, ANSI-leaning) -----------
+
+  /** Tokens CTE over `documents` — must mirror qube_tokenize exactly:
+    * the corpus is single-space ASCII, so split+upper ≡ the engine
+    * tokenizer. */
+  private val toksCte =
+    """WITH toks0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term0 FROM documents
+      |), toks AS (
+      |  SELECT doc_id, upper(term0) AS term FROM toks0 WHERE term0 <> ''
+      |)""".stripMargin
+
+  /** Full BM25 pipeline CTE chain (engine semantics, Q4 + Q1): tf, dl,
+    * stats and df are GLOBAL; the filter clause only restricts the match
+    * set (non-scoring, Searcher.java:734-737). */
+  private def bm25Cte(termsSql: String, filterSql: String = "TRUE") =
+    s"""$toksCte, tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), dl AS (
+       |  SELECT d.doc_id, (SELECT count(*) FROM toks f WHERE f.doc_id = d.doc_id) AS dl
+       |  FROM documents d
+       |), stats AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+       |), q AS (SELECT * FROM (VALUES $termsSql) v(term)
+       |), dfq AS (
+       |  SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1
+       |), fdocs AS (
+       |  SELECT doc_id FROM documents WHERE $filterSql
+       |), scored AS (
+       |  SELECT tf.doc_id, count(*) AS matched,
+       |    round(sum(
+       |      ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * 2.2)
+       |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+       |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+       |  JOIN fdocs USING (doc_id) CROSS JOIN stats s
+       |  GROUP BY tf.doc_id
+       |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- fulltext core over `documents` (SURVEY.md §2.4/S3/S10) ----
+    "q_tf" -> ((s, dir) =>
+      TextOps.termFrequencies(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "term")),
+
+    "q_term_stats" -> ((s, dir) =>
+      TextOps.termStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("term")),
+
+    "q_collection_stats" -> ((s, dir) =>
+      TextOps.docLengths(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("doc_count"), sum("dl").as("sum_dl"))
+        .select(col("doc_count"), col("sum_dl"),
+          round(col("sum_dl").cast("double") / col("doc_count"), 4).as("avgdl"))),
+
+    "q_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 10)),
+
+    "q_bm25_or" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "zzznotaword"), 10, conjunctive = false)),
+
+    "q_bm25_filter" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 10, filter = Some(col("lang") === "de"))),
+
+    "q_bm25_page2" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 20).offset(10).limit(10)),
+
+    "q_hit_meta" -> ((s, dir) => {
+      val all = TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 1000000)
+      all.agg(count(lit(1)).as("total"), max("score").as("max_score"))
+    }),
+
+    "q_search_sort_field" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val matches = TextOps.tokens(docs, "doc_id", "text")
+        .where(col("term") === "SPARK").select("doc_id").distinct()
+      matches.join(docs, Seq("doc_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "n_chars").limit(20)
+    }),
+
+    "q_match_docid_order" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tks = TextOps.tokens(docs, "doc_id", "text")
+      tks.where(col("term").isin("SPARK", "JOIN")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("m"))
+        .where(col("m") === 2).select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- facets over TPC-H tables (SURVEY.md §2.5) ----
+    "q_facet_counts" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("doc_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      val matches = li.where(col("l_quantity") > 25).select("doc_id")
+      val facets = li.select(col("doc_id"), lit("returnflag").as("dim"),
+          col("l_returnflag").as("label"))
+        .unionByName(li.select(col("doc_id"), lit("linestatus").as("dim"),
+          col("l_linestatus").as("label")))
+      Facets.flatCounts(matches, facets, offset = 0, limit = 3, minCount = 5)
+        .orderBy("dim", "rank")
+    }),
+
+    "q_facet_math" -> ((s, dir) => {
+      def li = t(s, dir, "lineitem") // fresh lineage per use (self-join safe)
+        .withColumn("doc_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      Facets.facetMath(li.select("doc_id"),
+          li.select(col("doc_id"), col("l_returnflag").as("label"),
+            col("l_quantity")), "l_quantity")
+        .orderBy("label")
+    }),
+
+    "q_facet_hier" -> ((s, dir) => {
+      val geo = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey").as("doc_id"), lit("geo").as("dim"),
+          array(col("r_name"), col("n_name")).as("path"))
+      Facets.hierarchicalCounts(geo.select("doc_id"), geo, topN = 10)
+        .withColumn("path", concat_ws("/", col("prefix")))
+        .select("dim", "path", "depth", "cnt", "rank")
+        .orderBy("depth", "path")
+    }),
+
+    "q_facet_topn" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name").agg(count(lit(1)).as("cnt"))
+      TextOps.topNPerGroup(c, Seq("r_name"),
+          Seq(col("cnt").desc, col("n_name").asc), 3)
+        .select("r_name", "n_name", "cnt", "rn").orderBy("r_name", "rn")
+    }),
+
+    // ---- incremental semantics shapes (S4/S5) ----
+    "q_upsert_latest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TextOps.topNPerGroup(ev, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc), 1)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    "q_delete_anti" -> ((s, dir) => {
+      val errUsers = t(s, dir, "events").where(col("event_type") === "error")
+        .select(col("user_id").as("doc_id")).distinct()
+      t(s, dir, "documents").join(errUsers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+
+    // ---- analysis-chain scalar ops (A5/A6/A7/A8, SURVEY.md §2.2) ----
+    "q_json_extract" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+          coalesce(
+            expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) as double)"),
+            lit(0.0)).as("k_val"))
+        .orderBy("event_id")),
+
+    "q_date_roundtrip" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+          date_format(col("ts"), "yyyyMMddHHmmss").as("ts_str"),
+          unix_timestamp(col("ts")).as("epoch_s"))
+        .orderBy("event_id")),
+
+    "q_numeric_coercion" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          coalesce(expr("try_cast(substring(source, 4) as int)"), lit(-1))
+            .as("src_num"))
+        .orderBy("doc_id")),
+
+    "q_sort_key" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.graftFunctions.normalize_sort_key(
+            substring(col("text"), 1, 20)).as("sort_key"))
+        .orderBy(col("sort_key").asc, col("doc_id").asc).limit(20)),
+
+    // ---- joins / windows (SURVEY.md §2.6/§2.9) ----
+    "q_topk_per_group" -> ((s, dir) =>
+      TextOps.topNPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")),
+
+    "q_join_broadcast" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand").agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("p_brand")),
+
+    "q_join_semi" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
+    "q_join_anti" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment").orderBy("c_custkey")),
+
+    // ---- training-data pipeline: dedup / text analysis ----
+    "q_dedup_exact" -> ((s, dir) =>
+      TextOps.dedupExact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("fp")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, dir) =>
+      TextOps.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.008)
+        .orderBy("id_a", "id_b")),
+
+    "q_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    "q_quality" -> ((s, dir) =>
+      TextOps.qualityScore(t(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "chars_per_token",
+          "stopword_ratio", "quality")
+        .orderBy("doc_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      TextOps.langId(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- sketches (Spark-only: hash functions are not portable to the
+    //      oracle; verified in ScalaTest against exact baselines) ----
+    "q_minhash_lsh" -> ((s, dir) =>
+      TextOps.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, k = 16, bands = 16, verifyThreshold = 0.005)
+        .orderBy("id_a", "id_b")),
+
+    "q_simhash" -> ((s, dir) =>
+      TextOps.simhash64(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- similarity search over embeddings ----
+    "q_ann_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      VectorOps.annTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // ---- multimodal plumbing (decode STUBBED — see Multimodal) ----
+    "q_multimodal" -> ((s, dir) =>
+      Multimodal.extractFeatures(s,
+          Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
+        .toDF().select("media_id", "kind", "n_bytes", "byte_sum", "width", "height")
+        .orderBy("media_id"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_tf" ->
+      s"""$toksCte
+         |SELECT doc_id, term, count(*) AS tf FROM toks
+         |GROUP BY doc_id, term ORDER BY doc_id, term""".stripMargin,
+
+    "q_term_stats" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2)
+         |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS ttf
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+
+    "q_collection_stats" ->
+      s"""$toksCte, dl AS (
+         |  SELECT d.doc_id,
+         |    (SELECT count(*) FROM toks t WHERE t.doc_id = d.doc_id) AS dl
+         |  FROM documents d)
+         |SELECT count(*) AS doc_count, CAST(sum(dl) AS BIGINT) AS sum_dl,
+         |  round(CAST(sum(dl) AS DOUBLE) / count(*), 4) AS avgdl FROM dl""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""${bm25Cte("('SPARK'), ('JOIN')")}
+         |SELECT doc_id, score FROM scored WHERE matched = 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bm25_or" ->
+      s"""${bm25Cte("('SPARK'), ('ZZZNOTAWORD')")}
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bm25_filter" ->
+      s"""${bm25Cte("('SPARK'), ('JOIN')", "lang = 'de'")}
+         |SELECT doc_id, score FROM scored WHERE matched = 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bm25_page2" ->
+      s"""${bm25Cte("('SPARK'), ('JOIN')")}
+         |SELECT doc_id, score FROM scored WHERE matched = 2
+         |ORDER BY score DESC, doc_id LIMIT 10 OFFSET 10""".stripMargin,
+
+    "q_hit_meta" ->
+      s"""${bm25Cte("('SPARK'), ('JOIN')")}
+         |SELECT count(*) AS total, max(score) AS max_score
+         |FROM scored WHERE matched = 2""".stripMargin,
+
+    "q_search_sort_field" ->
+      s"""$toksCte, m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term = 'SPARK')
+         |SELECT d.doc_id, d.n_chars FROM documents d JOIN m USING (doc_id)
+         |ORDER BY d.n_chars DESC, d.doc_id LIMIT 20""".stripMargin,
+
+    "q_match_docid_order" ->
+      s"""$toksCte, m AS (
+         |  SELECT DISTINCT doc_id, term FROM toks WHERE term IN ('SPARK', 'JOIN'))
+         |SELECT doc_id FROM m GROUP BY doc_id HAVING count(*) = 2
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_facet_counts" ->
+      """WITH li AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS doc_id, l_returnflag,
+        |         l_linestatus, l_quantity FROM lineitem),
+        |m AS (SELECT doc_id FROM li WHERE l_quantity > 25),
+        |f AS (
+        |  SELECT doc_id, 'returnflag' AS dim, l_returnflag AS label FROM li
+        |  UNION ALL
+        |  SELECT doc_id, 'linestatus', l_linestatus FROM li),
+        |c AS (
+        |  SELECT dim, label, count(*) AS cnt FROM f
+        |  WHERE doc_id IN (SELECT doc_id FROM m)
+        |  GROUP BY dim, label HAVING count(*) >= 5),
+        |r AS (
+        |  SELECT dim, label, cnt, CAST(row_number() OVER (
+        |    PARTITION BY dim ORDER BY cnt DESC, label) AS INT) AS rank FROM c)
+        |SELECT dim, label, cnt, rank FROM r WHERE rank <= 3
+        |ORDER BY dim, rank""".stripMargin,
+
+    "q_facet_math" ->
+      """SELECT coalesce(l_returnflag, '*_total') AS label,
+        |  count(*) AS cnt, round(sum(l_quantity), 2) AS sum,
+        |  round(min(l_quantity), 2) AS min, round(max(l_quantity), 2) AS max,
+        |  round(avg(l_quantity), 2) AS average
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag) ORDER BY label""".stripMargin,
+
+    "q_facet_hier" ->
+      """WITH c AS (
+        |  SELECT c_custkey, r_name, n_name FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |lvl AS (
+        |  SELECT 'geo' AS dim, r_name AS path, 1 AS depth, '' AS parent,
+        |         count(*) AS cnt FROM c GROUP BY r_name
+        |  UNION ALL
+        |  SELECT 'geo', r_name || '/' || n_name, 2, r_name, count(*)
+        |  FROM c GROUP BY r_name, n_name),
+        |r AS (
+        |  SELECT dim, path, depth, cnt, CAST(row_number() OVER (
+        |    PARTITION BY dim, depth, parent ORDER BY cnt DESC, path) AS INT)
+        |    AS rank FROM lvl)
+        |SELECT dim, path, depth, cnt, rank FROM r WHERE rank <= 10
+        |ORDER BY depth, path""".stripMargin,
+
+    "q_facet_topn" ->
+      """WITH c AS (
+        |  SELECT r_name, n_name, count(*) AS cnt FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |r AS (
+        |  SELECT r_name, n_name, cnt, CAST(row_number() OVER (
+        |    PARTITION BY r_name ORDER BY cnt DESC, n_name) AS INT) AS rn FROM c)
+        |SELECT r_name, n_name, cnt, rn FROM r WHERE rn <= 3
+        |ORDER BY r_name, rn""".stripMargin,
+
+    "q_upsert_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, ts, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_delete_anti" ->
+      """SELECT doc_id, lang FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = d.doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE),
+        |           0.0) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_date_roundtrip" ->
+      """SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS ts_str,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_numeric_coercion" ->
+      """SELECT doc_id,
+        |  coalesce(TRY_CAST(substring(source, 4) AS INT), -1) AS src_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_sort_key" ->
+      """SELECT doc_id, upper(trim(substring(text, 1, 20))) AS sort_key
+        |FROM documents ORDER BY sort_key, doc_id LIMIT 20""".stripMargin,
+
+    "q_topk_per_group" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, CAST(row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |    AS INT) AS rn FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_join_broadcast" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(upper(trim(text))) AS fp, min(doc_id) AS keep_id,
+        |  count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(upper(trim(text))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH lst AS (
+         |  SELECT doc_id, string_split(upper(text), ' ') AS l,
+         |    length(string_split(text, ' ')) AS n FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, n - 2),
+         |    i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+         |  FROM lst WHERE n >= 3
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.008
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(length(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(length(regexp_extract_all(text,
+        |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""$toksCte, sw AS (
+         |  SELECT doc_id,
+         |    round(sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
+         |      THEN 1.0 ELSE 0.0 END) / count(*), 4) AS stopword_ratio,
+         |    CAST(count(*) AS DOUBLE) AS n_tokens
+         |  FROM toks GROUP BY doc_id)
+         |SELECT d.doc_id, sw.n_tokens,
+         |  round((length(d.text) - length(regexp_replace(d.text,
+         |    '[^a-zA-Z0-9 ]', '', 'g'))) / greatest(CAST(length(d.text) AS DOUBLE),
+         |    1.0), 4) AS punct_ratio,
+         |  round(CAST(length(d.text) AS DOUBLE) / greatest(sw.n_tokens, 1.0), 4)
+         |    AS chars_per_token,
+         |  sw.stopword_ratio,
+         |  round(0.5 * least(sw.n_tokens / 100.0, 1.0) + 0.5 * (1.0 -
+         |    round((length(d.text) - length(regexp_replace(d.text,
+         |      '[^a-zA-Z0-9 ]', '', 'g'))) / greatest(
+         |      CAST(length(d.text) AS DOUBLE), 1.0), 4)), 4) AS quality
+         |FROM documents d JOIN sw USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""$toksCte
+         |SELECT doc_id,
+         |  sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
+         |    THEN 1 ELSE 0 END) AS en_hits,
+         |  sum(CASE WHEN term IN ('DER','DIE','DAS','UND','IST','EIN')
+         |    THEN 1 ELSE 0 END) AS de_hits,
+         |  sum(CASE WHEN term IN ('EL','LA','DE','QUE','Y','UN')
+         |    THEN 1 ELSE 0 END) AS es_hits,
+         |  CASE
+         |    WHEN sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
+         |      THEN 1 ELSE 0 END) >= sum(CASE WHEN term IN
+         |      ('DER','DIE','DAS','UND','IST','EIN') THEN 1 ELSE 0 END)
+         |     AND sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
+         |      THEN 1 ELSE 0 END) >= sum(CASE WHEN term IN
+         |      ('EL','LA','DE','QUE','Y','UN') THEN 1 ELSE 0 END) THEN 'en'
+         |    WHEN sum(CASE WHEN term IN ('DER','DIE','DAS','UND','IST','EIN')
+         |      THEN 1 ELSE 0 END) >= sum(CASE WHEN term IN
+         |      ('EL','LA','DE','QUE','Y','UN') THEN 1 ELSE 0 END) THEN 'de'
+         |    ELSE 'es' END AS lang_pred
+         |FROM toks GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_ann_cosine" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS dp,
+        |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+        |    sum(CAST(q.qe[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings e, q, idx i GROUP BY e.vec_id)
+        |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+        |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM documents),
+        |sums AS (
+        |  SELECT doc_id, CAST(sum(unicode(ch)) AS BIGINT) AS byte_sum
+        |  FROM chars GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  CAST(length(d.text) AS BIGINT) AS n_bytes, s.byte_sum,
+        |  CAST(greatest(1, length(d.text) % 640) AS INT) AS width,
+        |  CAST(greatest(1, (length(d.text) // 3) % 480) AS INT) AS height
+        |FROM documents d JOIN sums s USING (doc_id)
+        |ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `BINARY`
+  * columns with typed metadata, processed batch-wise per partition.
+  *
+  * The decode step is a STUB: real image/audio codecs are not in this
+  * container, so [[decodeImageStub]] is a deterministic fake that derives
+  * "features" purely from the bytes. Everything around it is real and
+  * tested — the schema, the partition-batched execution shape (one
+  * decoder instantiation per partition, amortized across rows, exactly
+  * how a JNI/FFI codec or a Pandas-UDF batch would be driven), and the
+  * pushdown-friendly metadata columns.
+  */
+object Multimodal {
+
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 byte_sum: Long, head_crc: Long,
+                                 width: Int, height: Int)
+
+  /** Attach a fake media payload to any (id, text) table — stands in for
+    * reading a real WARC/image store. Deterministic from the text. */
+  def asMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("media_id"),
+      (when(col(idCol) % 2 === 0, "image").otherwise("audio")).as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+
+  /** STUB decoder ??? real codec goes here. Deterministic byte-derived
+    * fake: "dimensions" from the payload length, "mean" over the bytes,
+    * crc over the head. The point under test is the batch plumbing, not
+    * the pixels. */
+  def decodeImageStub(payload: Array[Byte]): (Int, Int, Long, Long) = {
+    val n = payload.length
+    val width = math.max(1, n % 640)
+    val height = math.max(1, (n / 3) % 480)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += payload(i) & 0xFF; i += 1 }
+    val crc = new java.util.zip.CRC32()
+    crc.update(payload, 0, math.min(64, n))
+    (width, height, sum, crc.getValue)
+  }
+
+  /** Feature extraction, batched per partition: the decoder state is
+    * created once per partition and reused — the executor-side shape a
+    * real codec (or mapInPandas batch) needs. Per-row, shuffle-free. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition "decoder" init happens here (stubbed)
+      rows.map { r =>
+        val (w, h, byteSum, crc) = decodeImageStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong,
+          byteSum, crc, w, h)
+      }
+    }
+  }
+}

@@ -1,0 +1,287 @@
+package graft.pipeline
+
+import graft.functions.graftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + on-the-fly BM25 operators over any (id, text) table.
+  *
+  * These are the relational re-expressions of the engine's query
+  * semantics (SURVEY.md §2.4/§2.5) plus the training-data-pipeline text
+  * ops (language-ID, quality scoring, token counting, fingerprinting,
+  * dedup). Everything is Column-based so Catalyst prunes/pushes/codegens;
+  * the only shuffles are the documented groupBys.
+  */
+object TextOps {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  /** (id, term) exploded tokens — the tokenize step shared by everything
+    * below. Engine tokenizer (whitespace split + codepoint uppercase). */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(qube_tokenize(col(textCol))).as("term"))
+
+  /** (id, term, tf) — S3's tf counting. */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    tokens(docs, idCol, textCol).groupBy(idCol, "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** (id, dl) — BM25 field lengths; 0 for token-less docs. */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), size(qube_tokenize(col(textCol))).cast("long").as("dl"))
+
+  /** (term, df, ttf) — S10's per-term stats. */
+  def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    termFrequencies(docs, idCol, textCol)
+      .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+
+  /** BM25 contribution with the engine's exact arithmetic shape (Q4). */
+  def bm25Contrib(tf: Column, dfC: Column, dl: Column, n: Column,
+                  avgdl: Column): Column =
+    log(lit(1.0) + (n - dfC + lit(0.5)) / (dfC + lit(0.5))) *
+      (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl / avgdl))
+
+  /** On-the-fly BM25 top-k over a raw (id, text) table — the whole §3.2
+    * query lifecycle as one declarative plan, no prebuilt index. Used by
+    * the DuckDB oracle checks; the indexed path lives in
+    * [[graft.query.Searcher]]. Deterministic: per-term contributions
+    * folded in ascending term order; score rounded to `roundTo` decimals
+    * for cross-engine comparison; ties by id asc. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int, conjunctive: Boolean = true,
+               filter: Option[Column] = None, roundTo: Int = 4): DataFrame = {
+    val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
+    // collection stats and df are GLOBAL — the filter clause matches but
+    // never scores and never shifts statistics (reference Q1 semantics,
+    // Searcher.java:734-737)
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dl = docLengths(docs, idCol, textCol)
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+      .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
+    val dfT = tf.filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val matched0 = tf.filter(col("term").isin(terms: _*))
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        bm25Contrib(col("tf"), col("df"), col("dl"), col("n"), col("avgdl")))
+    val matched = filter match {
+      case Some(f) => matched0.join(docs.where(f).select(idCol), Seq(idCol), "left_semi")
+      case None => matched0
+    }
+    val scored = matched.groupBy(idCol)
+      .agg(count(lit(1)).as("matched"),
+        sort_array(collect_list(struct(col("term"), col("contrib")))).as("__p"))
+      .withColumn("score", round(
+        aggregate(col("__p"), lit(0.0d), (acc, x) => acc + x("contrib")), roundTo))
+      .select(col(idCol), col("matched"), col("score"))
+    val filtered =
+      if (conjunctive) scored.filter(col("matched") === terms.size)
+      else scored
+    filtered.orderBy(col("score").desc, col(idCol).asc)
+      .select(idCol, "score").limit(k)
+  }
+
+  // --- training-data text analysis -----------------------------------
+
+  private val enStop = Seq("THE", "A", "OF", "TO", "AND", "IN", "IS")
+  private val deStop = Seq("DER", "DIE", "DAS", "UND", "IST", "EIN")
+  private val esStop = Seq("EL", "LA", "DE", "QUE", "Y", "UN")
+
+  /** Language-ID by stopword-hit heuristic (n-gram-free deterministic
+    * variant; SQL-expressible so the DuckDB oracle can replay it). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(docs, idCol, textCol)
+    def hits(ws: Seq[String]) = sum(when(col("term").isin(ws: _*), 1L).otherwise(0L))
+    t.groupBy(idCol).agg(
+        hits(enStop).as("en_hits"), hits(deStop).as("de_hits"),
+        hits(esStop).as("es_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
+          .when(col("de_hits") >= col("es_hits"), "de")
+          .otherwise("es"))
+  }
+
+  /** Quality features: token count, punctuation ratio, stopword ratio,
+    * mean token length, composite score — length/punct/stopword shape. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(qube_tokenize(t)).cast("double")
+    val nChars = length(t).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
+    docs.select(
+        col(idCol),
+        nTokens.as("n_tokens"),
+        round(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
+        round(nChars / greatest(nTokens, lit(1.0)), 4).as("chars_per_token"))
+      .join(
+        tokens(docs, idCol, textCol).groupBy(idCol)
+          .agg(round(sum(when(col("term").isin(enStop: _*), 1.0).otherwise(0.0)) /
+            count(lit(1)), 4).as("stopword_ratio")),
+        Seq(idCol), "left")
+      .na.fill(0.0, Seq("stopword_ratio"))
+      .withColumn("quality", round(
+        lit(0.5) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
+          lit(0.5) * (lit(1.0) - col("punct_ratio")), 4))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex token count. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(qube_tokenize(col(textCol))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col(textCol),
+        lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("re_tokens"))
+
+  /** Document fingerprint: md5 of the case-folded text (canonical content
+    * hash) — the exact-dedup key. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), md5(upper(trim(col(textCol)))).as("fp"))
+
+  /** Exact dedup by content hash: keep the smallest id per fingerprint
+    * (hash-groupBy — one shuffle, fully parallel). */
+  def dedupExact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprint(docs, idCol, textCol)
+      .groupBy("fp").agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** (id, shingle) distinct token n-gram shingles. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol), qube_tokenize(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= n)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("__toks")) - n),
+          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold: shingle self-join
+    * (id_a < id_b), |∩| from the join, |∪| = |A|+|B|−|∩|. Quadratic in
+    * bucket size — the exact baseline; [[minhashLsh]] is the scale path. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // --- sketch-based near-dup (scale path; per-row, shuffle-free until
+  //     the band-bucket join) ------------------------------------------
+
+  private val MinhashPrime = 2305843009213693951L // 2^61 - 1
+
+  /** k MinHash values per doc from its shingle set. Per-row computation
+    * (no shuffle); signatures verified in tests against exact Jaccard. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame = {
+    val sigUdf = udf { toks: Seq[String] =>
+      val sh = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+      if (sh.isEmpty) Array.fill(k)(Long.MaxValue)
+      else {
+        val hs = sh.toArray.map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xFFFFFFFFL)
+        Array.tabulate(k) { i =>
+          val a = permConst(i * 2)
+          val b = permConst(i * 2 + 1)
+          hs.map(h => ((a * h + b) % MinhashPrime)).min
+        }
+      }
+    }
+    docs.select(col(idCol), sigUdf(qube_tokenize(col(textCol))).as("sig"))
+  }
+
+  // deterministic permutation constants (seeded, odd)
+  private def permConst(i: Int): Long = {
+    val rnd = new scala.util.Random(9876543210L + i)
+    math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1
+  }
+
+  /** MinHash + LSH banding: explode signature into (band, bandHash)
+    * buckets, join within buckets for candidate pairs, verify with exact
+    * Jaccard. shingle→minhash→band→bucket-join, the standard web-dedup
+    * pipeline shape. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 32, bands: Int = 8,
+                 verifyThreshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0)
+    val rows = k / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    val banded = sigs.select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          bIdx => hash(slice(col("sig"), bIdx * rows + 1, lit(rows))))))
+      .toDF(idCol, "band", "band_hash")
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // verify candidates with exact jaccard (candidate set is small)
+    val exact = ngramJaccardPairs(docs, idCol, textCol, n, 0.0)
+    candidates.join(exact, Seq("id_a", "id_b"))
+      .where(col("jaccard") >= verifyThreshold)
+  }
+
+  /** 64-bit SimHash per doc (per-row, shuffle-free): tf-weighted sign sum
+    * over token hash bits. */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val simUdf = udf { toks: Seq[String] =>
+      val acc = new Array[Int](64)
+      toks.groupBy(identity).foreach { case (t, g) =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xFFFFFFFFL)
+        val w = g.size
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) acc(j) += w else acc(j) -= w
+          j += 1
+        }
+      }
+      var out = 0L
+      var j = 0
+      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+      out
+    }
+    docs.select(col(idCol), simUdf(qube_tokenize(col(textCol))).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash Hamming distance ≤ maxDist, bucketed by
+    * 16-bit chunks (a pair within distance ≤3 shares at least one of 4
+    * chunks — pigeonhole), so the join is bucket-local, not all-pairs. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val sh = simhash64(docs, idCol, textCol)
+    val chunks = array((0 until 4).map(i =>
+      struct(lit(i).as("chunk_idx"),
+        shiftrightunsigned(col("simhash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)
+    val chunked = sh.select(col(idCol), col("simhash"), explode(chunks).as("c"))
+      .select(col(idCol), col("simhash"),
+        col("c.chunk_idx").as("chunk_idx"), col("c.chunk").as("chunk"))
+    val a = chunked.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("chunk_idx"), col("chunk"))
+    val b = chunked.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("chunk_idx"), col("chunk"))
+    a.join(b, Seq("chunk_idx", "chunk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .where(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Top-n rows per group by ordering columns — the window-rank shape the
+    * engine uses for facet paging (SURVEY.md §2.9). */
+  def topNPerGroup(df: DataFrame, groupCols: Seq[String],
+                   order: Seq[Column], n: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= n)
+  }
+}

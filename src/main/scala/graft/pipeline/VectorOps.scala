@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one scan, no shuffle
+  * before the top-k heap merge — `orderBy(...).limit(k)` plans
+  * TakeOrderedAndProject); the LSH-bucketed variant is the 100 TB path:
+  * random-hyperplane signatures computed per row (shuffle-free), then a
+  * bucket-equijoin restricts candidate pairs.
+  *
+  * The nearest analog in the reference is the image-similarity re-rank
+  * over a match set (`/root/reference/LuceneSearchEngine/src/
+  * Searcher.java:963-1069`, SURVEY.md Q15): [[rerankByCosine]] is exactly
+  * that shape — re-order an existing candidate set by vector similarity.
+  */
+object VectorOps {
+
+  /** Elementwise dot product of two double-array columns, folded in index
+    * order (deterministic summation). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Cosine similarity between two float-vector columns. */
+  def cosine(a0: Column, b0: Column): Column = {
+    val a = toDouble(a0)
+    val b = toDouble(b0)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Exact top-k nearest by cosine to a literal query vector. */
+  def cosineTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+                 query: Seq[Float], k: Int, roundTo: Int = 4): DataFrame = {
+    val q = typedLit(query)
+    embeddings
+      .withColumn("cosine", round(cosine(col(vecCol), q), roundTo))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .select(col(idCol), col("cosine"))
+      .limit(k)
+  }
+
+  /** Re-rank an existing candidate set (doc ids) by cosine to the query —
+    * the reference's image re-rank shape (Q15). */
+  def rerankByCosine(candidates: DataFrame, embeddings: DataFrame,
+                     idCol: String, vecCol: String, query: Seq[Float],
+                     k: Int): DataFrame =
+    cosineTopK(embeddings.join(candidates, Seq(idCol), "left_semi"),
+      idCol, vecCol, query, k)
+
+  /** Deterministic random hyperplanes (seeded) for sign-LSH. */
+  def hyperplanes(seed: Long, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id per row: bit i = sign(v · plane_i). Per-row, no
+    * shuffle — at 100 TB this is a map-only pass. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val v = toDouble(vecCol)
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(v, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** ANN top-k: probe only the query's LSH bucket (plus optional
+    * neighboring buckets by Hamming-1 flips), then exact cosine within
+    * the candidates. Recall traded for a candidate set ~2^-nPlanes of the
+    * corpus; verified against [[cosineTopK]] in tests. */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int, seed: Long = 42L, nPlanes: Int = 4,
+              probeHamming1: Boolean = true, roundTo: Int = 4): DataFrame = {
+    val dim = query.size
+    val planes = hyperplanes(seed, nPlanes, dim)
+    val qv = query.map(_.toDouble).toArray
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(qv).map { case (a, b) => a * b }.sum
+      if (d >= 0) 1L << i else 0L
+    }.sum
+    val probes: Seq[Long] =
+      if (!probeHamming1) Seq(qBucket)
+      else qBucket +: (0 until nPlanes).map(i => qBucket ^ (1L << i))
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col(vecCol), planes))
+    cosineTopK(bucketed.where(col("bucket").isin(probes: _*)),
+      idCol, vecCol, query, k, roundTo)
+  }
+}
