@@ -6,20 +6,31 @@ import scala.collection.mutable.ArrayBuffer
   * (SURVEY.md §2.11, north-rule "delta-encoded + variable-byte-compressed
   * posting lists").
   *
-  * A posting list is a docId-ascending sequence of (docId, tf). Layout:
+  * A posting list is a docId-ascending sequence of (docId, tf, dl) where
+  * `dl` is the document's BM25 field length. Colocating dl with the
+  * posting (the analog of Lucene's per-document norms, which live next to
+  * the inverted lists in a segment) makes BM25 scoring partition-local:
+  * the query path never joins a 10^12-row docstore just to fetch lengths.
+  * Cost: ~1-2 varint bytes per posting; decision recorded in SURVEY.md §7.
+  *
+  * Layout:
   * {{{
   *   [count varint][blockSize varint]
   *   per block:
   *     [n varint]            entries in this block (<= blockSize)
   *     [bodyLen varint]      body byte length — enables block SKIP
-  *     [maxTf varint]        max tf in block — block-max WAND upper bound
+  *     [maxTf varint]        max tf in block   — block-max WAND bound
+  *     [minDl varint]        min dl in block   — block-max WAND bound
+  *                           (BM25 contribution is monotone increasing in
+  *                           tf and decreasing in dl, so f(maxTf, minDl)
+  *                           upper-bounds every entry in the block)
   *     [lastDelta varint]    blockLastDocId - prevBlockLastDocId — lets a
   *                           skipper re-base without decoding the body
-  *     body: [docGap varint][tf varint] * n   (gaps vs previous docId)
+  *     body: [docGap varint][tf varint][dl varint] * n
   * }}}
   * All ints unsigned LEB128 (7 bits/byte, high bit = continuation).
-  * The block headers make both conjunctive docId skipping and block-max
-  * WAND pruning possible without decompressing skipped blocks.
+  * The block headers make docId skipping (conjunctive probes) and
+  * block-max WAND pruning possible without decompressing skipped blocks.
   */
 object VarByte {
 
@@ -50,24 +61,31 @@ object VarByte {
     @inline def readVInt(): Int = readVLong().toInt
   }
 
-  /** Encode a docId-ascending (docId, tf) list. Throws on unsorted or
+  /** One decoded block header; `firstPossibleDocId` = prevBlockLast + 1
+    * and `lastDocId` bound the block's docId range without body decode. */
+  final case class BlockHeader(n: Int, bodyLen: Int, maxTf: Int, minDl: Int,
+                               prevBlockLast: Long, lastDocId: Long,
+                               bodyPos: Int)
+
+  /** Encode a docId-ascending (docId, tf, dl) list. Throws on unsorted or
     * duplicate docIds — the build pipeline guarantees sorted input via
     * sortWithinPartitions (SURVEY.md §3.1). */
-  def encode(docIds: Array[Long], tfs: Array[Int],
+  def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
              blockSize: Int = DefaultBlockSize): Array[Byte] = {
-    require(docIds.length == tfs.length)
+    require(docIds.length == tfs.length && docIds.length == dls.length)
     val n = docIds.length
-    val out = new ArrayBuffer[Byte](n * 2 + 16)
+    val out = new ArrayBuffer[Byte](n * 3 + 16)
     writeVLong(out, n.toLong)
     writeVLong(out, blockSize.toLong)
     var i = 0
     var prevBlockLast = 0L
-    val body = new ArrayBuffer[Byte](blockSize * 3)
+    val body = new ArrayBuffer[Byte](blockSize * 4)
     while (i < n) {
       val bn = math.min(blockSize, n - i)
       body.clear()
       var prev = prevBlockLast
       var maxTf = 0
+      var minDl = Int.MaxValue
       var first = true
       var k = 0
       while (k < bn) {
@@ -77,7 +95,9 @@ object VarByte {
           s"docIds must be strictly ascending: $d after $prev")
         writeVLong(body, gap)
         writeVLong(body, tfs(i + k).toLong)
+        writeVLong(body, dls(i + k).toLong)
         if (tfs(i + k) > maxTf) maxTf = tfs(i + k)
+        if (dls(i + k) < minDl) minDl = dls(i + k)
         prev = d
         first = false
         k += 1
@@ -85,6 +105,7 @@ object VarByte {
       writeVLong(out, bn.toLong)
       writeVLong(out, body.length.toLong)
       writeVLong(out, maxTf.toLong)
+      writeVLong(out, (if (minDl == Int.MaxValue) 0 else minDl).toLong)
       writeVLong(out, prev - prevBlockLast)
       out ++= body
       prevBlockLast = prev
@@ -93,89 +114,93 @@ object VarByte {
     out.toArray
   }
 
-  /** Full decode → (docIds, tfs). */
-  def decode(blob: Array[Byte]): (Array[Long], Array[Int]) = {
+  /** Iterate block headers, calling `onBlock`; return value decides
+    * whether the body is decoded (true) or skipped via bodyLen (false).
+    * When decoded, `onEntry(docId, tf, dl)` fires per posting. The
+    * workhorse behind full decode, WAND pruning and docId skipping. */
+  @inline def scan(blob: Array[Byte])(
+      onBlock: BlockHeader => Boolean)(
+      onEntry: (Long, Int, Int) => Unit): Unit = {
     val r = new Reader(blob, 0)
     val n = r.readVInt()
     r.readVInt() // blockSize
-    val docIds = new Array[Long](n)
-    val tfs = new Array[Int](n)
     var filled = 0
     var prevBlockLast = 0L
     while (filled < n) {
       val bn = r.readVInt()
-      r.readVInt() // bodyLen
-      r.readVInt() // maxTf
-      r.readVLong() // lastDelta
-      var prev = prevBlockLast
-      var k = 0
-      while (k < bn) {
-        prev += r.readVLong()
-        docIds(filled) = prev
-        tfs(filled) = r.readVInt()
-        filled += 1
-        k += 1
+      val bodyLen = r.readVInt()
+      val maxTf = r.readVInt()
+      val minDl = r.readVInt()
+      val lastDelta = r.readVLong()
+      val h = BlockHeader(bn, bodyLen, maxTf, minDl, prevBlockLast,
+        prevBlockLast + lastDelta, r.pos)
+      if (onBlock(h)) {
+        var prev = prevBlockLast
+        var k = 0
+        while (k < bn) {
+          prev += r.readVLong()
+          val tf = r.readVInt()
+          val dl = r.readVInt()
+          onEntry(prev, tf, dl)
+          k += 1
+        }
+      } else {
+        r.pos += bodyLen
       }
-      prevBlockLast = prev
+      prevBlockLast = h.lastDocId
+      filled += bn
     }
-    (docIds, tfs)
+  }
+
+  /** Full decode → (docIds, tfs, dls). */
+  def decode(blob: Array[Byte]): (Array[Long], Array[Int], Array[Int]) = {
+    val n = count(blob)
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val dls = new Array[Int](n)
+    var i = 0
+    scan(blob)(_ => true) { (d, tf, dl) =>
+      docIds(i) = d; tfs(i) = tf; dls(i) = dl; i += 1
+    }
+    (docIds, tfs, dls)
   }
 
   /** Number of postings without decoding the body. */
   def count(blob: Array[Byte]): Int = new Reader(blob, 0).readVInt()
 
-  /** Max tf across all blocks (term-level WAND upper bound) read from the
-    * block headers only. */
-  def maxTf(blob: Array[Byte]): Int = {
-    val r = new Reader(blob, 0)
-    val n = r.readVInt()
-    r.readVInt()
-    var filled = 0
-    var best = 0
-    while (filled < n) {
-      val bn = r.readVInt()
-      val bodyLen = r.readVInt()
-      val m = r.readVInt()
-      r.readVLong()
-      if (m > best) best = m
-      r.pos += bodyLen
-      filled += bn
-    }
-    best
+  /** (max tf, min dl) across blocks from headers only — the term-level
+    * WAND upper bound inputs. */
+  def termBounds(blob: Array[Byte]): (Int, Int) = {
+    var maxTf = 0
+    var minDl = Int.MaxValue
+    scan(blob) { h =>
+      if (h.maxTf > maxTf) maxTf = h.maxTf
+      if (h.n > 0 && h.minDl < minDl) minDl = h.minDl
+      false
+    }((_, _, _) => ())
+    (maxTf, if (minDl == Int.MaxValue) 0 else minDl)
   }
 
-  /** Decode only blocks whose block-max tf satisfies `minTf` — the
-    * building block for block-max WAND pruning: the caller converts its
-    * score threshold into a minimum tf bound for this term. Skipped blocks
-    * cost only a header read. */
-  def decodeBlocksAboveTf(blob: Array[Byte], minTf: Int): (Array[Long], Array[Int]) = {
-    val r = new Reader(blob, 0)
-    val n = r.readVInt()
-    r.readVInt()
-    val docIds = new ArrayBuffer[Long](n)
-    val tfs = new ArrayBuffer[Int](n)
-    var filled = 0
-    var prevBlockLast = 0L
-    while (filled < n) {
-      val bn = r.readVInt()
-      val bodyLen = r.readVInt()
-      val blockMax = r.readVInt()
-      val lastDelta = r.readVLong()
-      if (blockMax < minTf) {
-        r.pos += bodyLen // skip the whole block
-      } else {
-        var prev = prevBlockLast
-        var k = 0
-        while (k < bn) {
-          prev += r.readVLong()
-          docIds += prev
-          tfs += r.readVInt()
-          k += 1
-        }
+  /** Decode only entries whose docId is in `sorted` (ascending array):
+    * blocks whose [first, last] docId range contains no candidate are
+    * skipped at header cost — the conjunctive-probe / rescore primitive. */
+  def decodeForDocs(blob: Array[Byte], sorted: Array[Long])
+      : (Array[Long], Array[Int], Array[Int]) = {
+    val docIds = new ArrayBuffer[Long]()
+    val tfs = new ArrayBuffer[Int]()
+    val dls = new ArrayBuffer[Int]()
+    if (sorted.isEmpty) return (Array.empty, Array.empty, Array.empty)
+    scan(blob) { h =>
+      // any candidate in (prevBlockLast, lastDocId]? (first block may
+      // start at docId 0 == prevBlockLast)
+      var lo = java.util.Arrays.binarySearch(sorted, h.prevBlockLast)
+      if (lo < 0) lo = -lo - 1
+      lo < sorted.length && sorted(lo) <= h.lastDocId
+    } { (d, tf, dl) =>
+      if (java.util.Arrays.binarySearch(sorted, d) >= 0) {
+        docIds += d; tfs += tf; dls += dl
       }
-      prevBlockLast += lastDelta
-      filled += bn
     }
-    (docIds.toArray, tfs.toArray)
+    (docIds.toArray, tfs.toArray, dls.toArray)
   }
 }

@@ -26,13 +26,13 @@ object GraftRuntime {
   def normalizeSortKey(s: UTF8String): UTF8String =
     UTF8String.fromString(Tokenizer.normalizeSortKey(s.toString))
 
-  /** blob → ARRAY<STRUCT<doc_id BIGINT, tf INT>> */
+  /** blob → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>> */
   def vbDecode(blob: Array[Byte]): ArrayData = {
-    val (docIds, tfs) = VarByte.decode(blob)
+    val (docIds, tfs, dls) = VarByte.decode(blob)
     val out = new Array[Any](docIds.length)
     var i = 0
     while (i < docIds.length) {
-      out(i) = InternalRow(docIds(i), tfs(i))
+      out(i) = InternalRow(docIds(i), tfs(i), dls(i))
       i += 1
     }
     new GenericArrayData(out)

@@ -60,15 +60,18 @@ case class NormalizeSortKeyExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
-/** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT>>` —
-  * posting-blob decode for the query path (SURVEY.md §2.11 UDTF row). */
+/** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>>`
+  * — posting-blob decode for the query path (SURVEY.md §2.11 UDTF row).
+  * `dl` rides in the posting (norms-colocation) so scoring never joins
+  * the docstore. */
 case class VbDecodeExpr(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
-      StructField("tf", IntegerType, nullable = false))),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false))),
     containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vb_decode"

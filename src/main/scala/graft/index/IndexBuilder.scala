@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *          → skew-aware salting of head terms (Zipf head → saltFanout
   *            shards) → repartition(part) → sortWithinPartitions(part,
   *            term, doc_id) → single-pass mapPartitions run-length encode
-  *            → postings(part, term, df_local, max_tf, blob)
+  *            → postings(part, term, df_local, max_tf, min_dl, blob)
   * }}}
   *
   * The mapPartitions encode after the sort is the Spark-native analog of
@@ -48,7 +48,7 @@ object IndexBuilder {
   final case class DocRow(doc_id: Long, url: String, warc_ts: Timestamp,
                           lang: String, text: String, tokens: Seq[String])
   final case class PostingRow(part: Int, term: String, df_local: Long,
-                              max_tf: Int, blob: Array[Byte])
+                              max_tf: Int, min_dl: Int, blob: Array[Byte])
 
   final case class BuildReport(segment: String, docCount: Long, termCount: Long,
                                postingRows: Long, wallMs: Long)
@@ -116,11 +116,15 @@ object IndexBuilder {
     out
   }
 
-  /** (doc_id, term, tf) from the token arrays — partial (map-side)
-    * aggregation is free via hash agg. */
+  /** (doc_id, dl, term, tf) from the token arrays — partial (map-side)
+    * aggregation is free via hash agg. `dl` (the BM25 field length) is
+    * functionally dependent on doc_id and rides along so it can be
+    * colocated into the posting blobs (norms-style; no docstore join at
+    * query time). */
   def termFrequencies(docs: Dataset[DocRow]): DataFrame =
-    docs.select(col("doc_id"), explode(col("tokens")).as("term"))
-      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"), size(col("tokens")).cast("int").as("dl"),
+        explode(col("tokens")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
 
   /** Build one complete segment under `root/segments/<seg>` and return
     * its report. `resume = true` skips posting partitions already present
@@ -177,10 +181,10 @@ object IndexBuilder {
 
     val blockSize = cfg.blockSize
     val postings: Dataset[PostingRow] = pending
-      .select(col("part"), col("term"), col("doc_id"), col("tf"))
+      .select(col("part"), col("term"), col("doc_id"), col("tf"), col("dl"))
       .repartition(cfg.numParts, col("part"))
       .sortWithinPartitions("part", "term", "doc_id")
-      .as[(Int, String, Long, Long)]
+      .as[(Int, String, Long, Long, Int)]
       .mapPartitions { it =>
         // single streaming pass: rows arrive sorted by (part, term,
         // doc_id); emit one compressed blob per (part, term) run
@@ -188,18 +192,23 @@ object IndexBuilder {
         new Iterator[PostingRow] {
           def hasNext: Boolean = in.hasNext
           def next(): PostingRow = {
-            val (part, term, _, _) = in.head
+            val (part, term, _, _, _) = in.head
             val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
             val tfs = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val dls = scala.collection.mutable.ArrayBuffer.empty[Int]
             var maxTf = 0
+            var minDl = Int.MaxValue
             while (in.hasNext && in.head._1 == part && in.head._2 == term) {
-              val (_, _, d, f) = in.next()
+              val (_, _, d, f, l) = in.next()
               docIds += d
               tfs += f.toInt
+              dls += l
               if (f.toInt > maxTf) maxTf = f.toInt
+              if (l < minDl) minDl = l
             }
             PostingRow(part, term, docIds.length.toLong, maxTf,
-              VarByte.encode(docIds.toArray, tfs.toArray, blockSize))
+              if (minDl == Int.MaxValue) 0 else minDl,
+              VarByte.encode(docIds.toArray, tfs.toArray, dls.toArray, blockSize))
           }
         }
       }.persist()

@@ -115,44 +115,17 @@ final class Searcher(
         (t, df, math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)))
       }
 
-  /** Match + score: returns (doc_id, matched, score). The posting scan is
-    * a literal `term IN (...)` filter, so Parquet row-group pruning (term
-    * is the sort key within each part) skips everything else; blobs
-    * decode via the codegen'd vb_decode expression. */
-  private def scoredMatches(terms: Seq[String],
-                            filter: Option[Column]): DataFrame = {
-    if (terms.isEmpty || docCount == 0)
-      return spark.emptyDataset[(Long, Int, Double)]
-        .toDF("doc_id", "matched", "score")
-    val idfs = termIdfs(terms)
-    if (idfs.isEmpty)
-      return spark.emptyDataset[(Long, Int, Double)]
-        .toDF("doc_id", "matched", "score")
+  private def emptyMatches: DataFrame =
+    spark.emptyDataset[(Long, Int, Double)].toDF("doc_id", "matched", "score")
 
-    val idfDf = idfs.map { case (t, _, idf) => (t, idf) }.toDF("term", "idf")
-
-    val decoded = postings
-      .filter(col("term").isin(idfs.map(_._1): _*))
-      .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
-      .select(col("term"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
-      .join(broadcast(idfDf), Seq("term"))
-
-    // non-scoring FILTER clause (Q1): restrict the docstore side first so
-    // the predicate pushes into the parquet scan and never touches scores
-    val docSide0 = docstore.select(col("doc_id"), col("dl"),
-      col("lang"), col("url"))
-    val docSide = filter.map(docSide0.where).getOrElse(docSide0)
-      .select("doc_id", "dl")
-
-    val withDl = decoded.join(docSide, Seq("doc_id"))
-    val alive =
-      if (hasDeadDocs) withDl.join(broadcast(deadDocs), Seq("doc_id"), "left_anti")
-      else withDl
-
+  /** The shared exact score fold over per-(term, doc) rows
+    * `(term, doc_id, tf, dl, idf)`: per-term contributions summed in
+    * ascending term order — the bit-identical-determinism contract shared
+    * with the golden model and the WAND rescore phase. */
+  private def foldScores(perTerm: DataFrame): DataFrame = {
     val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-
-    alive
+    perTerm
       .withColumn("contrib", contrib)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("matched"),
@@ -160,6 +133,44 @@ final class Searcher(
       .withColumn("score",
         aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
       .select("doc_id", "matched", "score")
+  }
+
+  /** Restrict matches to the non-scoring filter clause (Q1, the predicate
+    * pushes into the docstore parquet scan) and drop dead docs. */
+  private def applyMatchSetRestrictions(rows: DataFrame,
+                                        filter: Option[Column]): DataFrame = {
+    val filtered = filter match {
+      case Some(f) =>
+        rows.join(docstore.where(f).select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => rows
+    }
+    if (hasDeadDocs)
+      filtered.join(broadcast(deadDocs), Seq("doc_id"), "left_anti")
+    else filtered
+  }
+
+  /** Match + score: returns (doc_id, matched, score). The posting scan is
+    * a literal `term IN (...)` filter, so Parquet row-group pruning (term
+    * is the sort key within each part) skips everything else; blobs
+    * decode via the codegen'd vb_decode expression. `dl` rides inside the
+    * postings (norms colocation), so scoring needs NO docstore join — the
+    * docstore is touched only by an explicit filter clause. */
+  private def scoredMatches(terms: Seq[String],
+                            filter: Option[Column]): DataFrame = {
+    if (terms.isEmpty || docCount == 0) return emptyMatches
+    val idfs = termIdfs(terms)
+    if (idfs.isEmpty) return emptyMatches
+
+    val idfDf = idfs.map { case (t, _, idf) => (t, idf) }.toDF("term", "idf")
+
+    val decoded = postings
+      .filter(col("term").isin(idfs.map(_._1): _*))
+      .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"))
+      .join(broadcast(idfDf), Seq("term"))
+
+    foldScores(applyMatchSetRestrictions(decoded, filter))
   }
 
   /** Conjunctive (AND, Q5) or disjunctive (OR) match set with scores.
@@ -186,6 +197,123 @@ final class Searcher(
     topk.join(docstore, Seq("doc_id"))
       .select("doc_id", "score", "url", "warc_ts", "lang", "text")
       .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  // ---- block-max WAND top-k (north-star fast path) -------------------
+
+  private def fetchPage(topk: DataFrame): DataFrame =
+    topk.join(docstore, Seq("doc_id"))
+      .select("doc_id", "score", "url", "warc_ts", "lang", "text")
+      .orderBy(col("score").desc, col("doc_id").asc)
+
+  private def emptyPage: DataFrame =
+    fetchPage(emptyMatches.select("doc_id", "score"))
+
+  private def termBlobs(term: String) =
+    postings.filter(col("term") === term).select("blob").as[Array[Byte]]
+
+  /** Exact single-term top-n: per-partition bounded heap with block-max
+    * skipping ([[Wand.singleTermPartitionTopK]]), global merge via
+    * orderBy+limit (TakeOrderedAndProject — per-partition heap + driver
+    * merge, the reference's collector architecture itself). */
+  private def singleTermTopK(term: String, idf: Double, n: Int): DataFrame = {
+    val (k1c, bc, ac) = (k1, b, avgdl)
+    termBlobs(term)
+      .mapPartitions(it => Wand.singleTermPartitionTopK(it, idf, n, k1c, bc, ac))
+      .toDF("doc_id", "score")
+      .orderBy(col("score").desc, col("doc_id").asc).limit(n)
+  }
+
+  /** Flagship fast path: BM25 top-k with block-max WAND pruning — decodes
+    * only posting blocks whose score upper bound can still reach the
+    * current kth score. Result is identical to [[search]] (same scores,
+    * same order); exactness under pruning holds because:
+    *  - single term: per-partition bounded heaps, block skipped only when
+    *    `idf·f(maxTf, minDl)` is strictly below the heap's kth score;
+    *  - AND: every match contains the rarest term, so the rarest term's
+    *    doc set is a complete candidate set (posting-list intersection);
+    *  - OR: θ = exact kth single-term score of the highest-upper-bound
+    *    term (a provable lower bound of the final kth score); a doc is a
+    *    candidate unless EVERY block it appears in satisfies
+    *    `bound(block) + Σ other-term upper bounds < θ`.
+    * Candidates are then rescored exactly via docId-skip decode
+    * ([[graft.codec.VarByte.decodeForDocs]]) + the shared term-ordered
+    * fold. Falls back to [[search]] when pruning can't be exact (filter
+    * clause or dead docs present) or the candidate set exceeds
+    * `maxRescore` (the 10^12-scale guard: pruning is an optimization,
+    * never a correctness risk). */
+  def searchWand(query: String, k: Int, start: Int = 0,
+                 conjunctive: Boolean = true,
+                 filter: Option[Column] = None,
+                 maxRescore: Int = 2000000): DataFrame = {
+    if (hasDeadDocs || filter.nonEmpty)
+      return search(query, k, start, conjunctive, filter)
+    val n = start + k
+    val terms = analyzeQuery(query)
+    if (terms.isEmpty || docCount == 0) return emptyPage
+    val idfs = termIdfs(terms)
+    if (idfs.isEmpty || (conjunctive && idfs.size < terms.size))
+      return emptyPage
+    val (k1c, bc, ac) = (k1, b, avgdl)
+    val idfMap = idfs.map { case (t, _, i) => t -> i }.toMap
+
+    if (idfs.size == 1) {
+      val (t, _, idf) = idfs.head
+      return fetchPage(singleTermTopK(t, idf, n).offset(start).limit(k))
+    }
+
+    // per-term upper bounds from posting-row metadata: a column-pruned
+    // parquet scan of (term, max_tf, min_dl) — blobs untouched
+    val bounds = postings.filter(col("term").isin(idfs.map(_._1): _*))
+      .groupBy("term").agg(max("max_tf").as("mt"), min("min_dl").as("md"))
+      .as[(String, Int, Int)].collect()
+      .map { case (t, mt, md) => t -> ((mt, md)) }.toMap
+    val ubs: Map[String, Double] = idfs.map { case (t, _, idf) =>
+      val (mt, md) = bounds(t)
+      t -> Wand.contrib(idf, mt, md, k1c, bc, ac)
+    }.toMap
+    val sumUb = ubs.values.sum
+
+    val candidates: Array[Long] =
+      if (conjunctive) {
+        // posting-list intersection driven by the rarest term
+        val rarest = idfs.minBy(_._2)._1
+        termBlobs(rarest).flatMap(b => graft.codec.VarByte.decode(b)._1)
+          .take(maxRescore + 1)
+      } else {
+        val best = ubs.maxBy(_._2)._1
+        val seed = singleTermTopK(best, idfMap(best), n).collect()
+        val theta =
+          if (seed.length >= n) seed.last.getDouble(1)
+          else Double.NegativeInfinity
+        val ubsL = ubs
+        val idfL = idfMap
+        postings.filter(col("term").isin(idfs.map(_._1): _*))
+          .select("term", "blob").as[(String, Array[Byte])]
+          .flatMap { case (t, blob) =>
+            Wand.candidatesAboveTheta(blob, idfL(t), sumUb - ubsL(t), theta,
+              k1c, bc, ac)
+          }
+          .distinct().take(maxRescore + 1)
+      }
+    if (candidates.length > maxRescore)
+      return search(query, k, start, conjunctive)
+
+    java.util.Arrays.sort(candidates)
+    val bcCand = spark.sparkContext.broadcast(candidates)
+    val idfDf = idfs.map { case (t, _, i) => (t, i) }.toDF("term", "idf")
+    val rescored = postings.filter(col("term").isin(idfs.map(_._1): _*))
+      .select("term", "blob").as[(String, Array[Byte])]
+      .flatMap { case (t, blob) =>
+        val (ds, tfs, dls) = graft.codec.VarByte.decodeForDocs(blob, bcCand.value)
+        ds.indices.iterator.map(i => (t, ds(i), tfs(i), dls(i)))
+      }.toDF("term", "doc_id", "tf", "dl")
+      .join(broadcast(idfDf), Seq("term"))
+    val scored = foldScores(rescored)
+    val page =
+      (if (conjunctive) scored.filter(col("matched") === terms.size) else scored)
+        .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
+    fetchPage(page)
   }
 
   /** Hit metadata (Q12): totalHits, maxScore alongside the page. */

@@ -7,38 +7,60 @@ class VarByteSpec extends AnyFunSuite {
   test("round-trip tiny") {
     val ids = Array(0L, 1L, 5L, 1000L, 1000000L)
     val tfs = Array(1, 2, 3, 127, 128)
-    val blob = VarByte.encode(ids, tfs)
-    val (d, t) = VarByte.decode(blob)
-    assert(d.toSeq == ids.toSeq && t.toSeq == tfs.toSeq)
+    val dls = Array(10, 20, 30, 40, 50)
+    val blob = VarByte.encode(ids, tfs, dls)
+    val (d, t, l) = VarByte.decode(blob)
+    assert(d.toSeq == ids.toSeq && t.toSeq == tfs.toSeq && l.toSeq == dls.toSeq)
     assert(VarByte.count(blob) == 5)
-    assert(VarByte.maxTf(blob) == 128)
+    assert(VarByte.termBounds(blob) == ((128, 10)))
   }
 
   test("empty list") {
-    val blob = VarByte.encode(Array.empty[Long], Array.empty[Int])
-    val (d, t) = VarByte.decode(blob)
-    assert(d.isEmpty && t.isEmpty && VarByte.count(blob) == 0)
+    val blob = VarByte.encode(Array.empty[Long], Array.empty[Int], Array.empty[Int])
+    val (d, t, l) = VarByte.decode(blob)
+    assert(d.isEmpty && t.isEmpty && l.isEmpty && VarByte.count(blob) == 0)
   }
 
-  test("multi-block with block skipping by tf bound") {
+  test("block headers carry per-block (maxTf, minDl) and skipping works") {
     val n = 1000
     val ids = Array.tabulate(n)(i => i.toLong * 3 + 1)
-    val tfs = Array.tabulate(n)(i => if (i / 128 == 3) 50 else 1) // block 3 is hot
-    val blob = VarByte.encode(ids, tfs, blockSize = 128)
-    val (d, t) = VarByte.decodeBlocksAboveTf(blob, minTf = 10)
-    assert(d.length == 128 && t.forall(_ == 50))
-    assert(d.head == ids(3 * 128) && d.last == ids(4 * 128 - 1))
-    // minTf=1 decodes everything, in order
-    val (dAll, _) = VarByte.decodeBlocksAboveTf(blob, minTf = 1)
-    assert(dAll.toSeq == ids.toSeq)
+    val tfs = Array.tabulate(n)(i => if (i / 128 == 3) 50 else 1) // block 3 hot
+    val dls = Array.fill(n)(100)
+    val blob = VarByte.encode(ids, tfs, dls, blockSize = 128)
+    // scan with a tf-bound predicate: only block 3 should decode
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    VarByte.scan(blob)(h => h.maxTf >= 10)((d, tf, _) => out += ((d, tf)))
+    assert(out.length == 128 && out.forall(_._2 == 50))
+    assert(out.head._1 == ids(3 * 128) && out.last._1 == ids(4 * 128 - 1))
+    // header-only term bounds
+    assert(VarByte.termBounds(blob) == ((50, 100)))
+  }
+
+  test("decodeForDocs skips blocks without candidates and filters exactly") {
+    val n = 1000
+    val ids = Array.tabulate(n)(i => i.toLong * 2)
+    val tfs = Array.tabulate(n)(i => 1 + i % 7)
+    val dls = Array.tabulate(n)(i => 10 + i % 13)
+    val blob = VarByte.encode(ids, tfs, dls, blockSize = 64)
+    val want = Array(0L, 2L, 998L, 1000L, 1999L /* absent (odd) */, 1998L)
+    java.util.Arrays.sort(want)
+    val (d, t, l) = VarByte.decodeForDocs(blob, want)
+    val expectedIdx = Seq(0, 1, 499, 500, 999)
+    assert(d.toSeq == expectedIdx.map(ids(_)))
+    assert(t.toSeq == expectedIdx.map(tfs(_)))
+    assert(l.toSeq == expectedIdx.map(dls(_)))
+    // no candidates → nothing decoded
+    assert(VarByte.decodeForDocs(blob, Array.empty[Long])._1.isEmpty)
+    // candidates all out of range
+    assert(VarByte.decodeForDocs(blob, Array(5000L, 6000L))._1.isEmpty)
   }
 
   test("unsorted input rejected") {
     intercept[IllegalArgumentException] {
-      VarByte.encode(Array(5L, 3L), Array(1, 1))
+      VarByte.encode(Array(5L, 3L), Array(1, 1), Array(1, 1))
     }
     intercept[IllegalArgumentException] {
-      VarByte.encode(Array(5L, 5L), Array(1, 1)) // duplicates rejected too
+      VarByte.encode(Array(5L, 5L), Array(1, 1), Array(1, 1)) // duplicates too
     }
   }
 
@@ -50,12 +72,19 @@ class VarByteSpec extends AnyFunSuite {
       val gaps = Array.fill(n)(1L + rnd.nextLong(100000L))
       val ids = gaps.scanLeft(0L)(_ + _).tail
       val tfs = Array.fill(n)(1 + rnd.nextInt(1 << 20))
+      val dls = Array.fill(n)(1 + rnd.nextInt(1 << 16))
       val bs = blockSizes(rnd.nextInt(blockSizes.length))
-      val (d, t) = VarByte.decode(VarByte.encode(ids, tfs, bs))
-      assert(d.toSeq == ids.toSeq && t.toSeq == tfs.toSeq, s"n=$n bs=$bs")
-      // block-skip decode with minTf=0 must also be the identity
-      val (d2, t2) = VarByte.decodeBlocksAboveTf(VarByte.encode(ids, tfs, bs), 0)
-      assert(d2.toSeq == ids.toSeq && t2.toSeq == tfs.toSeq)
+      val blob = VarByte.encode(ids, tfs, dls, bs)
+      val (d, t, l) = VarByte.decode(blob)
+      assert(d.toSeq == ids.toSeq && t.toSeq == tfs.toSeq && l.toSeq == dls.toSeq,
+        s"n=$n bs=$bs")
+      // decodeForDocs on a random subset = exact subset, in order
+      val subset = ids.filter(_ => rnd.nextBoolean())
+      val (d2, t2, l2) = VarByte.decodeForDocs(blob, subset)
+      val idx = ids.zipWithIndex.filter(p => subset.contains(p._1)).map(_._2)
+      assert(d2.toSeq == idx.map(ids(_)).toSeq)
+      assert(t2.toSeq == idx.map(tfs(_)).toSeq)
+      assert(l2.toSeq == idx.map(dls(_)).toSeq)
     }
   }
 }

@@ -73,6 +73,53 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(nonEmpty >= 20, s"only $nonEmpty queries had hits")
   }
 
+  private def wandTopK(q: Q, start: Int = 0): Seq[(Long, Double)] =
+    searcher.searchWand(q.query, K, start = start, conjunctive = q.conjunctive,
+        filter = q.filterLang.map(l => col("lang") === l))
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("block-max WAND path is rank- and score-identical to golden on the " +
+    "full reference query set (north-rule Q3)") {
+    val failures = querySet.flatMap { q =>
+      val w = wandTopK(q)
+      val g = goldenTopK(q)
+      if (w == g) None
+      else Some(s"${q.name}: wand=${w.take(3)}... golden=${g.take(3)}... " +
+        s"(sizes ${w.size}/${g.size})")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("WAND disjunctive (OR) and paginated results match golden") {
+    val qs = querySet.filter(q => q.filterLang.isEmpty)
+    val orFailures = qs.take(8).flatMap { q =>
+      val w = searcher.searchWand(q.query, K, conjunctive = false)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val terms = golden.analyze(q.query, dict)
+      val g = golden.topK(terms, K, conjunctive = false).map(h => (h.docId, h.score))
+      if (w == g) None else Some(q.name)
+    }
+    assert(orFailures.isEmpty, orFailures.mkString(","))
+    // pagination through the WAND path
+    val q0 = querySet.head
+    val w2 = wandTopK(q0, start = 10)
+    val terms = golden.analyze(q0.query, dict)
+    val g2 = golden.topK(terms, K, start = 10, conjunctive = q0.conjunctive)
+      .map(h => (h.docId, h.score))
+    assert(w2 == g2)
+  }
+
+  test("WAND with a tiny rescore cap falls back to the exact path (scale guard)") {
+    val q = querySet(10) // multi-term conjunctive — exercises the rescore cap
+    val w = searcher.searchWand(q.query, K, conjunctive = q.conjunctive,
+        maxRescore = 1)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(w == goldenTopK(q))
+  }
+
   test("zero-result semantics: unknown term AND ⇒ MatchNoDocs (Q2/Q5)") {
     assert(engineTopK(Q("z", "zzzqqqxyz", conjunctive = true, None)).isEmpty)
     assert(engineTopK(Q("z2", "spark zzzqqqxyz", conjunctive = true, None)).isEmpty)
