@@ -33,7 +33,7 @@ object SparkEntry {
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, 42L, 500), dict, root,
       cfg, "entry(seed=42,n=500)")
     val s = new Searcher(spark, root, dict)
-    s.search("spark index", 10)
+    s.searchWand("spark index", 10)
   }
 
   // ---- shared SQL fragments (DuckDB dialect, ANSI-leaning) -----------
@@ -128,6 +128,18 @@ object SparkEntry {
       tks.where(col("term").isin("SPARK", "JOIN")).distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("m"))
         .where(col("m") === 2).select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- synonym expansion wiring (SURVEY.md §2.3 Y1/Y3): the greedy
+    //      multi-word semantics are pinned by SynonymSpec; this verifies
+    //      the distributed expansion path with SQL-replayable rules ----
+    "q_synonym_expand" -> ((s, dir) => {
+      val dict = SynonymDict.parse(Seq("spark => apachespark", "join,merge"))
+      val bc = s.sparkContext.broadcast(dict)
+      val ex = udf((ts: Seq[String]) => bc.value.expand(ts.toIndexedSeq))
+      t(s, dir, "documents")
+        .select(explode(ex(graft.functions.graftFunctions.qube_tokenize(col("text")))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n")).orderBy("term")
     }),
 
     // ---- facets over TPC-H tables (SURVEY.md §2.5) ----
@@ -361,6 +373,16 @@ object SparkEntry {
          |  SELECT DISTINCT doc_id, term FROM toks WHERE term IN ('SPARK', 'JOIN'))
          |SELECT doc_id FROM m GROUP BY doc_id HAVING count(*) = 2
          |ORDER BY doc_id""".stripMargin,
+
+    "q_synonym_expand" ->
+      s"""$toksCte, expanded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN term = 'SPARK' THEN 'APACHESPARK' ELSE term END AS term
+         |  FROM toks
+         |  UNION ALL SELECT doc_id, 'MERGE' FROM toks WHERE term = 'JOIN'
+         |  UNION ALL SELECT doc_id, 'JOIN' FROM toks WHERE term = 'MERGE')
+         |SELECT term, count(*) AS n FROM expanded
+         |GROUP BY term ORDER BY term""".stripMargin,
 
     "q_facet_counts" ->
       """WITH li AS (

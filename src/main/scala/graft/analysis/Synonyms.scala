@@ -47,30 +47,56 @@ final class SynonymDict(
 
   def isEmpty: Boolean = entries.isEmpty
 
+  /** First-token dispatch index (the hash-map stand-in for the
+    * reference's FST arc dispatch): the per-position probe in [[expand]]
+    * is ONE String-keyed hash lookup; only on a first-token hit are the
+    * (few) multi-token keys compared in place, longest first. A naive
+    * Map[Vector[String], _] probe per position allocates a slice and does
+    * boxed element-wise equality — measured ~100× slower on the index
+    * build's hot loop. @transient lazy: rebuilt per JVM after the plan
+    * ships the dict to executors. */
+  @transient private lazy val byFirst
+      : java.util.HashMap[String, Array[(Array[String], SynEntry)]] = {
+    val m = new java.util.HashMap[String, Array[(Array[String], SynEntry)]]()
+    entries.toSeq.groupBy(_._1.head).foreach { case (first, es) =>
+      m.put(first,
+        es.sortBy(-_._1.length).map { case (k, e) => (k.toArray, e) }.toArray)
+    }
+    m
+  }
+
   /** Greedy earliest-longest expansion over an (already case-folded)
     * token sequence. Pure; deterministic output order: keepOrig originals
     * first, then outputs in rule order. */
   def expand(tokens: IndexedSeq[String]): Vector[String] = {
     if (entries.isEmpty) return tokens.toVector
     val out = Vector.newBuilder[String]
+    val idx = byFirst
     var i = 0
     val n = tokens.length
     while (i < n) {
-      var matchLen = 0
+      val cands = idx.get(tokens(i))
       var matched: SynEntry = null
-      var len = math.min(maxInputLen, n - i)
-      while (len >= 1) {
-        if (matchLen == 0) {
-          val key = tokens.slice(i, i + len).toVector
-          entries.get(key) match {
-            case Some(e) => matched = e; matchLen = len
-            case None =>
+      var matchLen = 0
+      if (cands != null) {
+        var c = 0
+        while (matched == null && c < cands.length) {
+          val (key, e) = cands(c)
+          if (key.length <= n - i) {
+            var k = 1 // first token already matched by the hash probe
+            var ok = true
+            while (ok && k < key.length) {
+              if (key(k) != tokens(i + k)) ok = false else k += 1
+            }
+            if (ok) { matched = e; matchLen = key.length }
           }
+          c += 1
         }
-        len -= 1
       }
       if (matched != null) {
-        if (matched.keepOrig) { var k = i; while (k < i + matchLen) { out += tokens(k); k += 1 } }
+        if (matched.keepOrig) {
+          var k = i; while (k < i + matchLen) { out += tokens(k); k += 1 }
+        }
         matched.outputs.foreach(o => o.tokens.foreach(out += _))
         i += matchLen
       } else {

@@ -60,6 +60,34 @@ case class NormalizeSortKeyExpr(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** `qube_tf(text STRING) → ARRAY<STRUCT<term STRING, tf INT, dl INT>>` —
+  * the fused index-build inner loop: tokenize (A1/A2) + synonym expand
+  * (Y3) + per-document tf count + field length in one native pass. The
+  * synonym dictionary is a plan-embedded reference object (tiny; the
+  * reference ships its FST to every searcher the same way). */
+case class QubeTfExpr(child: Expression, dict: graft.analysis.SynonymDict)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_tf"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.tfPairs(dict,
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("synDict", dict,
+      classOf[graft.analysis.SynonymDict].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.tfPairs($dictRef, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>>`
   * — posting-blob decode for the query path (SURVEY.md §2.11 UDTF row).
   * `dl` rides in the posting (norms-colocation) so scoring never joins
@@ -92,6 +120,8 @@ object graftFunctions {
 
   def extract_text(c: Column): Column = col(ExtractTextExpr(expr(c)))
   def qube_tokenize(c: Column): Column = col(QubeTokenizeExpr(expr(c)))
+  def qube_tf(c: Column, dict: graft.analysis.SynonymDict): Column =
+    col(QubeTfExpr(expr(c), dict))
   def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
   def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
 

@@ -7,6 +7,7 @@ import graft.codec.VarByte
 import graft.functions.graftFunctions._
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,15 +44,85 @@ object IndexBuilder {
       saltFanout: Int = 8,        // shards per head term
       maxSaltedTerms: Int = 10000)
 
-  final case class Analyzed(url: String, warc_ts: Timestamp, lang: String,
-                            text: String, tokens: Seq[String])
-  final case class DocRow(doc_id: Long, url: String, warc_ts: Timestamp,
-                          lang: String, text: String, tokens: Seq[String])
+  final case class RawPage(url: String, warc_ts: Timestamp,
+                           html: Array[Byte], text: String, lang: String)
+  final case class IdPage(doc_id: Long, url: String, warc_ts: Timestamp,
+                          html: Array[Byte], text: String, lang: String)
   final case class PostingRow(part: Int, term: String, df_local: Long,
                               max_tf: Int, min_dl: Int, blob: Array[Byte])
 
   final case class BuildReport(segment: String, docCount: Long, termCount: Long,
-                               postingRows: Long, wallMs: Long)
+                               postingRows: Long, wallMs: Long,
+                               phases: Seq[(String, Long)] = Seq.empty)
+
+  /** Growable (docId, tf, dl) buffer — the per-(term, shard) RAM posting
+    * buffer of the map-side build (the analog of Lucene's indexing
+    * buffer; its size is bounded by `spark.sql.files.maxPartitionBytes`,
+    * the knob that caps per-task memory at any corpus scale). */
+  private[index] final class FragBuf {
+    private var ids = new Array[Long](4)
+    private var tfs = new Array[Int](4)
+    private var dls = new Array[Int](4)
+    private var len = 0
+    private var asc = true
+    def nonEmpty: Boolean = len > 0
+    def append(d: Long, tf: Int, dl: Int): Unit = {
+      if (len == ids.length) {
+        ids = java.util.Arrays.copyOf(ids, len * 2)
+        tfs = java.util.Arrays.copyOf(tfs, len * 2)
+        dls = java.util.Arrays.copyOf(dls, len * 2)
+      }
+      if (len > 0 && d < ids(len - 1)) asc = false
+      ids(len) = d; tfs(len) = tf; dls(len) = dl; len += 1
+    }
+    /** Input is ascending per file chunk; only bin-packed out-of-order
+      * chunks trigger the permutation sort. */
+    def sorted(): (Array[Long], Array[Int], Array[Int]) =
+      if (asc)
+        (java.util.Arrays.copyOf(ids, len), java.util.Arrays.copyOf(tfs, len),
+          java.util.Arrays.copyOf(dls, len))
+      else {
+        val perm = (0 until len).sortBy(ids).toArray
+        (perm.map(ids), perm.map(tfs), perm.map(dls))
+      }
+  }
+
+  /** Posting hash partition for a (term, salt-shard). */
+  private[index] def partOf(term: String, salt: Int, numParts: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.stringHash(term) + salt, numParts)
+
+  /** K-way merge of per-map-task posting fragments of one term: doc sets
+    * are disjoint (each doc indexed by exactly one task) but id ranges
+    * interleave, so merge — never concatenate. */
+  private[index] def mergeFragments(frags: Array[Array[Byte]],
+                                    blockSize: Int): Array[Byte] = {
+    val decoded = frags.map(VarByte.decode)
+    val total = decoded.map(_._1.length).sum
+    val ids = new Array[Long](total)
+    val tfs = new Array[Int](total)
+    val dls = new Array[Int](total)
+    val pos = new Array[Int](decoded.length)
+    var filled = 0
+    while (filled < total) {
+      var best = -1
+      var bestId = Long.MaxValue
+      var k = 0
+      while (k < decoded.length) {
+        val p = pos(k)
+        if (p < decoded(k)._1.length && decoded(k)._1(p) < bestId) {
+          best = k; bestId = decoded(k)._1(p)
+        }
+        k += 1
+      }
+      ids(filled) = bestId
+      tfs(filled) = decoded(best)._2(pos(best))
+      dls(filled) = decoded(best)._3(pos(best))
+      pos(best) += 1
+      filled += 1
+    }
+    VarByte.encode(ids, tfs, dls, blockSize)
+  }
 
   /** Latest-wins PK dedup (reference upsert semantics, S4:
     * `updateDocument(new Term(pk, value), doc)` Indexer.java:375-384):
@@ -64,67 +135,80 @@ object IndexBuilder {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Analysis chain over the hinted page schema: byte-identical text per
-    * url (pre-extracted `text` reused when present, else
-    * `extract_text(html)`), then tokenize + synonym expansion. */
-  def analyze(spark: SparkSession, pages: DataFrame,
-              dict: SynonymDict): Dataset[Analyzed] = {
+  /** Latest-wins dedup + deterministic dense doc_id assignment over the
+    * RAW pages, fused into ONE shuffle: range partition by url, sort each
+    * partition by (url asc, warc_ts desc, text desc) — the first row of
+    * every url run is the latest-wins winner (S4 semantics) — then
+    * per-partition deduped counts → cumulative offsets → a single
+    * streaming dedup+assign pass. Scale-safe (never collapses to one
+    * partition the way `row_number().over(orderBy)` would) and
+    * parallelism-independent: ids depend only on the total url order.
+    *
+    * Runs BEFORE the analysis chain on purpose: repartitionByRange
+    * evaluates its input twice (a range-boundary sampling pass + the real
+    * shuffle), so sorting the raw pages — where the sample pass is a
+    * column-pruned url read — keeps the expensive extract/tokenize/
+    * synonym work strictly single-pass.
+    *
+    * Returns (id-assigned winners, cached-sorted handle). The handle MUST
+    * stay persisted until every downstream consumer of the ids has
+    * materialized, then be unpersisted by the caller: RangePartitioner
+    * samples with an RDD-id-derived seed, so an UNcached re-execution of
+    * the range shuffle can draw different partition boundaries — the
+    * offsets map and the assignment pass would then disagree and produce
+    * duplicate/skipped doc_ids. The persist pins one set of boundaries
+    * for the whole build. */
+  def assignDocIds(spark: SparkSession, pages: Dataset[RawPage],
+                   baseDocId: Long, rangeParts: Int)
+      : (Dataset[IdPage], Dataset[RawPage]) = {
     import spark.implicits._
-    val bcDict = spark.sparkContext.broadcast(dict)
-    val synExpand = udf { tokens: Seq[String] =>
-      bcDict.value.expand(tokens.toIndexedSeq)
-    }
-    pages
-      .withColumn("__text", coalesce(col("text"), extract_text(col("html"))))
-      .withColumn("__tokens",
-        if (dict.isEmpty) qube_tokenize(col("__text"))
-        else synExpand(qube_tokenize(col("__text"))))
-      .select(col("url"), col("warc_ts"), col("lang"),
-        col("__text").as("text"), col("__tokens").as("tokens"))
-      .as[Analyzed]
-  }
-
-  /** Deterministic dense doc_id assignment: global sort by url (range
-    * partition + in-partition sort), per-partition counts → cumulative
-    * offsets, then a single mapPartitions pass. Scale-safe (never
-    * collapses to one partition the way `row_number().over(orderBy)`
-    * would) and independent of parallelism: ids depend only on the total
-    * url order. */
-  def assignDocIds(spark: SparkSession, analyzed: Dataset[Analyzed],
-                   baseDocId: Long, rangeParts: Int): Dataset[DocRow] = {
-    import spark.implicits._
-    if (analyzed.isEmpty) return spark.emptyDataset[DocRow]
-    val sorted = analyzed
+    val sorted = pages
       .repartitionByRange(rangeParts, col("url"))
-      .sortWithinPartitions("url")
+      .sortWithinPartitions(col("url"), col("warc_ts").desc,
+        col("text").desc_nulls_last)
       .persist()
-    val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
-      .as[(Int, Long)].collect().sortBy(_._1)
+    val counts = sorted.mapPartitions { it =>
+      var n = 0L
+      var prev: String = null
+      it.foreach { p => if (p.url != prev) { n += 1; prev = p.url } }
+      Iterator.single((TaskContext.getPartitionId(), n))
+    }.collect().sortBy(_._1)
     val offsets: Map[Int, Long] = {
       var acc = baseDocId
       counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
     }
     val bcOff = spark.sparkContext.broadcast(offsets)
-    val out = sorted.mapPartitions { it =>
+    val ids = sorted.mapPartitions { it =>
       var next = bcOff.value.getOrElse(TaskContext.getPartitionId(), 0L)
-      it.map { a =>
-        val d = DocRow(next, a.url, a.warc_ts, a.lang, a.text, a.tokens)
-        next += 1
-        d
+      var prev: String = null
+      it.flatMap { p =>
+        if (p.url == prev) Iterator.empty
+        else {
+          prev = p.url
+          val d = IdPage(next, p.url, p.warc_ts, p.html, p.text, p.lang)
+          next += 1
+          Iterator.single(d)
+        }
       }
     }
-    out
+    (ids, sorted)
   }
 
-  /** (doc_id, dl, term, tf) from the token arrays — partial (map-side)
-    * aggregation is free via hash agg. `dl` (the BM25 field length) is
-    * functionally dependent on doc_id and rides along so it can be
-    * colocated into the posting blobs (norms-style; no docstore join at
-    * query time). */
-  def termFrequencies(docs: Dataset[DocRow]): DataFrame =
-    docs.select(col("doc_id"), size(col("tokens")).cast("int").as("dl"),
-        explode(col("tokens")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+  /** Analysis chain over the id-assigned pages: byte-identical text per
+    * url (pre-extracted `text` reused when present, else
+    * `extract_text(html)`), then the fused tokenize + synonym expand +
+    * per-doc tf/dl pass (`qube_tf`, SURVEY.md §2.2/§2.3). Fully columnar
+    * and whole-stage-codegen'd: no UDF round-trips, no token Seq objects
+    * in the cache, and — because a document's tokens live in one row — tf
+    * needs NO groupBy(term, doc_id) shuffle (at 10^12 docs that shuffle
+    * would move the entire token stream). */
+  def analyze(pages: Dataset[IdPage], dict: SynonymDict): DataFrame =
+    pages.toDF()
+      .withColumn("text", coalesce(col("text"), extract_text(col("html"))))
+      .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
+        col("text"), qube_tf(col("text"), dict).as("tf_pairs"))
+      .withColumn("dl",
+        coalesce(element_at(col("tf_pairs"), 1).getField("dl"), lit(0)))
 
   /** Build one complete segment under `root/segments/<seg>` and return
     * its report. `resume = true` skips posting partitions already present
@@ -136,79 +220,165 @@ object IndexBuilder {
                    resume: Boolean = false): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    val phases = Seq.newBuilder[(String, Long)]
+    var tPrev = t0
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      phases += name -> (now - tPrev) / 1000000
+      tPrev = now
+    }
 
-    val docs = assignDocIds(spark, analyze(spark, latestWins(pages), dict),
-      baseDocId, cfg.rangeParts).persist()
+    val raw = pages
+      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
+      .as[RawPage]
+    // latest-wins dedup is fused into the id-assignment sort (one shuffle)
+    val (idPages, sortedHandle) =
+      assignDocIds(spark, raw, baseDocId, cfg.rangeParts)
+    lap("sort_dedup_assign")
 
-    // docstore: row store for stored-field fetch (S8) + dl for BM25
-    docs.select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
-        col("text"), size(col("tokens")).cast("int").as("dl"))
+    // docstore: row store for stored-field fetch (S8) + dl for BM25 —
+    // written in ONE analysis pass and immediately becoming the build's
+    // stable materialization: every later pass derives from this parquet
+    // (text already extracted), so nothing row-heavy is ever cached in
+    // memory and the raw-page cache can be dropped right here
+    analyze(idPages, dict)
+      .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
+        col("text"), col("dl"))
       .write.mode("overwrite").parquet(IndexStore.docstorePath(root, seg))
+    sortedHandle.unpersist()
+    lap("analyze_docstore")
 
-    val tf = termFrequencies(docs).persist()
+    val docstore = spark.read.parquet(IndexStore.docstorePath(root, seg))
+
+    // (doc_id, dl, term, tf): a per-row qube_tf over the pre-extracted
+    // docstore text + a native explode — shuffle-free (SURVEY.md §3.1).
+    // Deliberately NOT cached: each consumer re-streams it from the
+    // docstore parquet. Re-tokenizing extracted text is a few seconds of
+    // fully-parallel codegen'd compute, while materializing the token
+    // stream (10^8+ rows at bench scale, ~10^14 at the design point) into
+    // the in-memory columnar cache measurably COLLAPSES under high thread
+    // counts (allocation/GC contention) and could never fit at scale.
+    def tf: DataFrame = docstore
+      .select(col("doc_id"), col("dl"),
+        explode(qube_tf(col("text"), dict)).as("p"))
+      .select(col("doc_id"), col("dl"), col("p.term").as("term"),
+        col("p.tf").cast("long").as("tf"))
 
     // collection + per-term statistics (S10): df = docs containing term,
     // ttf = total term frequency
     val termStats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
     termStats.write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
+    lap("term_stats")
 
-    val docCount = docs.count()
-    val sumDl = docs.select(sum(size(col("tokens")))).as[Long].head()
+    val (docCount, sumDl) = {
+      val r = docstore.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     Seq((docCount, sumDl, if (docCount == 0) 0.0 else sumDl.toDouble / docCount))
       .toDF("doc_count", "sum_dl", "avgdl")
       .write.mode("overwrite").parquet(IndexStore.statsPath(root, seg))
+    lap("collection_stats")
 
-    // --- skew handling: salt the Zipf head (SURVEY.md §7 risk 4) ---
-    // head terms are known exactly from term_stats; each is split into
-    // saltFanout shards by doc hash so no single posting partition holds
-    // an entire head term's postings.
-    val headTerms = spark.read.parquet(IndexStore.termStatsPath(root, seg))
-      .filter(col("df") >= cfg.saltDf)
-      .orderBy(col("df").desc).limit(cfg.maxSaltedTerms)
-      .select(col("term"), lit(true).as("is_head"))
+    // --- map-side posting fragments + skew-salted shuffle + merge ---
+    // The Spark analog of Lucene's RAM indexing buffer → segment flush →
+    // merge: every map task builds per-(term, shard) posting buffers in
+    // memory and emits them as delta+varbyte-compressed FRAGMENTS, so the
+    // shuffle moves ~|vocab per task| compressed blobs instead of one row
+    // per posting. (The naive posting-row shuffle+sort was measured
+    // memory-bandwidth-bound: its wall time stopped scaling with cores.)
+    // Skew (SURVEY.md §7 risk 4): head terms — known exactly from
+    // term_stats — are salted into saltFanout shards by doc hash so no
+    // single posting partition holds an entire head term.
+    val headSet: Set[String] =
+      spark.read.parquet(IndexStore.termStatsPath(root, seg))
+        .filter(col("df") >= cfg.saltDf)
+        .orderBy(col("df").desc).limit(cfg.maxSaltedTerms)
+        .select("term").collect().map(_.getString(0)).toSet
+    val bcHead = spark.sparkContext.broadcast(headSet)
+    val numParts = cfg.numParts
+    val fanout = cfg.saltFanout
+    val blockSize = cfg.blockSize
 
-    val withPart = tf.join(broadcast(headTerms), Seq("term"), "left")
-      .withColumn("salt",
-        when(col("is_head"), pmod(xxhash64(col("doc_id")), lit(cfg.saltFanout.toLong)))
-          .otherwise(lit(0L)))
-      .withColumn("part",
-        pmod(xxhash64(col("term")) + col("salt"), lit(cfg.numParts.toLong)).cast("int"))
+    val analyzedRows = docstore
+      .select(col("doc_id"), qube_tf(col("text"), dict).as("p"))
+    val fragSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_doc",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("frag",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val fragRdd = org.apache.spark.sql.graft.Bridge.internalRdd(analyzedRows)
+      .mapPartitions { rows =>
+        val head = bcHead.value
+        val bufs = new java.util.HashMap[String, Array[FragBuf]]()
+        rows.foreach { r =>
+          val docId = r.getLong(0)
+          val arr = r.getArray(1)
+          var i = 0
+          val n = arr.numElements()
+          while (i < n) {
+            val s = arr.getStruct(i, 3)
+            val term = s.getUTF8String(0).toString
+            var shards = bufs.get(term)
+            if (shards == null) {
+              shards = Array.fill(if (head.contains(term)) fanout else 1)(new FragBuf)
+              bufs.put(term, shards)
+            }
+            val shard =
+              if (shards.length == 1) shards(0)
+              else shards(java.lang.Math.floorMod(
+                java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout))
+            shard.append(docId, s.getInt(1), s.getInt(2))
+            i += 1
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        bufs.entrySet().iterator().asScala.flatMap { e =>
+          val term = e.getKey
+          val termUtf = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+          e.getValue.iterator.zipWithIndex.filter(_._1.nonEmpty).map {
+            case (buf, salt) =>
+              val (ids, tfs, dls) = buf.sorted()
+              InternalRow(partOf(term, salt, numParts), termUtf, ids(0),
+                VarByte.encode(ids, tfs, dls, blockSize)): InternalRow
+          }
+        }
+      }
+    val fragments = org.apache.spark.sql.graft.Bridge
+      .fromInternal(spark, fragRdd, fragSchema)
 
     val done: Set[Int] =
       if (resume) IndexStore.completedParts(spark, root, seg) else Set.empty
-    val pending = withPart.filter(!col("part").isin(done.toSeq: _*))
+    val pending = fragments.filter(!col("part").isin(done.toSeq: _*))
 
-    val blockSize = cfg.blockSize
+    // fragments of one (part, term) hold DISJOINT doc_id sets (a doc's
+    // postings come from exactly one map task); ranges may interleave
+    // (file chunks bin-pack out of id order), so the reduce side k-way
+    // MERGES decoded fragments, never concatenates. Single-fragment terms
+    // — the Zipf tail, i.e. almost all terms — reuse the fragment bytes
+    // as the final blob with zero re-encode.
     val postings: Dataset[PostingRow] = pending
-      .select(col("part"), col("term"), col("doc_id"), col("tf"), col("dl"))
-      .repartition(cfg.numParts, col("part"))
-      .sortWithinPartitions("part", "term", "doc_id")
-      .as[(Int, String, Long, Long, Int)]
+      .repartition(numParts, col("part"))
+      .sortWithinPartitions("part", "term", "min_doc")
+      .as[(Int, String, Long, Array[Byte])]
       .mapPartitions { it =>
-        // single streaming pass: rows arrive sorted by (part, term,
-        // doc_id); emit one compressed blob per (part, term) run
         val in = it.buffered
         new Iterator[PostingRow] {
           def hasNext: Boolean = in.hasNext
           def next(): PostingRow = {
-            val (part, term, _, _, _) = in.head
-            val docIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val tfs = scala.collection.mutable.ArrayBuffer.empty[Int]
-            val dls = scala.collection.mutable.ArrayBuffer.empty[Int]
-            var maxTf = 0
-            var minDl = Int.MaxValue
-            while (in.hasNext && in.head._1 == part && in.head._2 == term) {
-              val (_, _, d, f, l) = in.next()
-              docIds += d
-              tfs += f.toInt
-              dls += l
-              if (f.toInt > maxTf) maxTf = f.toInt
-              if (l < minDl) minDl = l
-            }
-            PostingRow(part, term, docIds.length.toLong, maxTf,
-              if (minDl == Int.MaxValue) 0 else minDl,
-              VarByte.encode(docIds.toArray, tfs.toArray, dls.toArray, blockSize))
+            val (part, term, _, first) = in.next()
+            var frags: List[Array[Byte]] = first :: Nil
+            while (in.hasNext && in.head._1 == part && in.head._2 == term)
+              frags = in.next()._4 :: frags
+            val blob =
+              if (frags.tail.isEmpty) first
+              else mergeFragments(frags.reverse.toArray, blockSize)
+            val (maxTf, minDl) = VarByte.termBounds(blob)
+            PostingRow(part, term, VarByte.count(blob).toLong, maxTf, minDl, blob)
           }
         }
       }.persist()
@@ -216,6 +386,7 @@ object IndexBuilder {
     val mode = if (resume && done.nonEmpty) "append" else "overwrite"
     postings.toDF().write.mode(mode).partitionBy("part")
       .parquet(IndexStore.postingsPath(root, seg))
+    lap("postings_encode_write")
 
     // per-partition lineage + metrics (north rule): rows, bytes, checksum
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -230,12 +401,14 @@ object IndexBuilder {
       }.toSeq
     IndexStore.appendManifest(spark, root, seg, manifestRows)
 
-    val termCount = termStats.count()
-    val postingRows = postings.count()
-    val report = BuildReport(seg, docCount, termCount, postingRows, wallMs)
+    // parquet metadata count — no recompute of the aggregation
+    val termCount =
+      spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
+    lap("manifest_and_counts")
+    val postingRows = manifestRows.map(_.rows).sum // no extra job
+    val report = BuildReport(seg, docCount, termCount, postingRows, wallMs,
+      phases.result())
     postings.unpersist()
-    tf.unpersist()
-    docs.unpersist()
     report
   }
 

@@ -224,10 +224,25 @@ object TextOps {
     val candidates = a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    // verify candidates with exact jaccard (candidate set is small)
-    val exact = ngramJaccardPairs(docs, idCol, textCol, n, 0.0)
-    candidates.join(exact, Seq("id_a", "id_b"))
+    // verify candidates with exact jaccard computed ONLY over candidate
+    // docs: shingles are semi-joined to the candidate id set first, so
+    // the verification pair join is candidate-local — never the all-pairs
+    // join (which would be quadratic in corpus size at 10^12 docs)
+    val candIds = candidates.select(col("id_a").as(idCol))
+      .union(candidates.select(col("id_b").as(idCol))).distinct()
+    val sh = shingles(docs, idCol, textCol, n).join(candIds, Seq(idCol), "left_semi")
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val sa = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val sb = sh.select(col(idCol).as("id_b"), col("shingle"))
+    sa.join(sb, Seq("shingle")).where(col("id_a") < col("id_b"))
+      .join(candidates, Seq("id_a", "id_b"), "left_semi")
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")), 4))
       .where(col("jaccard") >= verifyThreshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash per doc (per-row, shuffle-free): tf-weighted sign sum

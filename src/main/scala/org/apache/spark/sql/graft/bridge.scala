@@ -1,14 +1,31 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.StructType
 
-/** Column ⇄ Expression bridge. Spark 4 made these conversions
-  * `private[sql]` (`org.apache.spark.sql.classic.ExpressionUtils`); this
-  * in-package shim is the standard way third-party extensions expose
-  * native Catalyst expressions as user-facing `Column`s. */
+/** Column ⇄ Expression and DataFrame ⇄ InternalRow-RDD bridges. Spark 4
+  * made these conversions `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`,
+  * `SparkSession.internalCreateDataFrame`); this in-package shim is the
+  * standard way third-party extensions expose native Catalyst expressions
+  * as user-facing `Column`s and run zero-copy per-partition passes without
+  * encoder round-trips. */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The DataFrame's physical rows (UnsafeRow, REUSED per row — copy
+    * anything retained across iterations). */
+  def internalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd
+
+  /** Wrap an InternalRow RDD back into a DataFrame. */
+  def fromInternal(spark: SparkSession, rdd: RDD[InternalRow],
+                   schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
