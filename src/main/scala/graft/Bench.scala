@@ -67,7 +67,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "800000").toLong
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "800000").toLong
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val dict = SynonymDict.parse(resourceLines("/synonyms.txt"))
     // 10^12-design parameterization at sandbox scale: 64 term partitions,
@@ -127,10 +127,12 @@ object Bench {
       if (java.lang.Double.isFinite(v)) f"$v%.4f" else "-1"
     val qsJson = results.map { case (k, v) => s""""$k":${num(v)}""" }
       .mkString("{", ",", "}")
-    // "value" = total wall seconds: only the *_sec entries (throughput
-    // and efficiency entries are not durations)
+    // "value" = total wall seconds: durations only (throughput docs/sec
+    // and efficiency-ratio entries are not durations)
     val total = results.iterator
-      .filter { case (k, v) => (k.startsWith("q_") || k.contains("_sec")) && v > 0 }
+      .filter { case (k, v) =>
+        v > 0 && !k.contains("per_sec") && !k.contains("efficiency")
+      }
       .map(_._2).sum
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qsJson,"sf":"$sfDir"}""")
   }

@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.analysis.SynonymDict
+import graft.index.{IndexBuilder, IndexStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental indexing as a stream (SURVEY.md §2.10).
+  *
+  * The reference's closest concept is incremental APPEND indexing with PK
+  * upserts and searcher hot-swap
+  * (`/root/reference/LuceneSearchEngine/src/Indexer.java:375-384`,
+  * `src/Searcher.java:527-583`). Spark-native mapping: a streaming
+  * Dataset of pages → `foreachBatch` → one index segment per micro-batch
+  * → atomic snapshot pointer flip (the hot swap). Latest-wins dedup runs
+  * within the batch at build time and across segments at query/merge time
+  * ([[graft.query.Searcher]] dead-docs, [[IndexBuilder.merge]]).
+  *
+  * Exactly-once: segments are named by `batchId`, so a re-delivered
+  * micro-batch (restart between segment write and checkpoint commit) is
+  * detected in the snapshot and skipped — the append is idempotent.
+  */
+object StreamIndexer {
+
+  /** Highest doc_id across the snapshot's segments (next segment starts
+    * after it — doc_ids stay globally unique across segments). */
+  def maxDocOf(spark: SparkSession, root: String,
+               snap: IndexStore.Snapshot): Long =
+    snap.segments.map { s =>
+      spark.read.parquet(IndexStore.docstorePath(root, s))
+        .agg(max("doc_id")).head() match {
+          case r if r.isNullAt(0) => -1L
+          case r => r.getLong(0)
+        }
+    }.foldLeft(-1L)(math.max)
+
+  /** Index one micro-batch as segment `seg-b<batchId>`; idempotent under
+    * batch re-delivery. */
+  def indexBatch(spark: SparkSession, batch: DataFrame, dict: SynonymDict,
+                 root: String, cfg: IndexBuilder.IndexConfig,
+                 batchId: Long): Unit = {
+    val seg = f"seg-b$batchId%06d"
+    IndexStore.readLatestSnapshot(spark, root) match {
+      case Some(snap) if snap.segments.contains(seg) => // re-delivery: skip
+      case None =>
+        IndexBuilder.buildSegment(spark, batch, dict, root, seg, 0L, cfg,
+          s"stream-batch-$batchId")
+        IndexStore.writeSnapshot(spark, root,
+          IndexStore.Snapshot(0L, Seq(seg), Seq.empty))
+      case Some(snap) =>
+        IndexBuilder.buildSegment(spark, batch, dict, root, seg,
+          maxDocOf(spark, root, snap) + 1, cfg, s"stream-batch-$batchId")
+        IndexStore.writeSnapshot(spark, root,
+          IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
+            snap.tombstones))
+    }
+  }
+
+  /** Start continuous indexing of a streaming page source (readStream of
+    * the input_hint schema). Checkpointed — a restarted query resumes
+    * from the last committed batch. */
+  def start(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
+            root: String, cfg: IndexBuilder.IndexConfig = IndexBuilder.IndexConfig(),
+            checkpointDir: Option[String] = None): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(s"$root/_stream_checkpoint"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch.sparkSession, batch, dict, root, cfg, batchId)
+      }
+      .start()
+}

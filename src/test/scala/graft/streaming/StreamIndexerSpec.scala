@@ -1,0 +1,73 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import graft.analysis.SynonymDict
+import graft.index.{IndexBuilder, IndexStore}
+import graft.query.Searcher
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming ingestion (SURVEY.md §2.10): micro-batches become index
+  * segments with an atomic snapshot flip per batch; upserted urls resolve
+  * latest-wins at query time; batch re-delivery is idempotent. */
+class StreamIndexerSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dict = SynonymDict.empty
+  private val cfg = IndexBuilder.IndexConfig(
+    numParts = 4, rangeParts = 2, saltDf = 1000, saltFanout = 2)
+
+  private def page(url: String, ts: Long, text: String) =
+    (url, new Timestamp(1767225600000L + ts * 1000), null: Array[Byte],
+      text, "en")
+
+  test("micro-batches append segments, searcher sees the merged view " +
+    "with latest-wins upserts") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val root = tmpDir("graft-stream-")
+    val input = MemoryStream[(String, Timestamp, Array[Byte], String, String)]
+    val pages = input.toDF().toDF("url", "warc_ts", "html", "text", "lang")
+    val q = StreamIndexer.start(spark, pages, dict, root, cfg,
+      Some(tmpDir("graft-stream-ckpt-")))
+    try {
+      input.addData(page("https://a/1", 1, "spark engine alpha"),
+        page("https://a/2", 1, "lucene index beta"))
+      q.processAllAvailable()
+      input.addData(page("https://a/3", 2, "spark shuffle gamma"),
+        page("https://a/1", 5, "updated spark document")) // upsert of a/1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val snap = IndexStore.readLatestSnapshot(spark, root).get
+    assert(snap.segments == Seq("seg-b000000", "seg-b000001"))
+
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.maxDoc == 4 && s.numDocs == 3) // a/1 v1 is a dead doc
+      val hits = s.search("spark", 10)
+        .select("url", "text").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(hits.map(_._1).toSet == Set("https://a/1", "https://a/3"))
+      assert(hits.toMap.apply("https://a/1") == "updated spark document")
+      // term only present in the superseded version no longer matches
+      assert(s.search("alpha", 10).count() == 0)
+      // term from batch 2 matches
+      assert(s.search("gamma", 10).count() == 1)
+    } finally s.close()
+  }
+
+  test("batch re-delivery is idempotent (exactly-once append)") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("graft-stream2-")
+    val batch = Seq(page("https://b/1", 1, "hello world")).toDF(
+      "url", "warc_ts", "html", "text", "lang")
+    StreamIndexer.indexBatch(spark, batch, dict, root, cfg, 0L)
+    val snap1 = IndexStore.readLatestSnapshot(spark, root).get
+    StreamIndexer.indexBatch(spark, batch, dict, root, cfg, 0L) // re-delivery
+    val snap2 = IndexStore.readLatestSnapshot(spark, root).get
+    assert(snap1 == snap2 && snap2.segments == Seq("seg-b000000"))
+  }
+}
