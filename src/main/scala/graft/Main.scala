@@ -1,0 +1,118 @@
+package graft
+
+import graft.analysis.SynonymDict
+import graft.index.{IndexBuilder, WebtextGen}
+import graft.query.Searcher
+import graft.streaming.StreamIndexer
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point (north rule: "runs via spark-submit on
+  * multi-executor clusters"). The master/executor topology comes from
+  * spark-submit; local runs fall back to local[*].
+  *
+  * {{{
+  * spark-submit --class graft.Main app.jar gen    --out /data/pages --n 1000000 --seed 42
+  * spark-submit --class graft.Main app.jar build  --input /data/pages --index /data/idx [--synonyms syn.txt] [--parts 1024]
+  * spark-submit --class graft.Main app.jar append --input /data/delta --index /data/idx
+  * spark-submit --class graft.Main app.jar delete --index /data/idx --urls https://a,https://b
+  * spark-submit --class graft.Main app.jar merge  --index /data/idx
+  * spark-submit --class graft.Main app.jar search --index /data/idx --query "spark index" [--k 10] [--or] [--start 0]
+  * spark-submit --class graft.Main app.jar stream --input /data/incoming --index /data/idx
+  * }}}
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap ++ args.filter(a => a == "--or").map(_.stripPrefix("--") -> "true")
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: <gen|build|append|delete|merge|search|stream> --key value ...")
+    val cmd = args.head
+    val opt = parseArgs(args.tail)
+    val spark = SparkSession.builder()
+      .appName(s"graft-$cmd")
+      .config("spark.sql.session.timeZone", "UTC")
+      .master(sys.props.getOrElse("spark.master",
+        sys.env.getOrElse("MASTER", "local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, cmd, opt) finally spark.stop()
+  }
+
+  private def dictOf(opt: Map[String, String]): SynonymDict =
+    opt.get("synonyms") match {
+      case Some(f) =>
+        SynonymDict.parse(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(f)).toArray.map(_.toString).toSeq)
+      case None => SynonymDict.empty
+    }
+
+  private def cfgOf(opt: Map[String, String]): IndexBuilder.IndexConfig =
+    IndexBuilder.IndexConfig(
+      numParts = opt.getOrElse("parts", "64").toInt,
+      rangeParts = opt.getOrElse("range-parts", "32").toInt,
+      saltDf = opt.getOrElse("salt-df", "10000").toLong,
+      saltFanout = opt.getOrElse("salt-fanout", "8").toInt)
+
+  def run(spark: SparkSession, cmd: String, opt: Map[String, String]): Unit =
+    cmd match {
+      case "gen" =>
+        val n = opt("n").toLong
+        WebtextGen.df(spark, opt.getOrElse("seed", "42").toLong, n)
+          .write.mode("overwrite").parquet(opt("out"))
+        println(s"""{"generated":$n,"out":"${opt("out")}"}""")
+
+      case "build" | "append" =>
+        val pages = spark.read.parquet(opt("input"))
+        val rep =
+          if (cmd == "build")
+            IndexBuilder.buildFull(spark, pages, dictOf(opt), opt("index"),
+              cfgOf(opt), opt("input"))
+          else
+            IndexBuilder.appendSegment(spark, pages, dictOf(opt), opt("index"),
+              cfgOf(opt), opt("input"))
+        println(s"""{"segment":"${rep.segment}","docs":${rep.docCount},""" +
+          s""""terms":${rep.termCount},"posting_rows":${rep.postingRows},""" +
+          s""""wall_ms":${rep.wallMs},"phases":{""" +
+          rep.phases.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}")
+
+      case "delete" =>
+        val urls = opt("urls").split(',').toSeq
+        IndexBuilder.deleteByPk(spark, opt("index"), urls)
+        println(s"""{"tombstoned":${urls.size}}""")
+
+      case "merge" =>
+        val rep = IndexBuilder.merge(spark, opt("index"), dictOf(opt), cfgOf(opt))
+        println(s"""{"segment":"${rep.segment}","docs":${rep.docCount}}""")
+
+      case "search" =>
+        val s = new Searcher(spark, opt("index"), dictOf(opt))
+        try {
+          s.searchWand(opt("query"), opt.getOrElse("k", "10").toInt,
+            start = opt.getOrElse("start", "0").toInt,
+            conjunctive = !opt.contains("or"))
+            .show(truncate = false)
+        } finally s.close()
+
+      case "stream" =>
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("url",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("warc_ts",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("html",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("lang",
+            org.apache.spark.sql.types.StringType)))
+        val q = StreamIndexer.start(spark,
+          spark.readStream.schema(schema).parquet(opt("input")),
+          dictOf(opt), opt("index"), cfgOf(opt))
+        q.awaitTermination()
+
+      case other => sys.error(s"unknown command: $other")
+    }
+}

@@ -204,6 +204,12 @@ object SparkEntry {
     }),
 
     // ---- analysis-chain scalar ops (A5/A6/A7/A8, SURVEY.md §2.2) ----
+    "q_json_flatten" -> ((s, dir) =>
+      graft.pipeline.JsonFields.flatten(t(s, dir, "events"), "event_id", "props")
+        .select(col("event_id"), col("key"), col("vtype"),
+          col("num_val").cast("double").as("num_val"))
+        .orderBy("event_id", "key")),
+
     "q_json_extract" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
           coalesce(
@@ -307,6 +313,20 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       VectorOps.annTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    // ---- match-set re-rank by vector similarity (SURVEY.md Q15: the
+    //      reference's image re-rank, Searcher.java:963-1069, over our
+    //      embeddings instead of LIRE features) ----
+    "q_rerank_cosine" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val matches = TextOps.tokens(docs, "doc_id", "text")
+        .where(col("term") === "SPARK")
+        .select(col("doc_id").as("vec_id")).distinct()
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      VectorOps.rerankByCosine(matches, emb, "vec_id", "embedding", q, 10)
     }),
 
     // ---- multimodal plumbing (decode STUBBED — see Multimodal) ----
@@ -455,6 +475,12 @@ object SparkEntry {
         |  WHERE e.event_type = 'error' AND e.user_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    "q_json_flatten" ->
+      """SELECT event_id, 'K' AS key, 'FLOAT' AS vtype,
+        |  CAST(json_extract(props, '$.k') AS DOUBLE) AS num_val
+        |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |ORDER BY event_id, key""".stripMargin,
+
     "q_json_extract" ->
       """SELECT event_id,
         |  coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE),
@@ -588,6 +614,22 @@ object SparkEntry {
         |  FROM embeddings e, q, idx i GROUP BY e.vec_id)
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_rerank_cosine" ->
+      s"""$toksCte, m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term = 'SPARK'),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |s AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS dp,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e, q, idx i
+         |  WHERE e.vec_id IN (SELECT doc_id FROM m)
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_multimodal" ->
       """WITH chars AS (

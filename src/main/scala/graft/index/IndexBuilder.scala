@@ -265,9 +265,12 @@ object IndexBuilder {
         col("p.tf").cast("long").as("tf"))
 
     // collection + per-term statistics (S10): df = docs containing term,
-    // ttf = total term frequency
+    // ttf = total term frequency; max_tf/min_dl are the term-level
+    // block-max WAND upper-bound inputs, kept here so the query planner
+    // gets (idf, df, bounds) in ONE tiny driver lookup per query
     val termStats = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
+      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"),
+        max("tf").cast("int").as("max_tf"), min("dl").cast("int").as("min_dl"))
     termStats.write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
     lap("term_stats")
 

@@ -59,10 +59,12 @@ final class Searcher(
 
   val postings: DataFrame = unionSegs(IndexStore.postingsPath(root, _))
 
-  /** Global per-term df across segments (term_stats is per segment). */
+  /** Global per-term stats across segments (term_stats is per segment):
+    * df, ttf, and the term-level WAND bound inputs (max tf, min dl). */
   val termStats: DataFrame =
     unionSegs(IndexStore.termStatsPath(root, _))
-      .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+      .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"),
+        max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Collection statistics (S10): N, avgdl over all segments. */
@@ -104,15 +106,21 @@ final class Searcher(
     if (query == null) Seq.empty
     else dict.expand(Tokenizer.tokenize(query).toIndexedSeq).distinct.sorted
 
-  /** Per-term idf over terms present in the index: driver-side from the
-    * (tiny) filtered term_stats — the broadcast of collection stats the
-    * reference reads per query (Searcher.java:722-725). */
-  private def termIdfs(terms: Seq[String]): Seq[(String, Long, Double)] =
+  final case class TermInfo(term: String, df: Long, idf: Double,
+                            maxTf: Int, minDl: Int)
+
+  /** Per-term idf + WAND bound inputs over terms present in the index:
+    * ONE driver-side lookup of the (tiny, cached) term_stats per query —
+    * the broadcast of collection stats the reference reads per query
+    * (Searcher.java:722-725). */
+  private def termIdfs(terms: Seq[String]): Seq[TermInfo] =
     if (terms.isEmpty) Seq.empty
     else termStats.filter(col("term").isin(terms: _*))
-      .select("term", "df").as[(String, Long)].collect().toSeq
-      .map { case (t, df) =>
-        (t, df, math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)))
+      .select("term", "df", "max_tf", "min_dl")
+      .as[(String, Long, Int, Int)].collect().toSeq
+      .map { case (t, df, mt, md) =>
+        TermInfo(t, df,
+          math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)), mt, md)
       }
 
   private def emptyMatches: DataFrame =
@@ -161,10 +169,10 @@ final class Searcher(
     val idfs = termIdfs(terms)
     if (idfs.isEmpty) return emptyMatches
 
-    val idfDf = idfs.map { case (t, _, idf) => (t, idf) }.toDF("term", "idf")
+    val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
 
     val decoded = postings
-      .filter(col("term").isin(idfs.map(_._1): _*))
+      .filter(col("term").isin(idfs.map(_.term): _*))
       .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.dl").as("dl"))
@@ -255,29 +263,24 @@ final class Searcher(
     if (idfs.isEmpty || (conjunctive && idfs.size < terms.size))
       return emptyPage
     val (k1c, bc, ac) = (k1, b, avgdl)
-    val idfMap = idfs.map { case (t, _, i) => t -> i }.toMap
+    val idfMap = idfs.map(i => i.term -> i.idf).toMap
 
     if (idfs.size == 1) {
-      val (t, _, idf) = idfs.head
-      return fetchPage(singleTermTopK(t, idf, n).offset(start).limit(k))
+      val i = idfs.head
+      return fetchPage(singleTermTopK(i.term, i.idf, n).offset(start).limit(k))
     }
 
-    // per-term upper bounds from posting-row metadata: a column-pruned
-    // parquet scan of (term, max_tf, min_dl) — blobs untouched
-    val bounds = postings.filter(col("term").isin(idfs.map(_._1): _*))
-      .groupBy("term").agg(max("max_tf").as("mt"), min("min_dl").as("md"))
-      .as[(String, Int, Int)].collect()
-      .map { case (t, mt, md) => t -> ((mt, md)) }.toMap
-    val ubs: Map[String, Double] = idfs.map { case (t, _, idf) =>
-      val (mt, md) = bounds(t)
-      t -> Wand.contrib(idf, mt, md, k1c, bc, ac)
+    // per-term upper bounds straight from the cached term_stats lookup —
+    // no extra job, no posting-file touch
+    val ubs: Map[String, Double] = idfs.map { i =>
+      i.term -> Wand.contrib(i.idf, i.maxTf, i.minDl, k1c, bc, ac)
     }.toMap
     val sumUb = ubs.values.sum
 
     val candidates: Array[Long] =
       if (conjunctive) {
         // posting-list intersection driven by the rarest term
-        val rarest = idfs.minBy(_._2)._1
+        val rarest = idfs.minBy(_.df).term
         termBlobs(rarest).flatMap(b => graft.codec.VarByte.decode(b)._1)
           .take(maxRescore + 1)
       } else {
@@ -288,7 +291,7 @@ final class Searcher(
           else Double.NegativeInfinity
         val ubsL = ubs
         val idfL = idfMap
-        postings.filter(col("term").isin(idfs.map(_._1): _*))
+        postings.filter(col("term").isin(idfs.map(_.term): _*))
           .select("term", "blob").as[(String, Array[Byte])]
           .flatMap { case (t, blob) =>
             Wand.candidatesAboveTheta(blob, idfL(t), sumUb - ubsL(t), theta,
@@ -301,8 +304,8 @@ final class Searcher(
 
     java.util.Arrays.sort(candidates)
     val bcCand = spark.sparkContext.broadcast(candidates)
-    val idfDf = idfs.map { case (t, _, i) => (t, i) }.toDF("term", "idf")
-    val rescored = postings.filter(col("term").isin(idfs.map(_._1): _*))
+    val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
+    val rescored = postings.filter(col("term").isin(idfs.map(_.term): _*))
       .select("term", "blob").as[(String, Array[Byte])]
       .flatMap { case (t, blob) =>
         val (ds, tfs, dls) = graft.codec.VarByte.decodeForDocs(blob, bcCand.value)
@@ -357,6 +360,63 @@ final class Searcher(
   /** Stored-field fetch by docID (S8). */
   def doc(docIds: Seq[Long]): DataFrame =
     docstore.filter(col("doc_id").isin(docIds: _*))
+
+  // ---- serving-layer caches + timeout (Q13/S8/F6/Q10) ----------------
+
+  final case class QueryKey(query: String, k: Int, start: Int,
+                            conjunctive: Boolean, filterRepr: String)
+
+  /** Query-result LRU (Q13, reference QueryResultKey cache
+    * :885-947): memoizes the collected page. `useCache = false` mirrors
+    * the reference's per-call opt-out. */
+  val queryResultCache = new LruCache[QueryKey, Array[org.apache.spark.sql.Row]](128)
+
+  def searchCached(query: String, k: Int, start: Int = 0,
+                   conjunctive: Boolean = true,
+                   filter: Option[Column] = None,
+                   useCache: Boolean = true): Array[org.apache.spark.sql.Row] = {
+    val key = QueryKey(query, k, start, conjunctive,
+      filter.map(_.toString).getOrElse(""))
+    def compute = searchWand(query, k, start, conjunctive, filter).collect()
+    if (useCache) queryResultCache.getOrElseUpdate(key)(compute) else compute
+  }
+
+  /** Document LRU (S8, reference doc cache :703-720). */
+  val documentCache = new LruCache[Long, org.apache.spark.sql.Row](1024)
+
+  def docCached(docIds: Seq[Long]): Seq[org.apache.spark.sql.Row] = {
+    val missing = docIds.filter(id => documentCache.get(id).isEmpty)
+    if (missing.nonEmpty)
+      doc(missing).collect().foreach(r => documentCache.put(r.getLong(0), r))
+    docIds.flatMap(id => documentCache.get(id))
+  }
+
+  /** Search timeout (Q10, reference TimeLimitingCollector :822-825):
+    * the distributed analog is job-group cancellation — the query's jobs
+    * are tagged and cancelled at the deadline; None = timed out (the
+    * reference throws/returns partial; we surface the timeout
+    * explicitly). */
+  def searchWithTimeout(query: String, k: Int, timeoutMs: Long,
+                        start: Int = 0, conjunctive: Boolean = true,
+                        filter: Option[Column] = None)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val group = s"graft-search-${System.nanoTime()}"
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future {
+      spark.sparkContext.setJobGroup(group, s"search($query)",
+        interruptOnCancel = true)
+      try search(query, k, start, conjunctive, filter).collect()
+      finally spark.sparkContext.clearJobGroup()
+    }
+    try Some(Await.result(fut, timeoutMs.millis))
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        None
+    }
+  }
 
   override def close(): Unit = {
     docstore.unpersist()
