@@ -315,6 +315,11 @@ object SparkEntry {
       VectorOps.annTopK(emb, "vec_id", "embedding", q, 10)
     }),
 
+    "q_vec_neardup" -> ((s, dir) =>
+      VectorOps.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", threshold = 0.45)
+        .orderBy("id_a", "id_b")),
+
     // ---- match-set re-rank by vector similarity (SURVEY.md Q15: the
     //      reference's image re-rank, Searcher.java:963-1069, over our
     //      embeddings instead of LIRE features) ----
@@ -614,6 +619,19 @@ object SparkEntry {
         |  FROM embeddings e, q, idx i GROUP BY e.vec_id)
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_vec_neardup" ->
+      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |s AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
+        |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
+        |    sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
+        |  FROM embeddings a, embeddings b, idx i
+        |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+        |FROM s WHERE round(dp / (sqrt(na) * sqrt(nb)), 4) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_rerank_cosine" ->
       s"""$toksCte, m AS (

@@ -66,6 +66,29 @@ object VectorOps {
     }.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs ≥ threshold — the vector leg
+    * of the dedup family (exact: all candidate pairs within LSH buckets;
+    * `nPlanes = 0` degenerates to the exact all-pairs baseline). Bucket
+    * join keeps the pair join bucket-local at scale; recall/precision of
+    * the bucketing is verified against the exact baseline in tests. */
+  def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, seed: Long = 42L,
+                         nPlanes: Int = 0, dim: Int = 64,
+                         roundTo: Int = 4): DataFrame = {
+    val bucketed =
+      if (nPlanes == 0) embeddings.withColumn("bucket", lit(0L))
+      else embeddings.withColumn("bucket",
+        lshBucket(col(vecCol), hyperplanes(seed, nPlanes, dim)))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("va"), col("vb")), roundTo))
+      .where(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine").distinct()
+  }
+
   /** ANN top-k: probe only the query's LSH bucket (plus optional
     * neighboring buckets by Hamming-1 flips), then exact cosine within
     * the candidates. Recall traded for a candidate set ~2^-nPlanes of the

@@ -57,7 +57,32 @@ final class Searcher(
   val docstore: DataFrame =
     unionSegs(IndexStore.docstorePath(root, _)).persist(StorageLevel.MEMORY_AND_DISK)
 
-  val postings: DataFrame = unionSegs(IndexStore.postingsPath(root, _))
+  /** Postings table. An EMPTY segment's partitioned parquet dir has no
+    * footers to infer from (S7's create-empty-index case), so the schema
+    * is pinned explicitly. */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df_local",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("max_tf",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("min_dl",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("blob",
+      org.apache.spark.sql.types.BinaryType),
+    org.apache.spark.sql.types.StructField("part",
+      org.apache.spark.sql.types.IntegerType)))
+
+  val postings: DataFrame =
+    snapshot.segments.map { s =>
+      try spark.read.parquet(IndexStore.postingsPath(root, s))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            postingsSchema)
+      }
+    }.reduce(_ unionByName _)
 
   /** Global per-term stats across segments (term_stats is per segment):
     * df, ttf, and the term-level WAND bound inputs (max tf, min dl). */

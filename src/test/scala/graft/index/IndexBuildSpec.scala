@@ -73,6 +73,21 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
       manifestAll.map(_._1).toSet)
   }
 
+  test("empty corpus builds a valid empty index; searches MatchNoDocs " +
+    "(S7, Searcher.java:248-284 create-empty-index)") {
+    val root = tmpDir("graft-empty-")
+    val rep = IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, 0),
+      dict, root, cfg, "empty")
+    assert(rep.docCount == 0 && rep.postingRows == 0)
+    val s = new graft.query.Searcher(spark, root)
+    try {
+      assert(s.maxDoc == 0 && s.numDocs == 0)
+      assert(s.search("spark", 10).isEmpty)
+      assert(s.searchWand("spark", 10).isEmpty)
+      assert(s.search(null, 10).isEmpty) // null query → MatchNoDocs (Q2)
+    } finally s.close()
+  }
+
   test("salting splits head terms across multiple posting partitions") {
     val root = tmpDir("graft-salt-")
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, root, cfg, "x")
