@@ -18,21 +18,23 @@ import org.apache.spark.sql.functions._
   * becomes one declarative Spark job:
   *
   * {{{
-  *   pages → latest-wins by url → coalesce(text, extract_text(html))
-  *         → qube_tokenize → syn_expand → deterministic doc_id assignment
-  *         → docstore
-  *   tokens → explode → groupBy(doc_id, term).count           (tf)
-  *          → term_stats (df, total tf)
-  *          → skew-aware salting of head terms (Zipf head → saltFanout
-  *            shards) → repartition(part) → sortWithinPartitions(part,
-  *            term, doc_id) → single-pass mapPartitions run-length encode
+  *   pages → ONE range shuffle on url: latest-wins dedup + deterministic
+  *           dense doc_id assignment (fused)
+  *         → one analysis pass: coalesce(text, extract_text(html)) +
+  *           qube_tf (tokenize + synonyms + per-doc (term, tf, dl))
+  *         → docstore parquet  — the build's only stable materialization
+  *   docstore → qube_tf re-stream → term_stats (df, ttf, WAND bounds)
+  *            → map-side per-(term, salt-shard) RAM posting buffers
+  *              (Lucene's indexing buffer) flushed as delta+varbyte
+  *              FRAGMENTS
+  *            → ONE salted shuffle of fragments (not posting rows)
+  *            → sortWithinPartitions(part, term) → per-term k-way merge
   *            → postings(part, term, df_local, max_tf, min_dl, blob)
   * }}}
   *
-  * The mapPartitions encode after the sort is the Spark-native analog of
-  * Lucene's segment write: postings arrive (term, doc_id)-sorted, so
-  * delta+varbyte compression is a single streaming pass with no
-  * collect_list buffering and no extra shuffle.
+  * Exactly two shuffles, zero long-lived caches; head terms (df ≥
+  * saltDf, known exactly from term_stats) split across saltFanout
+  * partitions. Measured rationale for each decision: BENCH.md.
   */
 object IndexBuilder {
 
@@ -87,8 +89,9 @@ object IndexBuilder {
       }
   }
 
-  /** Posting hash partition for a (term, salt-shard). */
-  private[index] def partOf(term: String, salt: Int, numParts: Int): Int =
+  /** Posting hash partition for a (term, salt-shard) — shared with the
+    * query side's plan-time partition pruning. */
+  def partOf(term: String, salt: Int, numParts: Int): Int =
     java.lang.Math.floorMod(
       scala.util.hashing.MurmurHash3.stringHash(term) + salt, numParts)
 
@@ -405,6 +408,8 @@ object IndexBuilder {
     IndexStore.appendManifest(spark, root, seg, manifestRows)
 
     // parquet metadata count — no recompute of the aggregation
+    IndexStore.writeSegmentConfig(spark, root, seg,
+      IndexStore.SegmentConfig(cfg.numParts, cfg.saltFanout, cfg.blockSize))
     val termCount =
       spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
     lap("manifest_and_counts")

@@ -43,6 +43,37 @@ object IndexStore {
   def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Per-segment build parameters the QUERY side needs: with
+    * (numParts, saltFanout) a searcher can recompute the exact posting
+    * partitions a term can live in ({partOf(term, s) | s < fanout}) and
+    * prune every other `part=` directory at plan time — at 10^12 docs
+    * that is the difference between scanning ≤fanout files and scanning
+    * the whole index layout. */
+  final case class SegmentConfig(numParts: Int, saltFanout: Int, blockSize: Int)
+
+  def writeSegmentConfig(spark: SparkSession, root: String, seg: String,
+                         cfg: SegmentConfig): Unit =
+    writeString(fs(spark, root), new Path(s"${segmentDir(root, seg)}/config.json"),
+      s"""{"num_parts":${cfg.numParts},"salt_fanout":${cfg.saltFanout},""" +
+        s""""block_size":${cfg.blockSize}}""")
+
+  private val numPartsRe = """"num_parts":(\d+)""".r
+  private val fanoutRe = """"salt_fanout":(\d+)""".r
+  private val blockRe = """"block_size":(\d+)""".r
+
+  def readSegmentConfig(spark: SparkSession, root: String,
+                        seg: String): Option[SegmentConfig] = {
+    val f = fs(spark, root)
+    val p = new Path(s"${segmentDir(root, seg)}/config.json")
+    if (!f.exists(p)) return None
+    val s = readString(f, p)
+    for {
+      n <- numPartsRe.findFirstMatchIn(s).map(_.group(1).toInt)
+      sf <- fanoutRe.findFirstMatchIn(s).map(_.group(1).toInt)
+      b <- blockRe.findFirstMatchIn(s).map(_.group(1).toInt)
+    } yield SegmentConfig(n, sf, b)
+  }
+
   def segmentDir(root: String, seg: String) = s"$root/segments/$seg"
   def docstorePath(root: String, seg: String) = s"${segmentDir(root, seg)}/docstore"
   def postingsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/postings"

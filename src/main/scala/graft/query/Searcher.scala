@@ -74,13 +74,44 @@ final class Searcher(
     org.apache.spark.sql.types.StructField("part",
       org.apache.spark.sql.types.IntegerType)))
 
+  private def readPostings(seg: String): DataFrame =
+    try spark.read.parquet(IndexStore.postingsPath(root, seg))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          postingsSchema)
+    }
+
+  /** One relation per segment, created ONCE: re-reading per query would
+    * re-list the partition directories on every plan (driver-side
+    * latency), while a shared relation caches its file index. */
+  private val segPostings: Map[String, DataFrame] =
+    snapshot.segments.map(s => s -> readPostings(s)).toMap
+
   val postings: DataFrame =
-    snapshot.segments.map { s =>
-      try spark.read.parquet(IndexStore.postingsPath(root, s))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            postingsSchema)
+    snapshot.segments.map(segPostings).reduce(_ unionByName _)
+
+  private val segConfigs: Map[String, Option[IndexStore.SegmentConfig]] =
+    snapshot.segments.map(s =>
+      s -> IndexStore.readSegmentConfig(spark, root, s)).toMap
+
+  /** Posting rows restricted to `terms` with PLAN-TIME partition pruning:
+    * each segment's candidate `part=` set is recomputed from its stored
+    * build config ({partOf(term, salt) | salt < fanout} per term) — the
+    * scan touches ≤ |terms|·fanout partition directories instead of the
+    * whole layout. Row-group stats on `term` prune within the survivors.
+    * Segments without a config file (none in practice) fall back to the
+    * term-filtered full scan. */
+  private def postingsForTerms(terms: Seq[String]): DataFrame =
+    snapshot.segments.map { seg =>
+      val df = segPostings(seg).filter(col("term").isin(terms: _*))
+      segConfigs(seg) match {
+        case Some(c) =>
+          val parts = terms.flatMap(t => (0 until c.saltFanout).map(s =>
+            graft.index.IndexBuilder.partOf(t, s, c.numParts))).distinct
+          df.filter(col("part").isin(parts: _*))
+        case None => df
       }
     }.reduce(_ unionByName _)
 
@@ -188,16 +219,13 @@ final class Searcher(
     * decode via the codegen'd vb_decode expression. `dl` rides inside the
     * postings (norms colocation), so scoring needs NO docstore join — the
     * docstore is touched only by an explicit filter clause. */
-  private def scoredMatches(terms: Seq[String],
+  private def scoredMatches(terms: Seq[String], idfs: Seq[TermInfo],
                             filter: Option[Column]): DataFrame = {
-    if (terms.isEmpty || docCount == 0) return emptyMatches
-    val idfs = termIdfs(terms)
-    if (idfs.isEmpty) return emptyMatches
+    if (terms.isEmpty || docCount == 0 || idfs.isEmpty) return emptyMatches
 
     val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
 
-    val decoded = postings
-      .filter(col("term").isin(idfs.map(_.term): _*))
+    val decoded = postingsForTerms(idfs.map(_.term))
       .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.dl").as("dl"))
@@ -211,10 +239,10 @@ final class Searcher(
   def score(query: String, conjunctive: Boolean = true,
             filter: Option[Column] = None): DataFrame = {
     val terms = analyzeQuery(query)
-    val scored = scoredMatches(terms, filter)
+    val idfs = termIdfs(terms) // single driver lookup per query
+    val scored = scoredMatches(terms, idfs, filter)
     if (conjunctive) {
-      val present = termIdfs(terms).size
-      if (present < terms.size) scored.where(lit(false))
+      if (idfs.size < terms.size) scored.where(lit(false))
       else scored.filter(col("matched") === terms.size)
     } else scored
   }
@@ -243,7 +271,7 @@ final class Searcher(
     fetchPage(emptyMatches.select("doc_id", "score"))
 
   private def termBlobs(term: String) =
-    postings.filter(col("term") === term).select("blob").as[Array[Byte]]
+    postingsForTerms(Seq(term)).select("blob").as[Array[Byte]]
 
   /** Exact single-term top-n: per-partition bounded heap with block-max
     * skipping ([[Wand.singleTermPartitionTopK]]), global merge via
@@ -278,7 +306,8 @@ final class Searcher(
   def searchWand(query: String, k: Int, start: Int = 0,
                  conjunctive: Boolean = true,
                  filter: Option[Column] = None,
-                 maxRescore: Int = 2000000): DataFrame = {
+                 maxRescore: Int = 2000000,
+                 wandMinDf: Long = 500000): DataFrame = {
     if (hasDeadDocs || filter.nonEmpty)
       return search(query, k, start, conjunctive, filter)
     val n = start + k
@@ -294,6 +323,13 @@ final class Searcher(
       val i = idfs.head
       return fetchPage(singleTermTopK(i.term, i.idf, n).offset(start).limit(k))
     }
+
+    // cost-based path choice: the multi-term WAND pipeline spends 3-4
+    // Spark jobs (seed θ, candidates, rescore) to AVOID decode work —
+    // worth it only when the posting volume dominates the fixed per-job
+    // cost. Below the threshold the 2-job exact path is strictly faster.
+    if (idfs.map(_.df).sum < wandMinDf)
+      return search(query, k, start, conjunctive, filter)
 
     // per-term upper bounds straight from the cached term_stats lookup —
     // no extra job, no posting-file touch
@@ -316,7 +352,7 @@ final class Searcher(
           else Double.NegativeInfinity
         val ubsL = ubs
         val idfL = idfMap
-        postings.filter(col("term").isin(idfs.map(_.term): _*))
+        postingsForTerms(idfs.map(_.term))
           .select("term", "blob").as[(String, Array[Byte])]
           .flatMap { case (t, blob) =>
             Wand.candidatesAboveTheta(blob, idfL(t), sumUb - ubsL(t), theta,
@@ -330,7 +366,7 @@ final class Searcher(
     java.util.Arrays.sort(candidates)
     val bcCand = spark.sparkContext.broadcast(candidates)
     val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
-    val rescored = postings.filter(col("term").isin(idfs.map(_.term): _*))
+    val rescored = postingsForTerms(idfs.map(_.term))
       .select("term", "blob").as[(String, Array[Byte])]
       .flatMap { case (t, blob) =>
         val (ds, tfs, dls) = graft.codec.VarByte.decodeForDocs(blob, bcCand.value)
