@@ -235,6 +235,15 @@ object SparkEntry {
             substring(col("text"), 1, 20)).as("sort_key"))
         .orderBy(col("sort_key").asc, col("doc_id").asc).limit(20)),
 
+    // ---- event-time windowed aggregation (batch semantics of the
+    //      streaming op — same expression runs under readStream with a
+    //      watermark, graft.streaming.EventAggregates) ----
+    "q_window_agg" -> ((s, dir) =>
+      graft.streaming.EventAggregates.windowedCounts(t(s, dir, "events"))
+        .select(unix_micros(col("win_start").cast("timestamp")).as("ws"),
+          col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("ws", "event_type")),
+
     // ---- joins / windows (SURVEY.md §2.6/§2.9) ----
     "q_topk_per_group" -> ((s, dir) =>
       TextOps.topNPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
@@ -313,6 +322,15 @@ object SparkEntry {
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
       VectorOps.annTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val cents = VectorOps.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 4, iters = 3)
+      VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, cents, nprobe = 2)
     }),
 
     "q_vec_neardup" -> ((s, dir) =>
@@ -505,6 +523,11 @@ object SparkEntry {
     "q_sort_key" ->
       """SELECT doc_id, upper(trim(substring(text, 1, 20))) AS sort_key
         |FROM documents ORDER BY sort_key, doc_id LIMIT 20""".stripMargin,
+
+    "q_window_agg" ->
+      """SELECT CAST(epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) AS ws,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH r AS (

@@ -58,4 +58,50 @@ object Multimodal {
       }
     }
   }
+
+  // ---- resize / frame-sample: the remaining pipeline verbs. Real
+  // codecs ??? go behind these seams; the deterministic fakes keep the
+  // Spark-side contract (schema, batching, per-row purity) testable. ----
+
+  final case class ResizedRow(media_id: Long, width: Int, height: Int,
+                              payload: Array[Byte])
+
+  /** STUB resize: deterministic byte-decimation to a target "resolution"
+    * — stands in for a real image resize kernel. Output payload length is
+    * a pure function of (input length, target dims). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, math.min(payload.length, w * h / 64))
+    val out = new Array[Byte](target)
+    val step = math.max(1, payload.length / target)
+    var i = 0
+    while (i < target) { out(i) = payload(math.min(i * step, payload.length - 1)); i += 1 }
+    out
+  }
+
+  def resize(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.map { r =>
+      ResizedRow(r.media_id, w, h, resizeStub(r.payload, w, h))
+    })
+  }
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_crc: Long)
+
+  /** STUB frame sampling: treat the payload as `nFrames` equal spans and
+    * emit every `stride`-th span's crc — the shape of video keyframe
+    * extraction (one input row → many frame rows, still shuffle-free). */
+  def sampleFrames(spark: SparkSession, media: DataFrame, nFrames: Int,
+                   stride: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions(_.flatMap { r =>
+      val span = math.max(1, r.payload.length / math.max(nFrames, 1))
+      (0 until nFrames by stride).iterator.map { f =>
+        val from = math.min(f * span, math.max(r.payload.length - 1, 0))
+        val until = math.min(from + span, r.payload.length)
+        val crc = new java.util.zip.CRC32()
+        if (until > from) crc.update(r.payload, from, until - from)
+        FrameRow(r.media_id, f, crc.getValue)
+      }
+    })
+  }
 }

@@ -89,6 +89,75 @@ object VectorOps {
       .select("id_a", "id_b", "cosine").distinct()
   }
 
+  /** IVF (inverted-file) coarse quantizer: k-means centroids trained
+    * with Lloyd's iterations where each step is ONE distributed
+    * aggregation (`groupBy(nearest centroid).avg`) — no data leaves the
+    * executors, only k×dim centroid sums. Deterministic: seeded init from
+    * the first k distinct rows by id. At 100 TB the train step runs on a
+    * sample; assignment is a map-only pass. */
+  def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                        k: Int, iters: Int = 5,
+                        seed: Long = 42L): Array[Array[Double]] = {
+    val first = embeddings.orderBy(col(idCol)).limit(k)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var centroids = first
+    var it = 0
+    while (it < iters) {
+      val assigned = embeddings
+        .withColumn("c", nearestCentroid(col(vecCol), centroids))
+        .select(col("c"), toDouble(col(vecCol)).as("v"))
+      val sums = assigned.groupBy("c")
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids(0).length).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("s"))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(c) = r.getSeq[Double](2).map(_ / n).toArray
+      }
+      centroids = next
+      it += 1
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid by squared L2 (map-only expression). */
+  def nearestCentroid(vecCol: Column, centroids: Array[Array[Double]]): Column = {
+    val v = toDouble(vecCol)
+    val dists = centroids.map { c =>
+      aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    }
+    // argmin via a fold over (bestIdx, bestDist)
+    dists.zipWithIndex.foldLeft(struct(lit(0).as("i"), dists(0).as("d"))) {
+      case (best, (d, i)) =>
+        when(d < best.getField("d"), struct(lit(i).as("i"), d.as("d")))
+          .otherwise(best)
+    }.getField("i")
+  }
+
+  /** IVF ANN top-k: assign every row to its nearest centroid (map-only),
+    * probe only the `nprobe` centroids closest to the query, exact cosine
+    * within the probed cells. The standard coarse-quantization scale path
+    * next to [[annTopK]]'s sign-LSH; recall vs exact verified in tests. */
+  def ivfTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Float], k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 2,
+              roundTo: Int = 4): DataFrame = {
+    val qv = query.map(_.toDouble).toArray
+    def d2(c: Array[Double]): Double =
+      c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probes = centroids.zipWithIndex.sortBy(p => d2(p._1))
+      .take(nprobe).map(_._2).toSeq
+    val cells = embeddings
+      .withColumn("c", nearestCentroid(col(vecCol), centroids))
+      .where(col("c").isin(probes: _*))
+    cosineTopK(cells, idCol, vecCol, query, k, roundTo)
+  }
+
   /** ANN top-k: probe only the query's LSH bucket (plus optional
     * neighboring buckets by Hamming-1 flips), then exact cosine within
     * the candidates. Recall traded for a candidate set ~2^-nPlanes of the

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN + multimodal resize/frame-sample verbs. */
+class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
+
+  private def embeddings(n: Int, dim: Int, clusters: Int) = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(4242L)
+    val centers = Array.fill(clusters)(Array.fill(dim)(rnd.nextGaussian() * 5))
+    (0 until n).map { i =>
+      val c = centers(i % clusters)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF: centroids converge to planted clusters; probed top-k has " +
+    "high recall vs exact") {
+    val emb = embeddings(300, 16, 4).cache()
+    val cents = VectorOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 6)
+    val q = emb.where(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0)
+    val exact = VectorOps.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, cents,
+      nprobe = 2).collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall exact=$exact ivf=$ivf")
+    // nprobe = all clusters ⇒ identical to exact
+    val all = VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, cents,
+      nprobe = 4).collect().map(_.getLong(0)).toSet
+    assert(all == exact)
+  }
+
+  test("multimodal resize: deterministic, schema-stable, length bounded") {
+    val sp = spark
+    import sp.implicits._
+    val media = Seq((1L, "image", "abcdefghijklmnopqrstuvwxyz".getBytes),
+      (2L, "image", Array.fill(5000)(7.toByte)))
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.resize(spark, media, 640, 480).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(out(1L).width == 640 && out(1L).height == 480)
+    assert(out(1L).payload.toSeq ==
+      Multimodal.resizeStub("abcdefghijklmnopqrstuvwxyz".getBytes, 640, 480).toSeq)
+    assert(out(2L).payload.length <= 5000)
+  }
+
+  test("multimodal frame sampling: one row per sampled frame, pure crc") {
+    val sp = spark
+    import sp.implicits._
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    val media = Seq((9L, "video", payload)).toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(spark, media, nFrames = 10, stride = 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 3, 6, 9))
+    assert(frames.forall(_.media_id == 9L))
+    // pure: same payload → same crcs
+    val again = Multimodal.sampleFrames(spark, media, 10, 3)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_crc).toSeq == again.map(_.frame_crc).toSeq)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured-Streaming verbs over the events stream: watermarked
+  * event-time windows (append mode emits only finalized windows — the
+  * late-data policy) and mapGroupsWithState sessionization. */
+class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
+
+  private val T0 = 1767225600000L // 2026-01-01T00:00:00Z
+
+  private def ev(id: Long, offsetSec: Long, user: Long, typ: String,
+                 value: Double) =
+    (id, new Timestamp(T0 + offsetSec * 1000), user, typ, value)
+
+  test("watermarked tumbling windows: append mode emits a window only " +
+    "after the watermark passes; late events within the watermark count") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = EventAggregates.windowedCounts(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        window_ = "1 minute", watermark = "2 minutes")
+      .writeStream.format("memory").queryName("winagg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [0,60): two clicks; nothing can finalize yet
+      in.addData(ev(1, 5, 1, "click", 1.0), ev(2, 50, 2, "click", 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from winagg").count() == 0)
+      // a LATE event for [0,60) arrives while watermark still allows it
+      in.addData(ev(3, 59, 3, "click", 4.0), ev(4, 70, 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance event time far past watermark → [0,60) and [60,120) final
+      in.addData(ev(5, 600, 9, "click", 0.5))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select win_start, event_type, n, sum_value from winagg").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(rows.contains((T0, "click", 3L, 7.0))) // late event counted
+      assert(rows.contains((T0 + 60000, "view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState event-time sessionization: a session closes " +
+    "once the watermark passes the inactivity gap (deterministic replay)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[EventAggregates.Event]
+    val sessions = EventAggregates.sessionize(spark, in.toDS(),
+      gapMs = 5000, watermark = "1 second")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(
+        EventAggregates.Event(1, new Timestamp(T0), 7L, "click", 1.0),
+        EventAggregates.Event(2, new Timestamp(T0 + 1000), 7L, "click", 2.5),
+        EventAggregates.Event(3, new Timestamp(T0 + 2000), 7L, "buy", 4.0))
+      q.processAllAvailable()
+      assert(spark.sql("select * from sessions").count() == 0)
+      // an event far in the future advances the watermark past
+      // last(user 7) + gap → user 7's session times out and emits
+      in.addData(EventAggregates.Event(9, new Timestamp(T0 + 60000), 8L, "click", 0.1))
+      q.processAllAvailable()
+      in.addData(EventAggregates.Event(10, new Timestamp(T0 + 61000), 8L, "click", 0.1))
+      q.processAllAvailable() // extra batch lets the timeout batch run
+      val s = spark.sql("select * from sessions where user_id = 7").collect()
+      assert(s.length == 1)
+      val r = s.head
+      assert(r.getAs[Long]("n_events") == 3)
+      assert(r.getAs[Timestamp]("first_ts").getTime == T0)
+      assert(r.getAs[Timestamp]("last_ts").getTime == T0 + 2000)
+      assert(r.getAs[Double]("total_value") == 7.5)
+    } finally q.stop()
+  }
+}
