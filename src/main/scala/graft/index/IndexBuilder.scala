@@ -44,7 +44,10 @@ object IndexBuilder {
       blockSize: Int = VarByte.DefaultBlockSize,
       saltDf: Long = 10000,       // df ≥ threshold ⇒ head term, gets salted
       saltFanout: Int = 8,        // shards per head term
-      maxSaltedTerms: Int = 10000)
+      maxSaltedTerms: Int = 10000,
+      flushEntries: Long = 4L << 20) // RAM posting-buffer flush threshold
+                                     // (Lucene ramBufferSize analog,
+                                     // ~64 MB of buffer arrays per task)
 
   final case class RawPage(url: String, warc_ts: Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -127,15 +130,33 @@ object IndexBuilder {
     VarByte.encode(ids, tfs, dls, blockSize)
   }
 
-  /** Latest-wins PK dedup (reference upsert semantics, S4:
-    * `updateDocument(new Term(pk, value), doc)` Indexer.java:375-384):
-    * newest `warc_ts` per `url` survives; ties broken arbitrarily-but-
-    * deterministically by text. */
-  def latestWins(pages: DataFrame): DataFrame = {
-    val w = Window.partitionBy("url")
-      .orderBy(col("warc_ts").desc, col("text").desc_nulls_last)
-    pages.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+  /** Dedup+id-assign sort key: (url asc, warc_ts desc, text desc nulls
+    * last) — the first row of each url run is the latest-wins winner. */
+  private[index] final case class SortKey(url: String, tsMs: Long,
+                                          text: String)
+  private[index] object SortKey {
+    implicit val ord: Ordering[SortKey] = new Ordering[SortKey] {
+      def compare(a: SortKey, b: SortKey): Int = {
+        var c = a.url.compareTo(b.url)
+        if (c != 0) return c
+        c = java.lang.Long.compare(b.tsMs, a.tsMs) // ts desc
+        if (c != 0) return c
+        (a.text, b.text) match { // text desc, nulls last
+          case (null, null) => 0
+          case (null, _) => 1
+          case (_, null) => -1
+          case (x, y) => y.compareTo(x)
+        }
+      }
+    }
+  }
+
+  /** Partition by url only; sort within partitions by the full key. */
+  private final class UrlRangePartitioner(rp: org.apache.spark.Partitioner)
+      extends org.apache.spark.Partitioner {
+    def numPartitions: Int = rp.numPartitions
+    def getPartition(key: Any): Int =
+      rp.getPartition(key.asInstanceOf[SortKey].url)
   }
 
   /** Latest-wins dedup + deterministic dense doc_id assignment over the
@@ -147,33 +168,35 @@ object IndexBuilder {
     * partition the way `row_number().over(orderBy)` would) and
     * parallelism-independent: ids depend only on the total url order.
     *
-    * Runs BEFORE the analysis chain on purpose: repartitionByRange
-    * evaluates its input twice (a range-boundary sampling pass + the real
-    * shuffle), so sorting the raw pages — where the sample pass is a
-    * column-pruned url read — keeps the expensive extract/tokenize/
-    * synonym work strictly single-pass.
+    * Deliberately RDD-level (the one imperative per-partition step in the
+    * engine): range boundaries live in a driver-constructed
+    * RangePartitioner OBJECT, so the counts job and the assignment job
+    * share one shuffle whose map stage Spark computes once and then
+    * reuses from shuffle files (skipped stage) — no O(corpus) staging
+    * cache at all. (The Dataset alternatives both failed at scale:
+    * un-cached repartitionByRange re-samples boundaries per job →
+    * duplicate doc_ids; persisting the sorted pages — deserialized OR
+    * serialized — OOMs the columnar cache builder at 5M docs on 8g.)
     *
-    * Returns (id-assigned winners, cached-sorted handle). The handle MUST
-    * stay persisted until every downstream consumer of the ids has
-    * materialized, then be unpersisted by the caller: RangePartitioner
-    * samples with an RDD-id-derived seed, so an UNcached re-execution of
-    * the range shuffle can draw different partition boundaries — the
-    * offsets map and the assignment pass would then disagree and produce
-    * duplicate/skipped doc_ids. The persist pins one set of boundaries
-    * for the whole build. */
+    * Runs BEFORE the analysis chain on purpose: the extra boundary-
+    * sampling pass touches raw pages, keeping the expensive extract/
+    * tokenize/synonym work strictly single-pass. */
   def assignDocIds(spark: SparkSession, pages: Dataset[RawPage],
-                   baseDocId: Long, rangeParts: Int)
-      : (Dataset[IdPage], Dataset[RawPage]) = {
+                   baseDocId: Long, rangeParts: Int): Dataset[IdPage] = {
     import spark.implicits._
-    val sorted = pages
-      .repartitionByRange(rangeParts, col("url"))
-      .sortWithinPartitions(col("url"), col("warc_ts").desc,
-        col("text").desc_nulls_last)
-      .persist()
+    val rawRdd = pages.rdd
+    val keyed = rawRdd.map { p =>
+      (SortKey(p.url, if (p.warc_ts == null) Long.MinValue else p.warc_ts.getTime,
+        p.text), p)
+    }
+    val urlRp = new org.apache.spark.RangePartitioner(
+      math.max(rangeParts, 1), rawRdd.map(p => (p.url, null)))
+    val sorted = keyed.repartitionAndSortWithinPartitions(
+      new UrlRangePartitioner(urlRp))
     val counts = sorted.mapPartitions { it =>
       var n = 0L
       var prev: String = null
-      it.foreach { p => if (p.url != prev) { n += 1; prev = p.url } }
+      it.foreach { case (k, _) => if (k.url != prev) { n += 1; prev = k.url } }
       Iterator.single((TaskContext.getPartitionId(), n))
     }.collect().sortBy(_._1)
     val offsets: Map[Int, Long] = {
@@ -184,7 +207,7 @@ object IndexBuilder {
     val ids = sorted.mapPartitions { it =>
       var next = bcOff.value.getOrElse(TaskContext.getPartitionId(), 0L)
       var prev: String = null
-      it.flatMap { p =>
+      it.flatMap { case (_, p) =>
         if (p.url == prev) Iterator.empty
         else {
           prev = p.url
@@ -194,7 +217,7 @@ object IndexBuilder {
         }
       }
     }
-    (ids, sorted)
+    spark.createDataset(ids)
   }
 
   /** Analysis chain over the id-assigned pages: byte-identical text per
@@ -235,8 +258,7 @@ object IndexBuilder {
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[RawPage]
     // latest-wins dedup is fused into the id-assignment sort (one shuffle)
-    val (idPages, sortedHandle) =
-      assignDocIds(spark, raw, baseDocId, cfg.rangeParts)
+    val idPages = assignDocIds(spark, raw, baseDocId, cfg.rangeParts)
     lap("sort_dedup_assign")
 
     // docstore: row store for stored-field fetch (S8) + dl for BM25 —
@@ -248,7 +270,6 @@ object IndexBuilder {
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
         col("text"), col("dl"))
       .write.mode("overwrite").parquet(IndexStore.docstorePath(root, seg))
-    sortedHandle.unpersist()
     lap("analyze_docstore")
 
     val docstore = spark.read.parquet(IndexStore.docstorePath(root, seg))
@@ -317,40 +338,66 @@ object IndexBuilder {
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("frag",
         org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val flushEntries = cfg.flushEntries
     val fragRdd = org.apache.spark.sql.graft.Bridge.internalRdd(analyzedRows)
       .mapPartitions { rows =>
         val head = bcHead.value
-        val bufs = new java.util.HashMap[String, Array[FragBuf]]()
-        rows.foreach { r =>
-          val docId = r.getLong(0)
-          val arr = r.getArray(1)
-          var i = 0
-          val n = arr.numElements()
-          while (i < n) {
-            val s = arr.getStruct(i, 3)
-            val term = s.getUTF8String(0).toString
-            var shards = bufs.get(term)
-            if (shards == null) {
-              shards = Array.fill(if (head.contains(term)) fanout else 1)(new FragBuf)
-              bufs.put(term, shards)
-            }
-            val shard =
-              if (shards.length == 1) shards(0)
-              else shards(java.lang.Math.floorMod(
-                java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout))
-            shard.append(docId, s.getInt(1), s.getInt(2))
-            i += 1
+        // Lucene's ramBufferSize analog: the RAM posting buffers FLUSH as
+        // fragments every `flushEntries` postings, so per-task memory is
+        // bounded no matter how large the input partition is (a flush
+        // happens only between documents, so fragment doc sets stay
+        // disjoint and the reduce-side k-way merge is unaffected)
+        new Iterator[InternalRow] {
+          private val bufs = new java.util.HashMap[String, Array[FragBuf]]()
+          private var entries = 0L
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private def flush(): Unit = {
+            import scala.jdk.CollectionConverters._
+            val out = bufs.entrySet().iterator().asScala.flatMap { e =>
+              val term = e.getKey
+              val termUtf = org.apache.spark.unsafe.types.UTF8String.fromString(term)
+              e.getValue.iterator.zipWithIndex.filter(_._1.nonEmpty).map {
+                case (buf, salt) =>
+                  val (ids, tfs, dls) = buf.sorted()
+                  InternalRow(partOf(term, salt, numParts), termUtf, ids(0),
+                    VarByte.encode(ids, tfs, dls, blockSize)): InternalRow
+              }
+            }.toVector
+            bufs.clear()
+            entries = 0L
+            pending = out.iterator
           }
-        }
-        import scala.jdk.CollectionConverters._
-        bufs.entrySet().iterator().asScala.flatMap { e =>
-          val term = e.getKey
-          val termUtf = org.apache.spark.unsafe.types.UTF8String.fromString(term)
-          e.getValue.iterator.zipWithIndex.filter(_._1.nonEmpty).map {
-            case (buf, salt) =>
-              val (ids, tfs, dls) = buf.sorted()
-              InternalRow(partOf(term, salt, numParts), termUtf, ids(0),
-                VarByte.encode(ids, tfs, dls, blockSize)): InternalRow
+          private def consume(): Unit = {
+            while (rows.hasNext && entries < flushEntries) {
+              val r = rows.next()
+              val docId = r.getLong(0)
+              val arr = r.getArray(1)
+              var i = 0
+              val n = arr.numElements()
+              while (i < n) {
+                val s = arr.getStruct(i, 3)
+                val term = s.getUTF8String(0).toString
+                var shards = bufs.get(term)
+                if (shards == null) {
+                  shards = Array.fill(if (head.contains(term)) fanout else 1)(new FragBuf)
+                  bufs.put(term, shards)
+                }
+                val shard =
+                  if (shards.length == 1) shards(0)
+                  else shards(java.lang.Math.floorMod(
+                    java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout))
+                shard.append(docId, s.getInt(1), s.getInt(2))
+                i += 1
+              }
+              entries += n
+            }
+            flush()
+          }
+          def hasNext: Boolean =
+            pending.hasNext || { if (rows.hasNext) consume(); pending.hasNext }
+          def next(): InternalRow = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
           }
         }
       }

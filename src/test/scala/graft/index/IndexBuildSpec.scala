@@ -73,6 +73,16 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
       manifestAll.map(_._1).toSet)
   }
 
+  test("RAM-buffer flushes (many fragments per term) converge to postings " +
+    "identical to a single-buffer build") {
+    val a = tmpDir("graft-flush-a-")
+    val b = tmpDir("graft-flush-b-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, a, cfg, "x")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, b,
+      cfg.copy(flushEntries = 97L), "x") // force many tiny flushes
+    assert(postingsFingerprint(a) == postingsFingerprint(b))
+  }
+
   test("empty corpus builds a valid empty index; searches MatchNoDocs " +
     "(S7, Searcher.java:248-284 create-empty-index)") {
     val root = tmpDir("graft-empty-")
