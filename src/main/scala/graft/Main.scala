@@ -22,10 +22,26 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap ++ args.filter(a => a == "--or").map(_.stripPrefix("--") -> "true")
+  private val flagArgs = Set("or")
+
+  /** key-value pairs with valueless flags handled positionally (a naive
+    * sliding(2,2) would shift every option after a flag). */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      require(a.startsWith("--"), s"expected --option, got '$a'")
+      val k = a.stripPrefix("--")
+      if (flagArgs(k)) { out += k -> "true"; i += 1 }
+      else {
+        require(i + 1 < args.length, s"missing value for --$k")
+        out += k -> args(i + 1)
+        i += 2
+      }
+    }
+    out.result()
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: <gen|build|append|delete|merge|search|stream> --key value ...")

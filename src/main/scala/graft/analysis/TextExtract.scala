@@ -11,7 +11,8 @@ import java.nio.charset.StandardCharsets
   *
   *  1. decode UTF-8 (malformed input → U+FFFD, java default REPLACE)
   *  2. drop `<script …>…</script>` and `<style …>…</style>` blocks
-  *     (ASCII-case-insensitive tag names; an unterminated block runs to EOF)
+  *     (ASCII-case-insensitive tag names; an unterminated block runs to
+  *     EOF; a SELF-CLOSING `<script/>`/`<style/>` opens no block)
   *  3. replace every remaining `<…>` tag (incl. comments `<!-- -->`) with a
   *     single space
   *  4. decode HTML entities: the named core set (amp, lt, gt, quot, apos,
@@ -80,11 +81,22 @@ object TextExtract {
       }
       n
     }
+    // a self-closing <script .../> or <style .../> opens NO block: treat
+    // it as a plain tag, else the block skipper would swallow the rest of
+    // the document looking for a closing tag that never comes (common in
+    // XHTML crawl data)
+    def blockOrTag(pos: Int, close: String): Int = {
+      var j = pos + 1
+      while (j < n && s.charAt(j) != '>') j += 1
+      if (j >= n) n
+      else if (s.charAt(j - 1) == '/') j + 1 // self-closing
+      else skipBlock(j + 1, close)
+    }
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        if (tagNameAt(i, "script")) { emit(' '); i = skipBlock(i, "script") }
-        else if (tagNameAt(i, "style")) { emit(' '); i = skipBlock(i, "style") }
+        if (tagNameAt(i, "script")) { emit(' '); i = blockOrTag(i, "script") }
+        else if (tagNameAt(i, "style")) { emit(' '); i = blockOrTag(i, "style") }
         else {
           var j = i + 1
           while (j < n && s.charAt(j) != '>') j += 1

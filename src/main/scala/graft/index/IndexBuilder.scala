@@ -488,15 +488,17 @@ object IndexBuilder {
                     inputSnapshot: String = ""): BuildReport = {
     val snap = IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root — run buildFull first"))
-    val maxDoc = snap.segments.map { s =>
-      spark.read.parquet(IndexStore.docstorePath(root, s))
-        .agg(max("doc_id")).head() match {
-          case r if r.isNullAt(0) => -1L
+    // dense id ranges per segment ⇒ next base = Σ doc_count (stats rows,
+    // no docstore scan)
+    val nextBase = snap.segments.map { s =>
+      spark.read.parquet(IndexStore.statsPath(root, s))
+        .agg(sum("doc_count")).head() match {
+          case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-    }.foldLeft(-1L)(math.max)
+    }.sum
     val seg = f"seg-${snap.id + 1}%06d"
-    val report = buildSegment(spark, pages, dict, root, seg, maxDoc + 1, cfg, inputSnapshot)
+    val report = buildSegment(spark, pages, dict, root, seg, nextBase, cfg, inputSnapshot)
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg, snap.tombstones))
     report

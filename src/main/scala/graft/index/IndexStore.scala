@@ -142,12 +142,17 @@ object IndexStore {
     val body = s"""{"id":${snap.id},"segments":$segs,"tombstones":$tombs}"""
     val snapPath = new Path(s"$root/snapshots/snap-${snap.id}.json")
     writeString(f, snapPath, body)
-    // atomic pointer flip: write tmp, rename over LATEST
+    // atomic pointer flip: write tmp, OVERWRITE-rename over LATEST —
+    // a delete-then-rename would leave a window where LATEST is missing
+    // and a concurrent Searcher constructor fails instead of seeing one
+    // of the two snapshots (the hot-swap contract, Searcher.java:527-583)
     val tmp = new Path(s"$root/snapshots/.LATEST.tmp")
     writeString(f, tmp, s"snap-${snap.id}.json")
     val latest = new Path(s"$root/snapshots/LATEST")
-    if (f.exists(latest)) f.delete(latest, false)
-    f.rename(tmp, latest)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      latest.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(latest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private val idRe = """"id":(\d+)""".r

@@ -64,8 +64,15 @@ object JsonFields {
     out.result()
   }
 
-  /** `yyyy-MM-dd HH:mm:ss` → `yyyyMMddHHmmss` (strict; Indexer.java:612-627). */
+  private val dateShape =
+    java.util.regex.Pattern.compile("""\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}""")
+
+  /** `yyyy-MM-dd HH:mm:ss` → `yyyyMMddHHmmss` (strict, ENTIRE string;
+    * Indexer.java:612-627). A bare SimpleDateFormat.parse accepts any
+    * valid-prefix string and would misclassify e.g.
+    * "2021-01-01 00:00:00 UTC" as a DATE. */
   def sniffDate(s: String): Option[String] = {
+    if (!dateShape.matcher(s).matches()) return None
     val fmt = new java.text.SimpleDateFormat(dateIn)
     fmt.setLenient(false)
     try { fmt.parse(s); Some(s.replaceAll("[-: ]", "")) }

@@ -178,7 +178,10 @@ object TextOps {
   // --- sketch-based near-dup (scale path; per-row, shuffle-free until
   //     the band-bucket join) ------------------------------------------
 
-  private val MinhashPrime = 2305843009213693951L // 2^61 - 1
+  // Mersenne prime 2^31-1: with a,b,h all < 2^31, a*h+b < 2^62 — no Long
+  // overflow, so (a*h+b) mod p is a true universal hash (a 2^61 prime
+  // with 32-bit h overflows Long and silently destroys uniformity)
+  private val MinhashPrime = 2147483647L
 
   /** k MinHash values per doc from its shingle set. Per-row computation
     * (no shuffle); signatures verified in tests against exact Jaccard. */
@@ -188,18 +191,19 @@ object TextOps {
       val sh = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
       if (sh.isEmpty) Array.fill(k)(Long.MaxValue)
       else {
-        val hs = sh.toArray.map(s => scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xFFFFFFFFL)
+        val hs = sh.toArray.map(s =>
+          scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0x7FFFFFFFL)
         Array.tabulate(k) { i =>
           val a = permConst(i * 2)
           val b = permConst(i * 2 + 1)
-          hs.map(h => ((a * h + b) % MinhashPrime)).min
+          hs.map(h => (a * h + b) % MinhashPrime).min
         }
       }
     }
     docs.select(col(idCol), sigUdf(qube_tokenize(col(textCol))).as("sig"))
   }
 
-  // deterministic permutation constants (seeded, odd)
+  // deterministic permutation constants (seeded), in [1, p-1]
   private def permConst(i: Int): Long = {
     val rnd = new scala.util.Random(9876543210L + i)
     math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1

@@ -385,7 +385,10 @@ final class Searcher(
   def searchWithMeta(query: String, k: Int, start: Int = 0,
                      conjunctive: Boolean = true,
                      filter: Option[Column] = None): (DataFrame, Meta) = {
-    val scored = score(query, conjunctive, filter).persist()
+    // two evaluations of the (cheap) scored set rather than a persist:
+    // the returned page is lazy, so a persist here could never be paired
+    // with an unpersist and would leak cached partitions per call
+    val scored = score(query, conjunctive, filter)
     val m = scored.agg(count(lit(1)), max("score")).head()
     val meta = Meta(m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
     val page = scored.orderBy(col("score").desc, col("doc_id").asc)
@@ -462,18 +465,25 @@ final class Searcher(
                         filter: Option[Column] = None)
       : Option[Array[org.apache.spark.sql.Row]] = {
     val group = s"graft-search-${System.nanoTime()}"
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
     val fut = Future {
+      // the deadline may fire before this thread even starts (saturated
+      // pool): check the flag AFTER tagging the job group so either the
+      // flag aborts us here or cancelJobGroup kills the tagged jobs
       spark.sparkContext.setJobGroup(group, s"search($query)",
         interruptOnCancel = true)
-      try search(query, k, start, conjunctive, filter).collect()
-      finally spark.sparkContext.clearJobGroup()
+      try {
+        if (cancelled.get()) throw new InterruptedException("timed out")
+        search(query, k, start, conjunctive, filter).collect()
+      } finally spark.sparkContext.clearJobGroup()
     }
     try Some(Await.result(fut, timeoutMs.millis))
     catch {
       case _: java.util.concurrent.TimeoutException =>
+        cancelled.set(true)
         spark.sparkContext.cancelJobGroup(group)
         None
     }

@@ -44,11 +44,15 @@ object Wand {
 
     def size: Int = pq.size
 
-    /** Strict lower bound a new block must beat to possibly matter. */
+    /** Strict lower bound a new block must beat to possibly matter
+      * (k ≤ 0 keeps nothing ⇒ nothing can matter). */
     def threshold: Double =
-      if (pq.size < k) Double.NegativeInfinity else pq.peek().score
+      if (k <= 0) Double.PositiveInfinity
+      else if (pq.size < k) Double.NegativeInfinity
+      else pq.peek().score
 
     def offer(docId: Long, score: Double): Unit = {
+      if (k <= 0) return
       if (pq.size < k) pq.add(Scored(docId, score))
       else {
         val root = pq.peek()

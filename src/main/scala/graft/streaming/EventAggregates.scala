@@ -37,36 +37,50 @@ object EventAggregates {
                            last_ts: Timestamp, total_value: Double)
   final case class SessionState(n: Long, first: Long, last: Long, sum: Double)
 
-  /** Custom per-user session state via mapGroupsWithState with
-    * EVENT-TIME timeouts: a session closes once the stream's watermark
-    * passes `last event + gapMs` and is emitted exactly once with its
-    * event count / span / value sum. Event-time (not processing-time)
-    * semantics make sessions deterministic under replay — the property a
-    * training-data pipeline needs. */
+  /** Custom per-user session state via flatMapGroupsWithState with
+    * EVENT-TIME timeouts. Sessions split on the inactivity gap BY EVENT
+    * TIME regardless of micro-batch boundaries: within a batch, a
+    * time-sorted walk closes a session the moment the next event is more
+    * than `gapMs` later (emitting it immediately); the still-open tail
+    * session closes when the watermark passes `last + gapMs`. Same input
+    * ⇒ same sessions under any batching — deterministic under replay,
+    * the property a training-data pipeline needs. */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMs: Long,
                  watermark: String = "10 seconds"): Dataset[Session] = {
     import spark.implicits._
+    def closed(userId: Long, s: SessionState): Session =
+      Session(userId, s.n, new Timestamp(s.first), new Timestamp(s.last), s.sum)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionState, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Session(userId, s.n, new Timestamp(s.first), new Timestamp(s.last), s.sum)
+            Iterator.single(closed(userId, s))
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, Long.MaxValue, 0L, 0.0))
-            val agg = rows.foldLeft(prev) { (s, e) =>
-              SessionState(s.n + 1, math.min(s.first, e.ts.getTime),
-                math.max(s.last, e.ts.getTime), s.sum + e.value)
+            val sorted = rows.toArray.sortBy(_.ts.getTime)
+            val out = Vector.newBuilder[Session]
+            var cur = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) cur = SessionState(1L, t, t, e.value)
+              else if (t - cur.last > gapMs) { // gap exceeded → split here
+                out += closed(userId, cur)
+                cur = SessionState(1L, t, t, e.value)
+              } else {
+                cur = SessionState(cur.n + 1, math.min(cur.first, t),
+                  math.max(cur.last, t), cur.sum + e.value)
+              }
             }
-            state.update(agg)
-            state.setTimeoutTimestamp(agg.last + gapMs)
-            // not emitted until the session closes — placeholder row with
-            // n_events = 0 is filtered by the caller
-            Session(userId, 0L, new Timestamp(agg.first), new Timestamp(agg.last), agg.sum)
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + gapMs)
+            }
+            out.result().iterator
           }
-      }.filter(_.n_events > 0)
+      }
   }
 }

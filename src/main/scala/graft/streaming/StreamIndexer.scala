@@ -23,17 +23,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIndexer {
 
-  /** Highest doc_id across the snapshot's segments (next segment starts
-    * after it — doc_ids stay globally unique across segments). */
-  def maxDocOf(spark: SparkSession, root: String,
-               snap: IndexStore.Snapshot): Long =
+  /** Next free doc_id = Σ per-segment doc_count: segments assign DENSE
+    * id ranges starting where the previous segment ended, so the stats
+    * tables (one row per segment) answer this without the O(corpus)
+    * docstore scan a max(doc_id) per micro-batch would pay. */
+  def nextDocId(spark: SparkSession, root: String,
+                snap: IndexStore.Snapshot): Long =
     snap.segments.map { s =>
-      spark.read.parquet(IndexStore.docstorePath(root, s))
-        .agg(max("doc_id")).head() match {
-          case r if r.isNullAt(0) => -1L
+      spark.read.parquet(IndexStore.statsPath(root, s))
+        .agg(sum("doc_count")).head() match {
+          case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-    }.foldLeft(-1L)(math.max)
+    }.sum
 
   /** Index one micro-batch as segment `seg-b<batchId>`; idempotent under
     * batch re-delivery. */
@@ -50,7 +52,7 @@ object StreamIndexer {
           IndexStore.Snapshot(0L, Seq(seg), Seq.empty))
       case Some(snap) =>
         IndexBuilder.buildSegment(spark, batch, dict, root, seg,
-          maxDocOf(spark, root, snap) + 1, cfg, s"stream-batch-$batchId")
+          nextDocId(spark, root, snap), cfg, s"stream-batch-$batchId")
         IndexStore.writeSnapshot(spark, root,
           IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
             snap.tombstones))

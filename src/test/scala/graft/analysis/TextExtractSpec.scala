@@ -7,6 +7,14 @@ class TextExtractSpec extends AnyFunSuite {
   private def ex(s: String): String =
     TextExtract.extractText(s.getBytes(StandardCharsets.UTF_8))
 
+  test("self-closing <script/>/<style/> opens no block (XHTML crawl data)") {
+    assert(ex("<html><head><script src=\"a.js\"/></head>" +
+      "<body>all the real content</body></html>") == "all the real content")
+    assert(ex("a <style/> b <script type=\"x\"/> c") == "a b c")
+    // unterminated OPEN block still runs to EOF (truncated page)
+    assert(ex("keep <script>var x = dropped") == "keep")
+  }
+
   test("golden: full page shape from FIXTURES.md §1") {
     val html = "<html><head><title>hello world</title><style>x{}</style></head>" +
       "<body><h1>hello world</h1><p>the quick fox</p><script>var a=1;</script></body></html>"

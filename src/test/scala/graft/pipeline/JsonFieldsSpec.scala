@@ -40,6 +40,14 @@ class JsonFieldsSpec extends AnyFunSuite with SparkTestBase {
       JField("O.K", "FLOAT", null, 2.0, null)))
   }
 
+  test("date sniff rejects valid-prefix strings with trailing content") {
+    val fs = flattenJson(
+      """{"a": "2021-01-01 00:00:00 UTC", "b": "2021-01-01 00:00:00.123"}""")
+    assert(fs == Seq(
+      JField("A", "VARCHAR", "2021-01-01 00:00:00 UTC", null, null),
+      JField("B", "VARCHAR", "2021-01-01 00:00:00.123", null, null)))
+  }
+
   test("malformed / null / non-object json yields no rows") {
     assert(flattenJson("{oops").isEmpty)
     assert(flattenJson(null).isEmpty)

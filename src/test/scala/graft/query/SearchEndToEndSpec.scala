@@ -120,6 +120,12 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(w == goldenTopK(q))
   }
 
+  test("k=0 is a valid (empty) request on every path") {
+    assert(searcher.search("spark", 0).isEmpty)
+    assert(searcher.searchWand("spark", 0).isEmpty)
+    assert(searcher.searchWand("spark index", 0).isEmpty)
+  }
+
   test("zero-result semantics: unknown term AND ⇒ MatchNoDocs (Q2/Q5)") {
     assert(engineTopK(Q("z", "zzzqqqxyz", conjunctive = true, None)).isEmpty)
     assert(engineTopK(Q("z2", "spark zzzqqqxyz", conjunctive = true, None)).isEmpty)

@@ -49,8 +49,8 @@ class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  test("mapGroupsWithState event-time sessionization: a session closes " +
-    "once the watermark passes the inactivity gap (deterministic replay)") {
+  test("event-time sessionization: gap splits WITHIN a batch and at the " +
+    "watermark — batching-independent (deterministic replay)") {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -58,27 +58,32 @@ class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
     val sessions = EventAggregates.sessionize(spark, in.toDS(),
       gapMs = 5000, watermark = "1 second")
     val q = sessions.writeStream.format("memory").queryName("sessions")
-      .outputMode(OutputMode.Update()).start()
+      .outputMode(OutputMode.Append()).start()
     try {
+      // ONE batch containing a gap > 5s between T0+2s and T0+30s: the
+      // first session must split out immediately, independent of batching
       in.addData(
         EventAggregates.Event(1, new Timestamp(T0), 7L, "click", 1.0),
         EventAggregates.Event(2, new Timestamp(T0 + 1000), 7L, "click", 2.5),
-        EventAggregates.Event(3, new Timestamp(T0 + 2000), 7L, "buy", 4.0))
+        EventAggregates.Event(3, new Timestamp(T0 + 2000), 7L, "buy", 4.0),
+        EventAggregates.Event(4, new Timestamp(T0 + 30000), 7L, "view", 9.0))
       q.processAllAvailable()
-      assert(spark.sql("select * from sessions").count() == 0)
+      val first = spark.sql("select * from sessions where user_id = 7").collect()
+      assert(first.length == 1)
+      assert(first.head.getAs[Long]("n_events") == 3)
+      assert(first.head.getAs[Timestamp]("last_ts").getTime == T0 + 2000)
+      assert(first.head.getAs[Double]("total_value") == 7.5)
       // an event far in the future advances the watermark past
-      // last(user 7) + gap → user 7's session times out and emits
-      in.addData(EventAggregates.Event(9, new Timestamp(T0 + 60000), 8L, "click", 0.1))
+      // (T0+30s) + gap → the open tail session times out and emits
+      in.addData(EventAggregates.Event(9, new Timestamp(T0 + 120000), 8L, "click", 0.1))
       q.processAllAvailable()
-      in.addData(EventAggregates.Event(10, new Timestamp(T0 + 61000), 8L, "click", 0.1))
+      in.addData(EventAggregates.Event(10, new Timestamp(T0 + 121000), 8L, "click", 0.1))
       q.processAllAvailable() // extra batch lets the timeout batch run
-      val s = spark.sql("select * from sessions where user_id = 7").collect()
-      assert(s.length == 1)
-      val r = s.head
-      assert(r.getAs[Long]("n_events") == 3)
-      assert(r.getAs[Timestamp]("first_ts").getTime == T0)
-      assert(r.getAs[Timestamp]("last_ts").getTime == T0 + 2000)
-      assert(r.getAs[Double]("total_value") == 7.5)
+      val s = spark.sql("select * from sessions where user_id = 7 order by first_ts").collect()
+      assert(s.length == 2)
+      assert(s(1).getAs[Long]("n_events") == 1)
+      assert(s(1).getAs[Timestamp]("first_ts").getTime == T0 + 30000)
+      assert(s(1).getAs[Double]("total_value") == 9.0)
     } finally q.stop()
   }
 }
