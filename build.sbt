@@ -27,6 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   // 8g measured faster than 16g/48g at local[32]: big G1 heaps + 32
-  // allocation-heavy threads hit pathological pause behavior
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // allocation-heavy threads hit pathological pause behavior. The knob is
+  // deliberately GRAFT_-prefixed: a generic name (SPARK_DRIVER_MEM) was
+  // honored from the ambient environment in round 1 and silently ran the
+  // bench on a ~89 GiB heap (block manager logged 53.2 GiB storage),
+  // which is exactly the GC-collapse regime — 5.5k docs/s instead of 43k.
+  s"-Xmx${sys.env.getOrElse("GRAFT_XMX", "8g")}",
 )

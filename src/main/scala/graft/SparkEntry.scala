@@ -107,11 +107,12 @@ object SparkEntry {
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 20).offset(10).limit(10)),
 
-    "q_hit_meta" -> ((s, dir) => {
-      val all = TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Seq("spark", "join"), 1000000)
-      all.agg(count(lit(1)).as("total"), max("score").as("max_score"))
-    }),
+    // aggregates over the scored set directly — no top-k heap in the plan
+    // (Q12: Searcher.searchWithMeta takes the same shape)
+    "q_hit_meta" -> ((s, dir) =>
+      TextOps.bm25Scores(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "join"))
+        .agg(count(lit(1)).as("total"), max("score").as("max_score"))),
 
     "q_search_sort_field" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -609,15 +610,18 @@ object SparkEntry {
          |      CAST(length(d.text) AS DOUBLE), 1.0), 4)), 4) AS quality
          |FROM documents d JOIN sw USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
+    // sums CAST to BIGINT: DuckDB widens sum(CASE…) to HUGEINT which
+    // hashes as float vs Spark's BIGINT (the q_term_stats convention;
+    // round-1's only red row)
     "q_lang_id" ->
       s"""$toksCte
          |SELECT doc_id,
-         |  sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
-         |    THEN 1 ELSE 0 END) AS en_hits,
-         |  sum(CASE WHEN term IN ('DER','DIE','DAS','UND','IST','EIN')
-         |    THEN 1 ELSE 0 END) AS de_hits,
-         |  sum(CASE WHEN term IN ('EL','LA','DE','QUE','Y','UN')
-         |    THEN 1 ELSE 0 END) AS es_hits,
+         |  CAST(sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         |  CAST(sum(CASE WHEN term IN ('DER','DIE','DAS','UND','IST','EIN')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+         |  CAST(sum(CASE WHEN term IN ('EL','LA','DE','QUE','Y','UN')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
          |  CASE
          |    WHEN sum(CASE WHEN term IN ('THE','A','OF','TO','AND','IN','IS')
          |      THEN 1 ELSE 0 END) >= sum(CASE WHEN term IN

@@ -32,10 +32,14 @@ object JsonFields {
   private val dateIn = "yyyy-MM-dd HH:mm:ss"
   private val dateOut = "yyyyMMddHHmmss"
 
+  // ObjectMapper construction is the most expensive part of small-doc
+  // parsing; readTree is thread-safe, so one shared instance serves every
+  // row of every task in the executor JVM
+  private lazy val mapper = new ObjectMapper()
+
   /** Pure per-value flatten, reference recursion shape. */
   def flattenJson(json: String): Seq[JField] = {
     if (json == null) return Seq.empty
-    val mapper = new ObjectMapper()
     val root =
       try mapper.readTree(json)
       catch { case _: Exception => return Seq.empty }

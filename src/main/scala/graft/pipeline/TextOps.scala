@@ -52,7 +52,17 @@ object TextOps {
     * for cross-engine comparison; ties by id asc. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int, conjunctive: Boolean = true,
-               filter: Option[Column] = None, roundTo: Int = 4): DataFrame = {
+               filter: Option[Column] = None, roundTo: Int = 4): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, conjunctive, filter, roundTo)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .select(idCol, "score").limit(k)
+
+  /** The full scored match set behind [[bm25TopK]] (no ordering, no
+    * limit): hit-metadata aggregates (total, maxScore — Q12) read this
+    * directly, so they never plan a top-k heap they don't need. */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], conjunctive: Boolean = true,
+                 filter: Option[Column] = None, roundTo: Int = 4): DataFrame = {
     val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
     // collection stats and df are GLOBAL — the filter clause matches but
     // never scores and never shifts statistics (reference Q1 semantics,
@@ -79,11 +89,8 @@ object TextOps {
       .withColumn("score", round(
         aggregate(col("__p"), lit(0.0d), (acc, x) => acc + x("contrib")), roundTo))
       .select(col(idCol), col("matched"), col("score"))
-    val filtered =
-      if (conjunctive) scored.filter(col("matched") === terms.size)
-      else scored
-    filtered.orderBy(col("score").desc, col(idCol).asc)
-      .select(idCol, "score").limit(k)
+    if (conjunctive) scored.filter(col("matched") === terms.size)
+    else scored
   }
 
   // --- training-data text analysis -----------------------------------

@@ -149,10 +149,16 @@ final class Searcher(
         .select("doc_id")
     superseded.union(deleted).distinct().persist(StorageLevel.MEMORY_AND_DISK)
   }
-  private lazy val hasDeadDocs: Boolean = !deadDocs.isEmpty
+  private lazy val deadDocCount: Long = deadDocs.count()
+  private lazy val hasDeadDocs: Boolean = deadDocCount > 0
+
+  /** Above this many dead docs the anti-join falls back to a shuffle:
+    * after heavy pre-merge upsert churn the dead set is O(corpus), and a
+    * forced broadcast of it would OOM the driver at scale. */
+  private val maxBroadcastDeadDocs = 2000000L
 
   val maxDoc: Long = docCount
-  def numDocs: Long = docCount - deadDocs.count() // S9: live doc count
+  def numDocs: Long = docCount - deadDocCount // S9: live doc count
 
   /** Query analysis = the index-time chain (tokenize → uppercase →
     * synonym expand) + dedup; term order fixed by sort for the
@@ -208,9 +214,10 @@ final class Searcher(
         rows.join(docstore.where(f).select("doc_id"), Seq("doc_id"), "left_semi")
       case None => rows
     }
-    if (hasDeadDocs)
+    if (!hasDeadDocs) filtered
+    else if (deadDocCount <= maxBroadcastDeadDocs)
       filtered.join(broadcast(deadDocs), Seq("doc_id"), "left_anti")
-    else filtered
+    else filtered.join(deadDocs, Seq("doc_id"), "left_anti")
   }
 
   /** Match + score: returns (doc_id, matched, score). The posting scan is

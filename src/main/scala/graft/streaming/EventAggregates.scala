@@ -35,52 +35,69 @@ object EventAggregates {
                          event_type: String, value: Double)
   final case class Session(user_id: Long, n_events: Long, first_ts: Timestamp,
                            last_ts: Timestamp, total_value: Double)
-  final case class SessionState(n: Long, first: Long, last: Long, sum: Double)
+  final case class EventLite(ts: Long, value: Double)
+  final case class SessionBuf(events: Seq[EventLite])
 
   /** Custom per-user session state via flatMapGroupsWithState with
     * EVENT-TIME timeouts. Sessions split on the inactivity gap BY EVENT
-    * TIME regardless of micro-batch boundaries: within a batch, a
-    * time-sorted walk closes a session the moment the next event is more
-    * than `gapMs` later (emitting it immediately); the still-open tail
-    * session closes when the watermark passes `last + gapMs`. Same input
-    * ⇒ same sessions under any batching — deterministic under replay,
-    * the property a training-data pipeline needs. */
+    * TIME regardless of micro-batch boundaries, and are emitted ONLY once
+    * the watermark passes `last + gapMs` — before that, a late event
+    * (admitted by the watermark) may still land inside or adjacent to a
+    * session and merge it, so eager emission would be wrong (an
+    * out-of-order second batch used to mis-merge across a real gap).
+    * State therefore buffers the raw (ts, value) of every not-yet-final
+    * session; each invocation re-sorts state + new events by event time
+    * and re-walks the gaps. Same input ⇒ same final sessions under any
+    * batching/arrival order — deterministic under replay, the property a
+    * training-data pipeline needs. State is bounded by the watermark
+    * delay × per-key event rate (everything older finalizes out). */
   def sessionize(spark: SparkSession, events: Dataset[Event], gapMs: Long,
                  watermark: String = "10 seconds"): Dataset[Session] = {
     import spark.implicits._
-    def closed(userId: Long, s: SessionState): Session =
-      Session(userId, s.n, new Timestamp(s.first), new Timestamp(s.last), s.sum)
+    def toSession(userId: Long, es: Seq[EventLite]): Session =
+      Session(userId, es.size.toLong, new Timestamp(es.head.ts),
+        new Timestamp(es.last.ts), es.map(_.value).sum)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionBuf, Session](
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(closed(userId, s))
-          } else {
-            val sorted = rows.toArray.sortBy(_.ts.getTime)
-            val out = Vector.newBuilder[Session]
-            var cur = state.getOption.orNull
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (cur == null) cur = SessionState(1L, t, t, e.value)
-              else if (t - cur.last > gapMs) { // gap exceeded → split here
-                out += closed(userId, cur)
-                cur = SessionState(1L, t, t, e.value)
-              } else {
-                cur = SessionState(cur.n + 1, math.min(cur.first, t),
-                  math.max(cur.last, t), cur.sum + e.value)
-              }
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prior = state.getOption.map(_.events).getOrElse(Seq.empty)
+          val incoming =
+            rows.map(e => EventLite(e.ts.getTime, e.value)).toVector
+          // event-time order; value tie-break so the double sum's fold
+          // order (and thus the emitted total) is batching-independent
+          val all = (prior ++ incoming).sortBy(e => (e.ts, e.value))
+          // gap walk over the time-sorted buffer → current session split
+          val sessions = Vector.newBuilder[Vector[EventLite]]
+          var cur = Vector.newBuilder[EventLite]
+          var last = Long.MinValue
+          all.foreach { e =>
+            if (last != Long.MinValue && e.ts - last > gapMs) {
+              sessions += cur.result()
+              cur = Vector.newBuilder[EventLite]
             }
-            if (cur != null) {
-              state.update(cur)
-              state.setTimeoutTimestamp(cur.last + gapMs)
-            }
-            out.result().iterator
+            cur += e
+            last = e.ts
           }
+          val tail = cur.result()
+          if (tail.nonEmpty) sessions += tail
+          // final ⟺ no admissible future event (ts ≥ wm) can merge:
+          // merge needs ts ≤ last + gap, so final when last + gap < wm
+          val (emit, keep) =
+            sessions.result().partition(s => s.last.ts + gapMs < wm)
+          if (keep.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessionBuf(keep.flatten))
+            // wake when the earliest kept session becomes final (must be
+            // strictly above the current watermark per the state API)
+            state.setTimeoutTimestamp(
+              math.max(keep.head.last.ts + gapMs, wm + 1))
+          }
+          emit.iterator.map(toSession(userId, _))
       }
   }
 }

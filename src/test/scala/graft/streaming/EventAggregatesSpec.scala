@@ -49,8 +49,8 @@ class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
-  test("event-time sessionization: gap splits WITHIN a batch and at the " +
-    "watermark — batching-independent (deterministic replay)") {
+  test("event-time sessionization: gap splits by event time; a session " +
+    "emits only once the watermark passes last+gap — batching-independent") {
     val sp = spark
     import sp.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -61,12 +61,19 @@ class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
       .outputMode(OutputMode.Append()).start()
     try {
       // ONE batch containing a gap > 5s between T0+2s and T0+30s: the
-      // first session must split out immediately, independent of batching
+      // split is by event time, but nothing may emit until the watermark
+      // proves no admissible late event can still merge the two
       in.addData(
         EventAggregates.Event(1, new Timestamp(T0), 7L, "click", 1.0),
         EventAggregates.Event(2, new Timestamp(T0 + 1000), 7L, "click", 2.5),
         EventAggregates.Event(3, new Timestamp(T0 + 2000), 7L, "buy", 4.0),
         EventAggregates.Event(4, new Timestamp(T0 + 30000), 7L, "view", 9.0))
+      q.processAllAvailable()
+      in.addData( // advances watermark to ~T0+19s: first session final
+        EventAggregates.Event(5, new Timestamp(T0 + 20000), 8L, "click", 0.1))
+      q.processAllAvailable()
+      in.addData( // extra batch so the event-time timeout executes
+        EventAggregates.Event(6, new Timestamp(T0 + 21000), 8L, "click", 0.1))
       q.processAllAvailable()
       val first = spark.sql("select * from sessions where user_id = 7").collect()
       assert(first.length == 1)
@@ -84,6 +91,72 @@ class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
       assert(s(1).getAs[Long]("n_events") == 1)
       assert(s(1).getAs[Timestamp]("first_ts").getTime == T0 + 30000)
       assert(s(1).getAs[Double]("total_value") == 9.0)
+    } finally q.stop()
+  }
+
+  test("sessionization handles out-of-order arrival ACROSS batches: an " +
+    "admitted late event earlier than the open session must not merge " +
+    "over a real event-time gap") {
+    // the round-1 bug: batch1 t=20s then batch2 t=11s with gap=5s,
+    // watermark=30s mis-merged into one session [11s,20s]
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[EventAggregates.Event]
+    val sessions = EventAggregates.sessionize(spark, in.toDS(),
+      gapMs = 5000, watermark = "30 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions_ooo")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(EventAggregates.Event(1, new Timestamp(T0 + 20000), 7L, "click", 1.0))
+      q.processAllAvailable()
+      // late but admitted (watermark is 20s-30s < 11s)
+      in.addData(EventAggregates.Event(2, new Timestamp(T0 + 11000), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // push the watermark far past 20s+gap so both sessions finalize
+      in.addData(EventAggregates.Event(3, new Timestamp(T0 + 300000), 8L, "click", 0.1))
+      q.processAllAvailable()
+      in.addData(EventAggregates.Event(4, new Timestamp(T0 + 301000), 8L, "click", 0.1))
+      q.processAllAvailable()
+      val s = spark.sql(
+        "select * from sessions_ooo where user_id = 7 order by first_ts").collect()
+      assert(s.length == 2, s"expected 2 sessions, got ${s.mkString(";")}")
+      assert(s(0).getAs[Timestamp]("first_ts").getTime == T0 + 11000)
+      assert(s(0).getAs[Long]("n_events") == 1)
+      assert(s(1).getAs[Timestamp]("first_ts").getTime == T0 + 20000)
+      assert(s(1).getAs[Long]("n_events") == 1)
+    } finally q.stop()
+  }
+
+  test("sessionization merges an admitted late event INTO a not-yet-final " +
+    "session (why eager emission would be wrong)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val in = MemoryStream[EventAggregates.Event]
+    val sessions = EventAggregates.sessionize(spark, in.toDS(),
+      gapMs = 5000, watermark = "30 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sessions_merge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events 8s apart: a gap — unless a bridging event arrives
+      in.addData(
+        EventAggregates.Event(1, new Timestamp(T0 + 10000), 7L, "click", 1.0),
+        EventAggregates.Event(2, new Timestamp(T0 + 18000), 7L, "click", 2.0))
+      q.processAllAvailable()
+      // the bridge arrives late in its own batch: t=14s joins both
+      in.addData(EventAggregates.Event(3, new Timestamp(T0 + 14000), 7L, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(EventAggregates.Event(4, new Timestamp(T0 + 300000), 8L, "click", 0.1))
+      q.processAllAvailable()
+      in.addData(EventAggregates.Event(5, new Timestamp(T0 + 301000), 8L, "click", 0.1))
+      q.processAllAvailable()
+      val s = spark.sql("select * from sessions_merge where user_id = 7").collect()
+      assert(s.length == 1)
+      assert(s.head.getAs[Long]("n_events") == 3)
+      assert(s.head.getAs[Double]("total_value") == 7.0)
+      assert(s.head.getAs[Timestamp]("first_ts").getTime == T0 + 10000)
+      assert(s.head.getAs[Timestamp]("last_ts").getTime == T0 + 18000)
     } finally q.stop()
   }
 }
