@@ -74,6 +74,39 @@ object SparkEntry {
        |  GROUP BY tf.doc_id
        |)""".stripMargin
 
+  // ---- sketch-oracle building blocks -------------------------------
+  // The sketches are deterministic functions of seeded constants, so the
+  // oracle SQL inlines those constants (computed HERE, once, by the same
+  // code the engine uses) and replays the identical integer arithmetic.
+
+  private[graft] val neardupSeeds: Seq[Long] = (0 until 8).map(i => 42L + i)
+
+  /** Horner polynomial hash of a DuckDB string expression — must mirror
+    * [[TextOps.polyHash]] exactly (BIGINT all the way; acc < p). */
+  private def polyHashSql(s: String, base: Long, p: Long): String =
+    s"""list_reduce(list_transform(range(1, length($s) + 1),
+       |    i -> CAST(unicode($s[i]) AS BIGINT)),
+       |    (acc, x) -> (acc * $base + x) % $p)""".stripMargin
+
+  /** DuckDB DOUBLE[] literal; Double.toString is shortest-round-trip so
+    * the parsed value is bit-identical to the engine's plane weights. */
+  private def dlist(a: Array[Double]): String =
+    a.map(_.toString).mkString("[", ", ", "]")
+
+  /** `(sid, pid, w)` VALUES rows for seeded sign-LSH hyperplanes. */
+  private def planesValues(seeds: Seq[Long], nPlanes: Int, dim: Int): String =
+    seeds.zipWithIndex.flatMap { case (s, si) =>
+      VectorOps.hyperplanes(s, nPlanes, dim).zipWithIndex.map {
+        case (p, pi) => s"($si, $pi, ${dlist(p)})"
+      }
+    }.mkString(",\n    ")
+
+  /** `(j, a, b)` VALUES rows for the MinHash permutation constants. */
+  private def permValues(k: Int): String =
+    (0 until k).map(j =>
+      s"($j, ${TextOps.permConst(j * 2)}, ${TextOps.permConst(j * 2 + 1)})")
+      .mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- fulltext core over `documents` (SURVEY.md §2.4/S3/S10) ----
@@ -299,8 +332,9 @@ object SparkEntry {
       TextOps.langId(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // ---- sketches (Spark-only: hash functions are not portable to the
-    //      oracle; verified in ScalaTest against exact baselines) ----
+    // ---- sketches (portable polynomial hashes — every step integer
+    //      SQL, so the DuckDB oracle replays them exactly; recall vs the
+    //      exact baselines additionally pinned in ScalaTest) ----
     "q_minhash_lsh" -> ((s, dir) =>
       TextOps.minhashLsh(t(s, dir, "documents"), "doc_id", "text",
           n = 3, k = 16, bands = 16, verifyThreshold = 0.005)
@@ -334,9 +368,12 @@ object SparkEntry {
       VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, cents, nprobe = 2)
     }),
 
+    // the SCALE path: sign-LSH buckets × 8 seeds (recall), candidate
+    // pairs bucket-local, exact cosine only on candidates — the exact
+    // all-pairs form (round 1's 52.6 s cross join) is ScalaTest-only
     "q_vec_neardup" -> ((s, dir) =>
       VectorOps.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
-          "embedding", threshold = 0.45)
+          "embedding", threshold = 0.45, seeds = neardupSeeds, nPlanes = 4)
         .orderBy("id_a", "id_b")),
 
     // ---- match-set re-rank by vector similarity (SURVEY.md Q15: the
@@ -647,18 +684,191 @@ object SparkEntry {
         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
 
+    // replays the engine's bucketed path: same seeded planes (inlined),
+    // same per-seed bucket membership, exact cosine only on candidates
     "q_vec_neardup" ->
-      """WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-        |s AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
-        |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
-        |    sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
-        |  FROM embeddings a, embeddings b, idx i
-        |  WHERE a.vec_id < b.vec_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
-        |FROM s WHERE round(dp / (sqrt(na) * sqrt(nb)), 4) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH planes AS (
+         |  SELECT * FROM (VALUES
+         |    ${planesValues(neardupSeeds, nPlanes = 4, dim = 64)}
+         |  ) p(sid, pid, w)),
+         |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |dots AS (
+         |  SELECT e.vec_id, p.sid, p.pid,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * p.w[i.i]) AS d
+         |  FROM embeddings e, planes p, idx i GROUP BY 1, 2, 3),
+         |buck AS (
+         |  SELECT vec_id, sid, CAST(sum(CASE WHEN d >= 0
+         |    THEN (1::BIGINT << pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM buck x JOIN buck y
+         |    ON x.sid = y.sid AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |s AS (
+         |  SELECT c.id_a, c.id_b,
+         |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
+         |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
+         |    sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+         |  JOIN embeddings b ON b.vec_id = c.id_b, idx i
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         |FROM s WHERE round(dp / (sqrt(na) * sqrt(nb)), 4) >= 0.45
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // MinHash+LSH with the portable Horner hash and k=16 bands of 1 row:
+    // candidates agree on some minhash lane; exact Jaccard verify is
+    // candidate-local (same shape as the engine's semi-joined verify)
+    "q_minhash_lsh" ->
+      s"""WITH lst AS (
+         |  SELECT doc_id, string_split(upper(text), ' ') AS l,
+         |    length(string_split(text, ' ')) AS n FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, n - 2),
+         |    i -> l[i] || ' ' || l[i + 1] || ' ' || l[i + 2])) AS shingle
+         |  FROM lst WHERE n >= 3
+         |), hs AS (
+         |  SELECT doc_id, ${polyHashSql("shingle", 31L, 2147483647L)} AS h
+         |  FROM sh
+         |), perms AS (SELECT * FROM (VALUES ${permValues(16)}) p(j, a, b)
+         |), sig AS (
+         |  SELECT doc_id, p.j, min((p.a * h + p.b) % 2147483647) AS mh
+         |  FROM hs, perms p GROUP BY doc_id, p.j
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM sig x JOIN sig y
+         |    ON x.j = y.j AND x.mh = y.mh AND x.doc_id < y.doc_id
+         |), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+         |), inter AS (
+         |  SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS i
+         |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  JOIN cand c ON c.id_a = x.doc_id AND c.id_b = y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+         |WHERE round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) >= 0.005
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // 62-bit SimHash: two poly-hash lanes packed as h1·2^31 + h2; bit
+    // j weighted by tf; token-less docs hash to 0 (engine's empty fold)
+    "q_simhash" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), h AS (
+         |  SELECT doc_id, tf,
+         |    ${polyHashSql("term", 31L, 2147483647L)} * 2147483648
+         |    + ${polyHashSql("term", 37L, 2147483629L)} AS h
+         |  FROM tf
+         |), bits AS (
+         |  SELECT doc_id, j.j,
+         |    CAST(sum(CASE WHEN (h >> j.j) & 1 = 1 THEN tf ELSE -tf END)
+         |      AS BIGINT) AS acc
+         |  FROM h, (SELECT unnest(generate_series(0, 61)) AS j) j
+         |  GROUP BY 1, 2
+         |), sim AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN acc > 0
+         |    THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+         |FROM documents d LEFT JOIN sim s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // sign-LSH ANN: bucket every row with the seeded planes (inlined),
+    // probe the query's bucket + its 4 Hamming-1 neighbors, exact cosine
+    // within the probed cells
+    "q_ann_lsh" ->
+      s"""WITH planes AS (
+         |  SELECT * FROM (VALUES
+         |    ${planesValues(Seq(42L), nPlanes = 4, dim = 64)}
+         |  ) p(sid, pid, w)),
+         |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |dots AS (
+         |  SELECT e.vec_id, p.pid,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * p.w[i.i]) AS d
+         |  FROM embeddings e, planes p, idx i GROUP BY 1, 2),
+         |buck AS (
+         |  SELECT vec_id, CAST(sum(CASE WHEN d >= 0
+         |    THEN (1::BIGINT << pid) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY 1),
+         |qb AS (SELECT bucket FROM buck WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT bucket FROM qb
+         |  UNION ALL
+         |  SELECT xor(qb.bucket, (1::BIGINT << f.i))
+         |  FROM qb, (SELECT unnest(generate_series(0, 3)) AS i) f),
+         |cells AS (
+         |  SELECT vec_id FROM buck
+         |  WHERE bucket IN (SELECT bucket FROM probes)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS dp,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e, q, idx i
+         |  WHERE e.vec_id IN (SELECT vec_id FROM cells)
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // IVF: 3 Lloyd iterations unrolled (init = vec_id 0..3; argmin ties
+    // to the lowest centroid; empty clusters keep their old centroid —
+    // the engine's exact update rule), then probe the 2 nearest cells
+    "q_ann_ivf" -> {
+      def step(n: Int): String = {
+        val (prev, d, a, nn, cur) = (s"c${n - 1}", s"d$n", s"a$n", s"n$n", s"c$n")
+        s"""$d AS (
+           |  SELECT ev.vec_id, c.c, sum((ev.x - c.m) * (ev.x - c.m)) AS d
+           |  FROM ev JOIN $prev c USING (i) GROUP BY 1, 2),
+           |$a AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY d, c) AS rn FROM $d) WHERE rn = 1),
+           |$nn AS (
+           |  SELECT a.c, ev.i, sum(ev.x) / count(*) AS m
+           |  FROM ev JOIN $a a USING (vec_id) GROUP BY 1, 2),
+           |$cur AS (
+           |  SELECT o.c, o.i, coalesce(n.m, o.m) AS m
+           |  FROM $prev o LEFT JOIN $nn n ON n.c = o.c AND n.i = o.i)""".stripMargin
+      }
+      s"""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+         |ev AS (
+         |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
+         |  FROM embeddings, idx i),
+         |c0 AS (SELECT vec_id AS c, i, x AS m FROM ev WHERE vec_id < 4),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)},
+         |d4 AS (
+         |  SELECT ev.vec_id, c.c, sum((ev.x - c.m) * (ev.x - c.m)) AS d
+         |  FROM ev JOIN c3 c USING (i) GROUP BY 1, 2),
+         |a4 AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d, c) AS rn FROM d4) WHERE rn = 1),
+         |qd AS (
+         |  SELECT c.c, sum((qv.x - c.m) * (qv.x - c.m)) AS d
+         |  FROM c3 c JOIN (SELECT i, x FROM ev WHERE vec_id = 0) qv USING (i)
+         |  GROUP BY 1),
+         |pr AS (
+         |  SELECT c FROM (
+         |    SELECT c, row_number() OVER (ORDER BY d, c) AS rn FROM qd)
+         |  WHERE rn <= 2),
+         |cells AS (SELECT vec_id FROM a4 WHERE c IN (SELECT c FROM pr)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |s AS (
+         |  SELECT e.vec_id,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS dp,
+         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * CAST(e.embedding[i.i] AS DOUBLE)) AS na,
+         |    sum(CAST(q.qe[i.i] AS DOUBLE) * CAST(q.qe[i.i] AS DOUBLE)) AS nb
+         |  FROM embeddings e, q, idx i
+         |  WHERE e.vec_id IN (SELECT vec_id FROM cells)
+         |  GROUP BY e.vec_id)
+         |SELECT vec_id, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
+         |FROM s ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+    },
 
     "q_rerank_cosine" ->
       s"""$toksCte, m AS (

@@ -188,7 +188,24 @@ object TextOps {
   // Mersenne prime 2^31-1: with a,b,h all < 2^31, a*h+b < 2^62 — no Long
   // overflow, so (a*h+b) mod p is a true universal hash (a 2^61 prime
   // with 32-bit h overflows Long and silently destroys uniformity)
-  private val MinhashPrime = 2147483647L
+  val MinhashPrime = 2147483647L
+  val SimhashPrime2 = 2147483629L // second 31-bit prime for the 62-bit hash
+
+  /** Horner polynomial hash over codepoints mod a 31-bit prime — the
+    * portable string hash shared with the DuckDB oracle (`list_reduce`
+    * over `unicode(s[i])` with the same recurrence), so every sketch
+    * built on it (MinHash, SimHash) is SQL-replayable cross-engine.
+    * acc < p < 2^31 and cp ≤ 0x10FFFF keep acc·base + cp < 2^63. */
+  def polyHash(s: String, base: Long, p: Long): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * base + cp) % p
+      i += Character.charCount(cp)
+    }
+    h
+  }
 
   /** k MinHash values per doc from its shingle set. Per-row computation
     * (no shuffle); signatures verified in tests against exact Jaccard. */
@@ -198,8 +215,7 @@ object TextOps {
       val sh = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
       if (sh.isEmpty) Array.fill(k)(Long.MaxValue)
       else {
-        val hs = sh.toArray.map(s =>
-          scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0x7FFFFFFFL)
+        val hs = sh.toArray.map(s => polyHash(s, 31L, MinhashPrime))
         Array.tabulate(k) { i =>
           val a = permConst(i * 2)
           val b = permConst(i * 2 + 1)
@@ -211,7 +227,7 @@ object TextOps {
   }
 
   // deterministic permutation constants (seeded), in [1, p-1]
-  private def permConst(i: Int): Long = {
+  def permConst(i: Int): Long = {
     val rnd = new scala.util.Random(9876543210L + i)
     math.abs(rnd.nextLong()) % (MinhashPrime - 1) + 1
   }
@@ -226,13 +242,17 @@ object TextOps {
     require(k % bands == 0)
     val rows = k / bands
     val sigs = minhashSignatures(docs, idCol, textCol, n, k)
+    // the band KEY is the signature slice itself, not a hash of it: a
+    // band-hash collision would admit a candidate pair by accident, and
+    // the DuckDB oracle (which compares slices exactly) could never
+    // reproduce it — array join keys group/hash fine in Spark
     val banded = sigs.select(col(idCol), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          bIdx => hash(slice(col("sig"), bIdx * rows + 1, lit(rows))))))
-      .toDF(idCol, "band", "band_hash")
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_hash"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_hash"))
-    val candidates = a.join(b, Seq("band", "band_hash"))
+          bIdx => slice(col("sig"), bIdx * rows + 1, lit(rows)))))
+      .toDF(idCol, "band", "band_key")
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("band_key"))
+    val candidates = a.join(b, Seq("band", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // verify candidates with exact jaccard computed ONLY over candidate
@@ -256,24 +276,28 @@ object TextOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash per doc (per-row, shuffle-free): tf-weighted sign sum
-    * over token hash bits. */
+  /** 62-bit SimHash per doc (per-row, shuffle-free): tf-weighted sign sum
+    * over term hash bits. The term hash is two [[polyHash]] lanes packed
+    * as `h1·2^31 + h2` — 62 bits so the value is always a non-negative
+    * BIGINT, and every step (hash, bit test, weighted sum, bit pack) is
+    * exactly replayable by the DuckDB oracle in integer SQL. */
+  val SimhashBits = 62
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val simUdf = udf { toks: Seq[String] =>
-      val acc = new Array[Int](64)
+      val acc = new Array[Int](SimhashBits)
       toks.groupBy(identity).foreach { case (t, g) =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xFFFFFFFFL)
+        val h = polyHash(t, 31L, MinhashPrime) * 2147483648L +
+          polyHash(t, 37L, SimhashPrime2)
         val w = g.size
         var j = 0
-        while (j < 64) {
+        while (j < SimhashBits) {
           if (((h >>> j) & 1L) == 1L) acc(j) += w else acc(j) -= w
           j += 1
         }
       }
       var out = 0L
       var j = 0
-      while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+      while (j < SimhashBits) { if (acc(j) > 0) out |= (1L << j); j += 1 }
       out
     }
     docs.select(col(idCol), simUdf(qube_tokenize(col(textCol))).as("simhash"))

@@ -67,26 +67,43 @@ object VectorOps {
   }
 
   /** Embedding-cosine near-duplicate pairs ≥ threshold — the vector leg
-    * of the dedup family (exact: all candidate pairs within LSH buckets;
-    * `nPlanes = 0` degenerates to the exact all-pairs baseline). Bucket
-    * join keeps the pair join bucket-local at scale; recall/precision of
-    * the bucketing is verified against the exact baseline in tests. */
+    * of the dedup family. `nPlanes = 0` is the exact all-pairs baseline
+    * (test-only: O(n²), never the scale path). With `nPlanes > 0` each
+    * row gets one sign-LSH bucket per seed (map-only), candidate pairs
+    * are the bucket-local joins unioned across seeds (multiple seeds buy
+    * recall: a pair is a candidate if ALL planes of ANY seed agree), and
+    * only the deduped candidates are verified with exact cosine. Pair
+    * work is bucket-local, so it scales with Σ bucket², not corpus²;
+    * recall vs the exact baseline is pinned in tests, and the whole
+    * pipeline (deterministic seeded planes) is SQL-replayable by the
+    * DuckDB oracle. */
   def cosineNearDupPairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double, seed: Long = 42L,
+                         threshold: Double, seeds: Seq[Long] = Seq(42L),
                          nPlanes: Int = 0, dim: Int = 64,
                          roundTo: Int = 4): DataFrame = {
-    val bucketed =
-      if (nPlanes == 0) embeddings.withColumn("bucket", lit(0L))
-      else embeddings.withColumn("bucket",
-        lshBucket(col(vecCol), hyperplanes(seed, nPlanes, dim)))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+    val candidates =
+      if (nPlanes == 0) {
+        val a = embeddings.select(col(idCol).as("id_a"))
+        val b = embeddings.select(col(idCol).as("id_b"))
+        a.crossJoin(b).where(col("id_a") < col("id_b"))
+      } else {
+        val buckets = explode(array(seeds.zipWithIndex.map { case (s, si) =>
+          struct(lit(si).as("sid"),
+            lshBucket(col(vecCol), hyperplanes(s, nPlanes, dim)).as("bucket"))
+        }: _*)).as("sb")
+        val bucketed = embeddings.select(col(idCol), buckets)
+          .select(col(idCol), col("sb.sid").as("sid"), col("sb.bucket").as("bucket"))
+        val a = bucketed.select(col(idCol).as("id_a"), col("sid"), col("bucket"))
+        val b = bucketed.select(col(idCol).as("id_b"), col("sid"), col("bucket"))
+        a.join(b, Seq("sid", "bucket")).where(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+      }
+    val va = embeddings.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val vb = embeddings.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    candidates.join(va, Seq("id_a")).join(vb, Seq("id_b"))
       .withColumn("cosine", round(cosine(col("va"), col("vb")), roundTo))
       .where(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine").distinct()
+      .select("id_a", "id_b", "cosine")
   }
 
   /** IVF (inverted-file) coarse quantizer: k-means centroids trained

@@ -37,6 +37,38 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(all == exact)
   }
 
+  test("bucketed cosine near-dup: subset of exact pairs, high recall on " +
+    "planted near-duplicates, and no bucket-spanning false positives") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(777L)
+    val dim = 64
+    // 120 random vectors + 20 planted near-dup twins (cosine ≈ 0.99)
+    val base = (0 until 120).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+    val twins = (0 until 20).map { i =>
+      val v = base(i)._2
+      ((1000 + i).toLong, v.map(x => x + rnd.nextGaussian().toFloat * 0.02f))
+    }
+    val emb = (base ++ twins).toDF("vec_id", "embedding").cache()
+    val exact = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.8, nPlanes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, (1000 + i).toLong)).toSet
+    assert(planted.subsetOf(exact.map { case (a, b) => (math.min(a, b), math.max(a, b)) }))
+    val bucketed = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.8, seeds = (0 until 8).map(i => 42L + i), nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactness of the verify step: every reported pair is a true pair
+    assert(bucketed.subsetOf(exact),
+      s"false positives: ${bucketed -- exact}")
+    // recall on the planted high-cosine twins (per-seed collision prob
+    // (1-θ/π)^4 ≈ 0.93 at cosine .99; 8 seeds ⇒ ~1-2e-9 each)
+    val found = bucketed.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val recall = (planted intersect found).size.toDouble / planted.size
+    assert(recall >= 0.9, s"planted recall=$recall")
+  }
+
   test("multimodal resize: deterministic, schema-stable, length bounded") {
     val sp = spark
     import sp.implicits._
