@@ -136,6 +136,16 @@ object SparkEntry {
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 10, filter = Some(col("lang") === "de"))),
 
+    // MUST_NOT clause (reference BooleanQuery Occur.MUST_NOT)
+    "q_bm25_not" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 10, notTerms = Seq("fast"))),
+
+    // phrase query: adjacency over token positions, BM25 over the terms
+    "q_phrase" -> ((s, dir) =>
+      TextOps.phraseTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 10)),
+
     "q_bm25_page2" -> ((s, dir) =>
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 20).offset(10).limit(10)),
@@ -430,6 +440,20 @@ object SparkEntry {
 
     "q_bm25_filter" ->
       s"""${bm25Cte("('SPARK'), ('JOIN')", "lang = 'de'")}
+         |SELECT doc_id, score FROM scored WHERE matched = 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bm25_not" ->
+      s"""${bm25Cte("('SPARK'), ('JOIN')")}
+         |SELECT doc_id, score FROM scored WHERE matched = 2
+         |AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'FAST')
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_phrase" ->
+      s"""${bm25Cte("('JOIN'), ('SPARK')",
+             "len(list_filter(range(1, length(string_split(upper(text), ' '))), " +
+               "i -> string_split(upper(text), ' ')[i] = 'SPARK' AND " +
+               "string_split(upper(text), ' ')[i + 1] = 'JOIN')) > 0")}
          |SELECT doc_id, score FROM scored WHERE matched = 2
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -6,15 +6,21 @@ import scala.collection.mutable.ArrayBuffer
   * (SURVEY.md §2.11, north-rule "delta-encoded + variable-byte-compressed
   * posting lists").
   *
-  * A posting list is a docId-ascending sequence of (docId, tf, dl) where
-  * `dl` is the document's BM25 field length. Colocating dl with the
-  * posting (the analog of Lucene's per-document norms, which live next to
-  * the inverted lists in a segment) makes BM25 scoring partition-local:
-  * the query path never joins a 10^12-row docstore just to fetch lengths.
-  * Cost: ~1-2 varint bytes per posting; decision recorded in SURVEY.md §7.
+  * A posting list is a docId-ascending sequence of (docId, tf, dl[,
+  * positions]) where `dl` is the document's BM25 field length and
+  * `positions` (optional, format flag bit 0) are the term's 0-based token
+  * positions in the analyzed stream — the substrate for phrase queries
+  * (the reference indexes DOCS_AND_FREQS_AND_POSITIONS,
+  * `/root/reference/LuceneSearchEngine/src/Indexer.java:713-714`).
+  * Colocating dl with the posting (the analog of Lucene's per-document
+  * norms, which live next to the inverted lists in a segment) makes BM25
+  * scoring partition-local: the query path never joins a 10^12-row
+  * docstore just to fetch lengths. Cost: ~1-2 varint bytes per posting;
+  * decision recorded in SURVEY.md §7.
   *
-  * Layout:
+  * Layout (format v2):
   * {{{
+  *   [magic 0xA7][version varint][flags varint]   flags bit0 = positions
   *   [count varint][blockSize varint]
   *   per block:
   *     [n varint]            entries in this block (<= blockSize)
@@ -26,15 +32,22 @@ import scala.collection.mutable.ArrayBuffer
   *                           upper-bounds every entry in the block)
   *     [lastDelta varint]    blockLastDocId - prevBlockLastDocId — lets a
   *                           skipper re-base without decoding the body
-  *     body: [docGap varint][tf varint][dl varint] * n
+  *     body per entry: [docGap varint][tf varint][dl varint]
+  *                     (+ positions: [pos0][posGap]*(tf-1), ascending)
   * }}}
   * All ints unsigned LEB128 (7 bits/byte, high bit = continuation).
   * The block headers make docId skipping (conjunctive probes) and
   * block-max WAND pruning possible without decompressing skipped blocks.
+  * The magic+version header makes a blob from any other layout fail
+  * loudly instead of silently misparsing into garbage postings; the
+  * segment config carries the same version for an index-level check.
   */
 object VarByte {
 
   val DefaultBlockSize = 128
+  val Magic: Byte = 0xA7.toByte
+  val FormatVersion = 2
+  val FlagPositions = 1L
 
   @inline private def writeVLong(buf: ArrayBuffer[Byte], v0: Long): Unit = {
     var v = v0
@@ -61,20 +74,42 @@ object VarByte {
     @inline def readVInt(): Int = readVLong().toInt
   }
 
+  /** Validate magic+version, position the reader after them, return the
+    * flags. Every read path starts here — a foreign/stale blob fails
+    * loudly instead of decoding garbage. */
+  private def openReader(blob: Array[Byte]): (Reader, Long) = {
+    require(blob.nonEmpty && blob(0) == Magic,
+      "posting blob lacks the graft magic byte — built by an " +
+        "incompatible (pre-v2) version or not a posting blob at all")
+    val r = new Reader(blob, 1)
+    val v = r.readVInt()
+    require(v == FormatVersion,
+      s"posting blob format v$v, this build reads v$FormatVersion")
+    val flags = r.readVLong()
+    (r, flags)
+  }
+
   /** One decoded block header; `firstPossibleDocId` = prevBlockLast + 1
     * and `lastDocId` bound the block's docId range without body decode. */
   final case class BlockHeader(n: Int, bodyLen: Int, maxTf: Int, minDl: Int,
                                prevBlockLast: Long, lastDocId: Long,
                                bodyPos: Int)
 
-  /** Encode a docId-ascending (docId, tf, dl) list. Throws on unsorted or
-    * duplicate docIds — the build pipeline guarantees sorted input via
-    * sortWithinPartitions (SURVEY.md §3.1). */
+  /** Encode a docId-ascending (docId, tf, dl) list, optionally with
+    * per-posting ascending position lists (`positions(i).length` must
+    * equal `tfs(i)`). Throws on unsorted or duplicate docIds — the build
+    * pipeline guarantees sorted input via sortWithinPartitions
+    * (SURVEY.md §3.1). */
   def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
-             blockSize: Int = DefaultBlockSize): Array[Byte] = {
+             blockSize: Int = DefaultBlockSize,
+             positions: Array[Array[Int]] = null): Array[Byte] = {
     require(docIds.length == tfs.length && docIds.length == dls.length)
+    require(positions == null || positions.length == docIds.length)
     val n = docIds.length
     val out = new ArrayBuffer[Byte](n * 3 + 16)
+    out += Magic
+    writeVLong(out, FormatVersion.toLong)
+    writeVLong(out, if (positions == null) 0L else FlagPositions)
     writeVLong(out, n.toLong)
     writeVLong(out, blockSize.toLong)
     var i = 0
@@ -96,6 +131,18 @@ object VarByte {
         writeVLong(body, gap)
         writeVLong(body, tfs(i + k).toLong)
         writeVLong(body, dls(i + k).toLong)
+        if (positions != null) {
+          val ps = positions(i + k)
+          require(ps.length == tfs(i + k),
+            s"positions length ${ps.length} != tf ${tfs(i + k)}")
+          var pPrev = 0
+          var j = 0
+          while (j < ps.length) {
+            writeVLong(body, (ps(j) - pPrev).toLong) // pos0 then gaps >= 1
+            pPrev = ps(j)
+            j += 1
+          }
+        }
         if (tfs(i + k) > maxTf) maxTf = tfs(i + k)
         if (dls(i + k) < minDl) minDl = dls(i + k)
         prev = d
@@ -114,14 +161,21 @@ object VarByte {
     out.toArray
   }
 
+  /** Does the blob carry per-posting positions? */
+  def hasPositions(blob: Array[Byte]): Boolean =
+    (openReader(blob)._2 & FlagPositions) != 0L
+
   /** Iterate block headers, calling `onBlock`; return value decides
     * whether the body is decoded (true) or skipped via bodyLen (false).
-    * When decoded, `onEntry(docId, tf, dl)` fires per posting. The
-    * workhorse behind full decode, WAND pruning and docId skipping. */
-  @inline def scan(blob: Array[Byte])(
+    * When decoded, `onEntry(docId, tf, dl, positions)` fires per posting
+    * (`positions` is null when the blob has none or `wantPositions` is
+    * false — position bytes are then read-and-discarded). The workhorse
+    * behind full decode, WAND pruning, docId skipping and phrase decode. */
+  @inline def scanPos(blob: Array[Byte], wantPositions: Boolean)(
       onBlock: BlockHeader => Boolean)(
-      onEntry: (Long, Int, Int) => Unit): Unit = {
-    val r = new Reader(blob, 0)
+      onEntry: (Long, Int, Int, Array[Int]) => Unit): Unit = {
+    val (r, flags) = openReader(blob)
+    val withPos = (flags & FlagPositions) != 0L
     val n = r.readVInt()
     r.readVInt() // blockSize
     var filled = 0
@@ -141,7 +195,19 @@ object VarByte {
           prev += r.readVLong()
           val tf = r.readVInt()
           val dl = r.readVInt()
-          onEntry(prev, tf, dl)
+          var ps: Array[Int] = null
+          if (withPos) {
+            if (wantPositions) {
+              ps = new Array[Int](tf)
+              var acc = 0
+              var j = 0
+              while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
+            } else {
+              var j = 0
+              while (j < tf) { r.readVLong(); j += 1 }
+            }
+          }
+          onEntry(prev, tf, dl, ps)
           k += 1
         }
       } else {
@@ -151,6 +217,13 @@ object VarByte {
       filled += bn
     }
   }
+
+  /** Position-free scan (the WAND/score hot path). */
+  @inline def scan(blob: Array[Byte])(
+      onBlock: BlockHeader => Boolean)(
+      onEntry: (Long, Int, Int) => Unit): Unit =
+    scanPos(blob, wantPositions = false)(onBlock)(
+      (d, tf, dl, _) => onEntry(d, tf, dl))
 
   /** Full decode → (docIds, tfs, dls). */
   def decode(blob: Array[Byte]): (Array[Long], Array[Int], Array[Int]) = {
@@ -165,8 +238,27 @@ object VarByte {
     (docIds, tfs, dls)
   }
 
+  /** Full decode incl. positions → (docIds, tfs, dls, positions);
+    * positions entries are null when the blob has none. */
+  def decodeWithPositions(blob: Array[Byte])
+      : (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) = {
+    val n = count(blob)
+    val docIds = new Array[Long](n)
+    val tfs = new Array[Int](n)
+    val dls = new Array[Int](n)
+    val pos = new Array[Array[Int]](n)
+    var i = 0
+    scanPos(blob, wantPositions = true)(_ => true) { (d, tf, dl, ps) =>
+      docIds(i) = d; tfs(i) = tf; dls(i) = dl; pos(i) = ps; i += 1
+    }
+    (docIds, tfs, dls, pos)
+  }
+
   /** Number of postings without decoding the body. */
-  def count(blob: Array[Byte]): Int = new Reader(blob, 0).readVInt()
+  def count(blob: Array[Byte]): Int = {
+    val (r, _) = openReader(blob)
+    r.readVInt()
+  }
 
   /** (max tf, min dl) across blocks from headers only — the term-level
     * WAND upper bound inputs. */

@@ -51,6 +51,58 @@ object GraftRuntime {
     new GenericArrayData(out)
   }
 
+  /** text → ARRAY<STRUCT<term, tf, dl, positions ARRAY<INT>>>: the
+    * positional twin of [[tfPairs]] for builds with `indexPositions`.
+    * `positions` are the term's 0-based indexes in the post-expansion
+    * token stream — the position contract shared with the golden model
+    * (phrase = consecutive positions; reference indexes
+    * DOCS_AND_FREQS_AND_POSITIONS, Indexer.java:713-714). */
+  def tfPairsPos(dict: SynonymDict, text: UTF8String): ArrayData = {
+    val toks = Tokenizer.tokenize(text.toString)
+    val expanded: Seq[String] =
+      if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
+      else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))
+    val dl = expanded.length
+    val m = new java.util.LinkedHashMap[String, IntVec]()
+    var p = 0
+    expanded.foreach { t =>
+      var buf = m.get(t)
+      if (buf == null) { buf = new IntVec(); m.put(t, buf) }
+      buf.add(p)
+      p += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val ps = e.getValue
+      out(i) = InternalRow(UTF8String.fromString(e.getKey), ps.size, dl,
+        new GenericArrayData(ps.toArray))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Growable int list for position accumulation (avoids boxing churn in
+    * the build hot loop). */
+  final class IntVec {
+    private var a = new Array[Int](4)
+    private var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def size: Int = n
+    def toArray: Array[Any] = {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) { out(i) = a(i); i += 1 }
+      out
+    }
+    def toInts: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
   /** blob → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>> */
   def vbDecode(blob: Array[Byte]): ArrayData = {
     val (docIds, tfs, dls) = VarByte.decode(blob)

@@ -88,6 +88,36 @@ case class QubeTfExpr(child: Expression, dict: graft.analysis.SynonymDict)
     copy(child = newChild)
 }
 
+/** `qube_tf_pos(text) → ARRAY<STRUCT<term, tf, dl, positions ARRAY<INT>>>`
+  * — [[QubeTfExpr]] plus the term's 0-based positions in the expanded
+  * token stream (phrase-query substrate; reference
+  * DOCS_AND_FREQS_AND_POSITIONS, Indexer.java:713-714). Kept separate so
+  * position-free builds pay zero extra bytes or work. */
+case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false),
+      StructField("positions", ArrayType(IntegerType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_tf_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.tfPairsPos(dict,
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("synDict", dict,
+      classOf[graft.analysis.SynonymDict].getName)
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.tfPairsPos($dictRef, $c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>>`
   * — posting-blob decode for the query path (SURVEY.md §2.11 UDTF row).
   * `dl` rides in the posting (norms-colocation) so scoring never joins
@@ -122,6 +152,8 @@ object graftFunctions {
   def qube_tokenize(c: Column): Column = col(QubeTokenizeExpr(expr(c)))
   def qube_tf(c: Column, dict: graft.analysis.SynonymDict): Column =
     col(QubeTfExpr(expr(c), dict))
+  def qube_tf_pos(c: Column, dict: graft.analysis.SynonymDict): Column =
+    col(QubeTfPosExpr(expr(c), dict))
   def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
   def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
 

@@ -45,9 +45,15 @@ object IndexBuilder {
       saltDf: Long = 10000,       // df ≥ threshold ⇒ head term, gets salted
       saltFanout: Int = 8,        // shards per head term
       maxSaltedTerms: Int = 10000,
-      flushEntries: Long = 4L << 20) // RAM posting-buffer flush threshold
+      flushEntries: Long = 4L << 20, // RAM posting-buffer flush threshold
                                      // (Lucene ramBufferSize analog,
                                      // ~64 MB of buffer arrays per task)
+      indexPositions: Boolean = false) // per-posting token positions
+                                       // (phrase queries; reference
+                                       // DOCS_AND_FREQS_AND_POSITIONS,
+                                       // Indexer.java:713-714). Off by
+                                       // default: +bytes/+work that pure
+                                       // bag-of-words BM25 never reads
 
   final case class RawPage(url: String, warc_ts: Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -60,35 +66,43 @@ object IndexBuilder {
                                postingRows: Long, wallMs: Long,
                                phases: Seq[(String, Long)] = Seq.empty)
 
-  /** Growable (docId, tf, dl) buffer — the per-(term, shard) RAM posting
-    * buffer of the map-side build (the analog of Lucene's indexing
-    * buffer; its size is bounded by `spark.sql.files.maxPartitionBytes`,
-    * the knob that caps per-task memory at any corpus scale). */
-  private[index] final class FragBuf {
+  /** Growable (docId, tf, dl[, positions]) buffer — the per-(term, shard)
+    * RAM posting buffer of the map-side build (the analog of Lucene's
+    * indexing buffer; its size is bounded by
+    * `spark.sql.files.maxPartitionBytes`, the knob that caps per-task
+    * memory at any corpus scale). Position arrays exist only when the
+    * build indexes positions — the default path pays nothing. */
+  private[index] final class FragBuf(withPos: Boolean) {
     private var ids = new Array[Long](4)
     private var tfs = new Array[Int](4)
     private var dls = new Array[Int](4)
+    private var poss: Array[Array[Int]] = if (withPos) new Array(4) else null
     private var len = 0
     private var asc = true
     def nonEmpty: Boolean = len > 0
-    def append(d: Long, tf: Int, dl: Int): Unit = {
+    def append(d: Long, tf: Int, dl: Int, ps: Array[Int] = null): Unit = {
       if (len == ids.length) {
         ids = java.util.Arrays.copyOf(ids, len * 2)
         tfs = java.util.Arrays.copyOf(tfs, len * 2)
         dls = java.util.Arrays.copyOf(dls, len * 2)
+        if (withPos) poss = java.util.Arrays.copyOf(poss, len * 2)
       }
       if (len > 0 && d < ids(len - 1)) asc = false
-      ids(len) = d; tfs(len) = tf; dls(len) = dl; len += 1
+      ids(len) = d; tfs(len) = tf; dls(len) = dl
+      if (withPos) poss(len) = ps
+      len += 1
     }
     /** Input is ascending per file chunk; only bin-packed out-of-order
       * chunks trigger the permutation sort. */
-    def sorted(): (Array[Long], Array[Int], Array[Int]) =
+    def sorted(): (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) =
       if (asc)
         (java.util.Arrays.copyOf(ids, len), java.util.Arrays.copyOf(tfs, len),
-          java.util.Arrays.copyOf(dls, len))
+          java.util.Arrays.copyOf(dls, len),
+          if (withPos) java.util.Arrays.copyOf(poss, len) else null)
       else {
         val perm = (0 until len).sortBy(ids).toArray
-        (perm.map(ids), perm.map(tfs), perm.map(dls))
+        (perm.map(ids), perm.map(tfs), perm.map(dls),
+          if (withPos) perm.map(poss) else null)
       }
   }
 
@@ -100,14 +114,17 @@ object IndexBuilder {
 
   /** K-way merge of per-map-task posting fragments of one term: doc sets
     * are disjoint (each doc indexed by exactly one task) but id ranges
-    * interleave, so merge — never concatenate. */
+    * interleave, so merge — never concatenate. Position lists (when the
+    * fragments carry them) ride along untouched: they are per-doc data. */
   private[index] def mergeFragments(frags: Array[Array[Byte]],
                                     blockSize: Int): Array[Byte] = {
-    val decoded = frags.map(VarByte.decode)
+    val withPos = VarByte.hasPositions(frags(0))
+    val decoded = frags.map(VarByte.decodeWithPositions)
     val total = decoded.map(_._1.length).sum
     val ids = new Array[Long](total)
     val tfs = new Array[Int](total)
     val dls = new Array[Int](total)
+    val poss: Array[Array[Int]] = if (withPos) new Array(total) else null
     val pos = new Array[Int](decoded.length)
     var filled = 0
     while (filled < total) {
@@ -124,10 +141,11 @@ object IndexBuilder {
       ids(filled) = bestId
       tfs(filled) = decoded(best)._2(pos(best))
       dls(filled) = decoded(best)._3(pos(best))
+      if (withPos) poss(filled) = decoded(best)._4(pos(best))
       pos(best) += 1
       filled += 1
     }
-    VarByte.encode(ids, tfs, dls, blockSize)
+    VarByte.encode(ids, tfs, dls, blockSize, poss)
   }
 
   /** Dedup+id-assign sort key: (url asc, warc_ts desc, text desc nulls
@@ -327,8 +345,11 @@ object IndexBuilder {
     val fanout = cfg.saltFanout
     val blockSize = cfg.blockSize
 
+    val withPos = cfg.indexPositions
     val analyzedRows = docstore
-      .select(col("doc_id"), qube_tf(col("text"), dict).as("p"))
+      .select(col("doc_id"),
+        (if (withPos) qube_tf_pos(col("text"), dict)
+         else qube_tf(col("text"), dict)).as("p"))
     val fragSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("part",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -358,9 +379,9 @@ object IndexBuilder {
               val termUtf = org.apache.spark.unsafe.types.UTF8String.fromString(term)
               e.getValue.iterator.zipWithIndex.filter(_._1.nonEmpty).map {
                 case (buf, salt) =>
-                  val (ids, tfs, dls) = buf.sorted()
+                  val (ids, tfs, dls, poss) = buf.sorted()
                   InternalRow(partOf(term, salt, numParts), termUtf, ids(0),
-                    VarByte.encode(ids, tfs, dls, blockSize)): InternalRow
+                    VarByte.encode(ids, tfs, dls, blockSize, poss)): InternalRow
               }
             }.toVector
             bufs.clear()
@@ -374,19 +395,22 @@ object IndexBuilder {
               val arr = r.getArray(1)
               var i = 0
               val n = arr.numElements()
+              val nFields = if (withPos) 4 else 3
               while (i < n) {
-                val s = arr.getStruct(i, 3)
+                val s = arr.getStruct(i, nFields)
                 val term = s.getUTF8String(0).toString
                 var shards = bufs.get(term)
                 if (shards == null) {
-                  shards = Array.fill(if (head.contains(term)) fanout else 1)(new FragBuf)
+                  shards = Array.fill(
+                    if (head.contains(term)) fanout else 1)(new FragBuf(withPos))
                   bufs.put(term, shards)
                 }
                 val shard =
                   if (shards.length == 1) shards(0)
                   else shards(java.lang.Math.floorMod(
                     java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout))
-                shard.append(docId, s.getInt(1), s.getInt(2))
+                shard.append(docId, s.getInt(1), s.getInt(2),
+                  if (withPos) s.getArray(3).toIntArray() else null)
                 i += 1
               }
               entries += n
@@ -456,7 +480,8 @@ object IndexBuilder {
 
     // parquet metadata count — no recompute of the aggregation
     IndexStore.writeSegmentConfig(spark, root, seg,
-      IndexStore.SegmentConfig(cfg.numParts, cfg.saltFanout, cfg.blockSize))
+      IndexStore.SegmentConfig(cfg.numParts, cfg.saltFanout, cfg.blockSize,
+        hasPositions = cfg.indexPositions))
     val termCount =
       spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
     lap("manifest_and_counts")

@@ -49,17 +49,22 @@ object IndexStore {
     * prune every other `part=` directory at plan time — at 10^12 docs
     * that is the difference between scanning ≤fanout files and scanning
     * the whole index layout. */
-  final case class SegmentConfig(numParts: Int, saltFanout: Int, blockSize: Int)
+  final case class SegmentConfig(numParts: Int, saltFanout: Int, blockSize: Int,
+                                 formatVersion: Int = graft.codec.VarByte.FormatVersion,
+                                 hasPositions: Boolean = false)
 
   def writeSegmentConfig(spark: SparkSession, root: String, seg: String,
                          cfg: SegmentConfig): Unit =
     writeString(fs(spark, root), new Path(s"${segmentDir(root, seg)}/config.json"),
       s"""{"num_parts":${cfg.numParts},"salt_fanout":${cfg.saltFanout},""" +
-        s""""block_size":${cfg.blockSize}}""")
+        s""""block_size":${cfg.blockSize},"format_version":${cfg.formatVersion},""" +
+        s""""positions":${cfg.hasPositions}}""")
 
   private val numPartsRe = """"num_parts":(\d+)""".r
   private val fanoutRe = """"salt_fanout":(\d+)""".r
   private val blockRe = """"block_size":(\d+)""".r
+  private val versionRe = """"format_version":(\d+)""".r
+  private val positionsRe = """"positions":(true|false)""".r
 
   def readSegmentConfig(spark: SparkSession, root: String,
                         seg: String): Option[SegmentConfig] = {
@@ -71,7 +76,11 @@ object IndexStore {
       n <- numPartsRe.findFirstMatchIn(s).map(_.group(1).toInt)
       sf <- fanoutRe.findFirstMatchIn(s).map(_.group(1).toInt)
       b <- blockRe.findFirstMatchIn(s).map(_.group(1).toInt)
-    } yield SegmentConfig(n, sf, b)
+    } yield SegmentConfig(n, sf, b,
+      // absent field = a pre-versioning segment (format 1): recorded as
+      // such so the Searcher can refuse it loudly
+      versionRe.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(1),
+      positionsRe.findFirstMatchIn(s).exists(_.group(1) == "true"))
   }
 
   def segmentDir(root: String, seg: String) = s"$root/segments/$seg"

@@ -52,17 +52,39 @@ object TextOps {
     * for cross-engine comparison; ties by id asc. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int, conjunctive: Boolean = true,
-               filter: Option[Column] = None, roundTo: Int = 4): DataFrame =
-    bm25Scores(docs, idCol, textCol, queryTerms, conjunctive, filter, roundTo)
+               filter: Option[Column] = None, roundTo: Int = 4,
+               notTerms: Seq[String] = Nil): DataFrame =
+    bm25Scores(docs, idCol, textCol, queryTerms, conjunctive, filter, roundTo,
+        notTerms)
       .orderBy(col("score").desc, col(idCol).asc)
       .select(idCol, "score").limit(k)
+
+  /** Phrase top-k over a raw (id, text) table: docs where the folded
+    * phrase terms occur at consecutive token positions, scored as
+    * conjunctive BM25 over the distinct terms — the on-the-fly twin of
+    * [[graft.query.Searcher.searchPhrase]] (positional postings), same
+    * contract, SQL-replayable for the oracle. */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: Seq[String], k: Int): DataFrame = {
+    val terms = phrase.map(graft.analysis.Tokenizer.foldCase)
+    val m = terms.size
+    val toks = qube_tokenize(col(textCol))
+    // slice-compare (truncated slices never equal the literal), guarded
+    // so sequence() stays ascending even for short docs
+    val cond = when(size(toks) >= m,
+      exists(sequence(lit(1), size(toks) - (m - 1)),
+        i => slice(toks, i, lit(m)) === typedLit(terms))).otherwise(lit(false))
+    bm25TopK(docs, idCol, textCol, terms.distinct, k, conjunctive = true,
+      filter = Some(cond))
+  }
 
   /** The full scored match set behind [[bm25TopK]] (no ordering, no
     * limit): hit-metadata aggregates (total, maxScore — Q12) read this
     * directly, so they never plan a top-k heap they don't need. */
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], conjunctive: Boolean = true,
-                 filter: Option[Column] = None, roundTo: Int = 4): DataFrame = {
+                 filter: Option[Column] = None, roundTo: Int = 4,
+                 notTerms: Seq[String] = Nil): DataFrame = {
     val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
     // collection stats and df are GLOBAL — the filter clause matches but
     // never scores and never shifts statistics (reference Q1 semantics,
@@ -79,10 +101,18 @@ object TextOps {
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         bm25Contrib(col("tf"), col("df"), col("dl"), col("n"), col("avgdl")))
-    val matched = filter match {
+    val matched1 = filter match {
       case Some(f) => matched0.join(docs.where(f).select(idCol), Seq(idCol), "left_semi")
       case None => matched0
     }
+    // MUST_NOT clauses (reference BooleanQuery Occur, Searcher.java:
+    // 734-736): docs containing any NOT term are excluded, never scored
+    val notFolded = notTerms.map(graft.analysis.Tokenizer.foldCase).distinct
+    val matched =
+      if (notFolded.isEmpty) matched1
+      else matched1.join(
+        tf.filter(col("term").isin(notFolded: _*)).select(idCol).distinct(),
+        Seq(idCol), "left_anti")
     val scored = matched.groupBy(idCol)
       .agg(count(lit(1)).as("matched"),
         sort_array(collect_list(struct(col("term"), col("contrib")))).as("__p"))

@@ -96,6 +96,20 @@ final class Searcher(
     snapshot.segments.map(s =>
       s -> IndexStore.readSegmentConfig(spark, root, s)).toMap
 
+  // fail LOUDLY on a posting-format mismatch: a stale segment would
+  // otherwise misparse blobs into garbage doc_ids (the blob magic byte is
+  // the second line of defense inside VarByte itself)
+  segConfigs.foreach { case (seg, c) =>
+    c.foreach(cc => require(
+      cc.formatVersion == graft.codec.VarByte.FormatVersion,
+      s"segment $seg has posting format v${cc.formatVersion}; this build " +
+        s"reads v${graft.codec.VarByte.FormatVersion} — rebuild or merge"))
+  }
+
+  /** Phrase queries need every segment built with `indexPositions`. */
+  val positionsIndexed: Boolean =
+    segConfigs.values.forall(_.exists(_.hasPositions))
+
   /** Posting rows restricted to `terms` with PLAN-TIME partition pruning:
     * each segment's candidate `part=` set is recomputed from its stored
     * build config ({partOf(term, salt) | salt < fanout} per term) — the
@@ -241,25 +255,46 @@ final class Searcher(
     foldScores(applyMatchSetRestrictions(decoded, filter))
   }
 
+  /** Doc set containing ANY of the NOT-clause terms (unscored): the
+    * MUST_NOT side of the reference's BooleanQuery
+    * (`Occur` clauses, Searcher.java:734-736). */
+  private def notDocSet(notTerms: Seq[String]): Option[DataFrame] = {
+    val present = termIdfs(notTerms).map(_.term)
+    if (present.isEmpty) None
+    else Some(postingsForTerms(present)
+      .select(explode(vb_decode(col("blob"))).as("p"))
+      .select(col("p.doc_id").as("doc_id")).distinct())
+  }
+
   /** Conjunctive (AND, Q5) or disjunctive (OR) match set with scores.
-    * AND with any zero-df term ⇒ MatchNoDocs (BooleanQuery MUST). */
+    * AND with any zero-df term ⇒ MatchNoDocs (BooleanQuery MUST).
+    * `notQuery` terms are MUST_NOT clauses: matching docs are excluded
+    * and never score (left-anti on the NOT-term doc set). */
   def score(query: String, conjunctive: Boolean = true,
-            filter: Option[Column] = None): DataFrame = {
+            filter: Option[Column] = None,
+            notQuery: Option[String] = None): DataFrame = {
     val terms = analyzeQuery(query)
     val idfs = termIdfs(terms) // single driver lookup per query
     val scored = scoredMatches(terms, idfs, filter)
-    if (conjunctive) {
-      if (idfs.size < terms.size) scored.where(lit(false))
-      else scored.filter(col("matched") === terms.size)
-    } else scored
+    val must =
+      if (conjunctive) {
+        if (idfs.size < terms.size) scored.where(lit(false))
+        else scored.filter(col("matched") === terms.size)
+      } else scored
+    notQuery.map(analyzeQuery).filter(_.nonEmpty)
+      .flatMap(notDocSet) match {
+        case Some(nd) => must.join(nd, Seq("doc_id"), "left_anti")
+        case None => must
+      }
   }
 
   /** Flagship: BM25 top-k with pagination (Q3 + Q11) — fetch-after-rank
     * joins stored fields only for the returned page (S8). */
   def search(query: String, k: Int, start: Int = 0,
              conjunctive: Boolean = true,
-             filter: Option[Column] = None): DataFrame = {
-    val topk = score(query, conjunctive, filter)
+             filter: Option[Column] = None,
+             notQuery: Option[String] = None): DataFrame = {
+    val topk = score(query, conjunctive, filter, notQuery)
       .orderBy(col("score").desc, col("doc_id").asc)
       .offset(start).limit(k)
     topk.join(docstore, Seq("doc_id"))
@@ -314,9 +349,13 @@ final class Searcher(
                  conjunctive: Boolean = true,
                  filter: Option[Column] = None,
                  maxRescore: Int = 2000000,
-                 wandMinDf: Long = 500000): DataFrame = {
-    if (hasDeadDocs || filter.nonEmpty)
-      return search(query, k, start, conjunctive, filter)
+                 wandMinDf: Long = 500000,
+                 notQuery: Option[String] = None): DataFrame = {
+    // MUST_NOT removes docs, which can only LOWER the final kth score —
+    // a θ seeded without the NOT clause could over-prune, so NOT queries
+    // take the exact path (same stance as filter clauses and dead docs)
+    if (hasDeadDocs || filter.nonEmpty || notQuery.exists(_.nonEmpty))
+      return search(query, k, start, conjunctive, filter, notQuery)
     val n = start + k
     val terms = analyzeQuery(query)
     if (terms.isEmpty || docCount == 0) return emptyPage
@@ -384,6 +423,60 @@ final class Searcher(
     val page =
       (if (conjunctive) scored.filter(col("matched") === terms.size) else scored)
         .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
+    fetchPage(page)
+  }
+
+  /** Phrase analysis: the index-time chain with ORDER AND DUPLICATES
+    * preserved — the position contract is over the expanded stream. */
+  def analyzePhrase(phrase: String): Seq[String] =
+    if (phrase == null) Seq.empty
+    else dict.expand(Tokenizer.tokenize(phrase).toIndexedSeq)
+
+  /** Phrase top-k (reference PhraseQuery over positional postings,
+    * Indexer.java:713-714): a doc matches iff the analyzed phrase terms
+    * occur at consecutive positions (∃p: ∀j, p+j ∈ positions(term_j));
+    * matching docs score as conjunctive BM25 over the distinct phrase
+    * terms (the golden model pins the same contract). One decode pass
+    * yields (tf, dl, positions) together, so alignment check and scoring
+    * share the scan; the alignment itself is higher-order Column logic —
+    * no UDF. Requires an index built with `indexPositions = true`. */
+  def searchPhrase(phrase: String, k: Int, start: Int = 0,
+                   filter: Option[Column] = None): DataFrame = {
+    require(positionsIndexed,
+      "phrase queries need an index built with indexPositions = true")
+    val ordered = analyzePhrase(phrase)
+    if (ordered.isEmpty || docCount == 0) return emptyPage
+    val distinctTerms = ordered.distinct.sorted
+    val idfs = termIdfs(distinctTerms)
+    if (idfs.size < distinctTerms.size) return emptyPage // MUST semantics
+    val rows = postingsForTerms(distinctTerms)
+      .select("term", "blob").as[(String, Array[Byte])]
+      .flatMap { case (t, blob) =>
+        val (ds, tfs, dls, ps) = graft.codec.VarByte.decodeWithPositions(blob)
+        ds.indices.iterator.map(i => (t, ds(i), tfs(i), dls(i), ps(i).toSeq))
+      }.toDF("term", "doc_id", "tf", "dl", "positions")
+    val restricted = applyMatchSetRestrictions(rows, filter)
+    val byDoc = restricted.groupBy("doc_id")
+      .agg(collect_list(
+        struct(col("term"), col("tf"), col("dl"), col("positions"))).as("es"))
+      .where(size(col("es")) === distinctTerms.size)
+    // term → positions map; try_element_at so predicate reordering can
+    // never hit a missing key (null collapses to non-match)
+    val posMap = map_from_arrays(
+      transform(col("es"), e => e("term")),
+      transform(col("es"), e => e("positions")))
+    val phraseCond = exists(try_element_at(posMap, lit(ordered.head)),
+      p => ordered.tail.zipWithIndex.map { case (t, j) =>
+        array_contains(try_element_at(posMap, lit(t)), p + (j + 1))
+      }.foldLeft(lit(true))(_ && _))
+    val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
+    val perTerm = byDoc.where(phraseCond)
+      .select(col("doc_id"), explode(col("es")).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"),
+        col("e.tf").as("tf"), col("e.dl").as("dl"))
+      .join(broadcast(idfDf), Seq("term"))
+    val page = foldScores(perTerm)
+      .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
     fetchPage(page)
   }
 

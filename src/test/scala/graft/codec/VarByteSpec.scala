@@ -64,6 +64,65 @@ class VarByteSpec extends AnyFunSuite {
     }
   }
 
+  test("positions round-trip; position-free scan skips position bytes; " +
+    "hasPositions flag") {
+    val ids = Array(0L, 7L, 9L, 500L)
+    val tfs = Array(2, 1, 3, 1)
+    val dls = Array(9, 9, 12, 4)
+    val pos = Array(Array(0, 5), Array(3), Array(1, 2, 11), Array(0))
+    val blob = VarByte.encode(ids, tfs, dls, blockSize = 2, positions = pos)
+    assert(VarByte.hasPositions(blob))
+    val (d, t, l, p) = VarByte.decodeWithPositions(blob)
+    assert(d.toSeq == ids.toSeq && t.toSeq == tfs.toSeq && l.toSeq == dls.toSeq)
+    assert(p.map(_.toSeq).toSeq == pos.map(_.toSeq).toSeq)
+    // the position-free paths must read the same (docId, tf, dl) stream
+    val (d2, t2, l2) = VarByte.decode(blob)
+    assert(d2.toSeq == ids.toSeq && t2.toSeq == tfs.toSeq && l2.toSeq == dls.toSeq)
+    assert(VarByte.count(blob) == 4)
+    assert(VarByte.termBounds(blob) == ((3, 4)))
+    val noPos = VarByte.encode(ids, tfs, dls, blockSize = 2)
+    assert(!VarByte.hasPositions(noPos))
+    // positions length must equal tf
+    intercept[IllegalArgumentException] {
+      VarByte.encode(Array(1L), Array(2), Array(5),
+        positions = Array(Array(0)))
+    }
+  }
+
+  test("magic/version guard: foreign or pre-v2 bytes fail loudly") {
+    intercept[IllegalArgumentException] {
+      VarByte.decode(Array[Byte](5, 1, 0, 0)) // old layout: count varint first
+    }
+    intercept[IllegalArgumentException] {
+      VarByte.count(Array[Byte](VarByte.Magic, 9)) // wrong version
+    }
+  }
+
+  test("property: positional encode ∘ decodeWithPositions = id (seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 60) {
+      val n = rnd.nextInt(300)
+      val gaps = Array.fill(n)(1L + rnd.nextLong(5000L))
+      val ids = gaps.scanLeft(0L)(_ + _).tail
+      val tfs = Array.fill(n)(1 + rnd.nextInt(8))
+      val dls = Array.fill(n)(1 + rnd.nextInt(1000))
+      val pos = tfs.map { tf =>
+        val pGaps = Array.fill(tf)(1 + rnd.nextInt(10))
+        pGaps.scanLeft(rnd.nextInt(5))(_ + _).tail
+      }
+      val bs = 1 + rnd.nextInt(200)
+      val blob = VarByte.encode(ids, tfs, dls, bs, pos)
+      val (d, t, l, p) = VarByte.decodeWithPositions(blob)
+      assert(d.toSeq == ids.toSeq && t.toSeq == tfs.toSeq && l.toSeq == dls.toSeq)
+      assert(p.map(_.toSeq).toSeq == pos.map(_.toSeq).toSeq, s"n=$n bs=$bs")
+      // scan/decodeForDocs must skip position bytes correctly
+      val subset = ids.filter(_ => rnd.nextBoolean())
+      val (d2, t2, _) = VarByte.decodeForDocs(blob, subset)
+      val idx = ids.zipWithIndex.filter(q => subset.contains(q._1)).map(_._2)
+      assert(d2.toSeq == idx.map(ids(_)).toSeq && t2.toSeq == idx.map(tfs(_)).toSeq)
+    }
+  }
+
   test("property: encode ∘ decode = id for random sorted posting lists (seeded)") {
     val rnd = new scala.util.Random(42)
     val blockSizes = Array(1, 7, 128, 1024)

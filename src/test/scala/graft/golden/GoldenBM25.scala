@@ -86,5 +86,31 @@ object GoldenBM25 {
       scoreAll(terms, conjunctive, filter)
         .sortBy(h => (-h.score, h.docId))
         .slice(start, start + k)
+
+    /** The phrase analysis chain with order and duplicates preserved
+      * (positions are over the expanded token stream — the contract
+      * shared with the engine's positional postings). */
+    def analyzePhrase(phrase: String, dict: SynonymDict): Seq[String] =
+      dict.expand(Tokenizer.tokenize(phrase).toIndexedSeq)
+
+    /** DocIds whose expanded token stream contains the terms at
+      * consecutive positions: ∃p ∀j tokens(p+j) == terms(j). */
+    def phraseMatches(orderedTerms: Seq[String]): Seq[Long] =
+      if (orderedTerms.isEmpty) Seq.empty
+      else docs.filter { d =>
+        val m = orderedTerms.size
+        (0 to d.tokens.size - m).exists(p =>
+          orderedTerms.indices.forall(j => d.tokens(p + j) == orderedTerms(j)))
+      }.map(_.docId)
+
+    /** Phrase top-k: phrase-matching docs scored as conjunctive BM25
+      * over the DISTINCT phrase terms (term-ordered fold — the same
+      * shared determinism contract as every other scoring path). */
+    def phraseTopK(orderedTerms: Seq[String], k: Int,
+                   start: Int = 0): Seq[Hit] = {
+      val matched = phraseMatches(orderedTerms).toSet
+      topK(orderedTerms.distinct, k, start, conjunctive = true,
+        filter = d => matched.contains(d.docId))
+    }
   }
 }

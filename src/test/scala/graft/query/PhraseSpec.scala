@@ -1,0 +1,115 @@
+package graft.query
+
+import graft.SparkTestBase
+import graft.analysis.SynonymDict
+import graft.golden.GoldenBM25
+import graft.index.{IndexBuilder, WebtextGen}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Phrase queries over positional postings: the engine must be rank- and
+  * score-identical to the golden model's phrase semantics (∃p ∀j:
+  * tokens(p+j) == terms(j) over the expanded stream; matching docs score
+  * as conjunctive BM25 over the distinct phrase terms). */
+class PhraseSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Seed = 42L
+  private val NDocs = 600
+  private val K = 10
+
+  private lazy val dict = SynonymDict.parse(resourceLines("/synonyms.txt"))
+
+  private lazy val root: String = {
+    val dir = tmpDir("graft-posidx-")
+    val cfg = IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+      saltDf = 200, saltFanout = 4, indexPositions = true)
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, NDocs), dict,
+      dir, cfg, inputSnapshot = s"webtext(seed=$Seed,n=$NDocs)")
+    dir
+  }
+
+  private lazy val searcher = new Searcher(spark, root, dict)
+  private lazy val goldenDocs = GoldenBM25.docsFromWebtext(Seed, NDocs, dict)
+  private lazy val golden = new GoldenBM25.Model(goldenDocs)
+
+  private def enginePhrase(phrase: String, start: Int = 0): Seq[(Long, Double)] =
+    searcher.searchPhrase(phrase, K, start)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  private def goldenPhrase(phrase: String, start: Int = 0): Seq[(Long, Double)] =
+    golden.phraseTopK(golden.analyzePhrase(phrase, dict), K, start)
+      .map(h => (h.docId, h.score))
+
+  test("phrase top-k is rank- and score-identical to golden, on phrases " +
+    "guaranteed present (sampled from corpus bigrams/trigrams) and fixed ones") {
+    // bigrams/trigrams lifted from actual docs — guaranteed hits
+    val sampled = goldenDocs.filter(_.tokens.size >= 8).take(6).flatMap { d =>
+      Seq(d.tokens.slice(3, 5).mkString(" "), d.tokens.slice(2, 5).mkString(" "))
+    }
+    val fixed = Seq("spark index", "index build", "spark spark",
+      "zzzq unknownterm", "search")
+    val failures = (sampled ++ fixed).distinct.flatMap { ph =>
+      val e = enginePhrase(ph)
+      val g = goldenPhrase(ph)
+      if (e == g) None
+      else Some(s"'$ph': engine=${e.take(3)} golden=${g.take(3)} " +
+        s"(sizes ${e.size}/${g.size})")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    val withHits = sampled.count(ph => goldenPhrase(ph).nonEmpty)
+    assert(withHits == sampled.size, "sampled phrases must all match")
+  }
+
+  test("phrase matching is stricter than conjunctive AND (adjacency matters)") {
+    // find a bigram pair that co-occurs in some doc non-adjacently
+    val ph = goldenDocs.filter(_.tokens.size >= 8).head.tokens.slice(3, 5)
+    val andSet = golden.scoreAll(ph.distinct.sorted, conjunctive = true)
+      .map(_.docId).toSet
+    val phraseSet = golden.phraseMatches(ph).toSet
+    assert(phraseSet.subsetOf(andSet))
+    val engineSet = searcher.searchPhrase(ph.mkString(" "), NDocs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(engineSet == phraseSet)
+  }
+
+  test("phrase pagination and single-term degenerate case match golden") {
+    val d = goldenDocs.filter(_.tokens.size >= 4).head
+    val one = d.tokens(1)
+    assert(enginePhrase(one) == goldenPhrase(one)) // 1-term = presence
+    val bigram = goldenDocs.flatMap(_.tokens.sliding(2).toSeq)
+      .groupBy(identity).maxBy(_._2.size)._1 // most frequent bigram
+    val ph = bigram.mkString(" ")
+    assert(goldenPhrase(ph, start = 0).nonEmpty)
+    assert(enginePhrase(ph, start = 5) == goldenPhrase(ph, start = 5))
+  }
+
+  test("searchPhrase on a position-less index fails loudly") {
+    val dir = tmpDir("graft-noposidx-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 7L, 50), dict, dir,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2))
+    val s = new Searcher(spark, dir, dict)
+    try {
+      assert(!s.positionsIndexed)
+      val e = intercept[IllegalArgumentException](s.searchPhrase("spark index", 5))
+      assert(e.getMessage.contains("indexPositions"))
+    } finally s.close()
+  }
+
+  test("BM25 top-k over the positional index is identical to the golden " +
+    "model (positions must not perturb scoring)") {
+    val failures = Seq("spark index", "big data", "search engine fast")
+      .flatMap { q =>
+        val e = searcher.search(q, K).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val g = golden.topK(golden.analyze(q, dict), K)
+          .map(h => (h.docId, h.score))
+        if (e == g) None else Some(q)
+      }
+    assert(failures.isEmpty, failures.mkString(","))
+  }
+
+  override def afterAll(): Unit = {
+    searcher.close()
+    super.afterAll()
+  }
+}

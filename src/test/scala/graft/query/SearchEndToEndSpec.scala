@@ -73,9 +73,12 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(nonEmpty >= 20, s"only $nonEmpty queries had hits")
   }
 
+  // wandMinDf = 0: the default (500k) would route every multi-term query
+  // at this corpus size to the exact fallback and leave the θ-seeding /
+  // candidatesAboveTheta / rescore pipeline untested
   private def wandTopK(q: Q, start: Int = 0): Seq[(Long, Double)] =
     searcher.searchWand(q.query, K, start = start, conjunctive = q.conjunctive,
-        filter = q.filterLang.map(l => col("lang") === l))
+        filter = q.filterLang.map(l => col("lang") === l), wandMinDf = 0)
       .select("doc_id", "score")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 
@@ -94,7 +97,8 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
   test("WAND disjunctive (OR) and paginated results match golden") {
     val qs = querySet.filter(q => q.filterLang.isEmpty)
     val orFailures = qs.take(8).flatMap { q =>
-      val w = searcher.searchWand(q.query, K, conjunctive = false)
+      val w = searcher.searchWand(q.query, K, conjunctive = false,
+          wandMinDf = 0)
         .select("doc_id", "score")
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       val terms = golden.analyze(q.query, dict)
@@ -113,8 +117,10 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
 
   test("WAND with a tiny rescore cap falls back to the exact path (scale guard)") {
     val q = querySet(10) // multi-term conjunctive — exercises the rescore cap
+    // wandMinDf = 0 so the df gate does NOT pre-empt the rescore cap:
+    // the candidate set must actually exceed maxRescore=1 and trip it
     val w = searcher.searchWand(q.query, K, conjunctive = q.conjunctive,
-        maxRescore = 1)
+        maxRescore = 1, wandMinDf = 0)
       .select("doc_id", "score")
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(w == goldenTopK(q))
