@@ -220,6 +220,23 @@ object SparkEntry {
         .orderBy("depth", "path")
     }),
 
+    // facets THROUGH the index: build over `documents` (page shape:
+    // url carries `source` as the host), facet sidecar written at build
+    // time, counts served by Searcher.facetSearch over the match set —
+    // the reference's facetSearch over build-time facet fields
+    "q_facet_indexed" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(
+        format_string("doc://%s/%06d", col("source"), col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val root = java.nio.file.Files.createTempDirectory("graft-fidx-").toString
+      IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+          buildFacets = true), "battery-facet-index")
+      new Searcher(s, root, SynonymDict.empty)
+        .facetSearch("spark", limit = 5).orderBy("dim", "rank")
+    }),
+
     "q_facet_topn" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -260,6 +277,32 @@ object SparkEntry {
             expr("try_cast(regexp_extract(props, '\"k\": (\\\\d+)', 1) as double)"),
             lit(0.0)).as("k_val"))
         .orderBy("event_id")),
+
+    // dynamic JSON subfields THROUGH the index: json sidecar keyed by
+    // the engine's doc_ids; BM25 top-k filtered by a nested numeric
+    // field (META.CHARS — reference addJson dynamic fields). Output ids
+    // recovered from the url PK so the oracle can compare; url carries a
+    // zero-padded doc_id, so engine id order == documents id order
+    "q_json_field_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(
+        format_string("doc://%06d", col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val root = java.nio.file.Files.createTempDirectory("graft-jidx-").toString
+      IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        "battery-json-index")
+      IndexBuilder.buildJsonSidecar(s, root, docs.select(
+        format_string("doc://%06d", col("doc_id")).as("url"),
+        format_string("""{"meta": {"chars": %d}, "src": "%s"}""",
+          col("n_chars"), col("source")).as("json")))
+      new Searcher(s, root, SynonymDict.empty)
+        .searchJsonFiltered("spark", 10, "META.CHARS", col("num_val") > 300.0)
+        .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+          round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
 
     "q_date_roundtrip" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
@@ -533,6 +576,23 @@ object SparkEntry {
         |SELECT dim, path, depth, cnt, rank FROM r WHERE rank <= 10
         |ORDER BY depth, path""".stripMargin,
 
+    "q_facet_indexed" ->
+      s"""$toksCte, m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term = 'SPARK'),
+         |f AS (
+         |  SELECT doc_id, 'lang' AS dim, lang AS label FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'site', source FROM documents),
+         |c AS (
+         |  SELECT dim, label, count(*) AS cnt FROM f
+         |  WHERE doc_id IN (SELECT doc_id FROM m)
+         |  GROUP BY dim, label HAVING count(*) >= 1),
+         |r AS (
+         |  SELECT dim, label, cnt, CAST(row_number() OVER (
+         |    PARTITION BY dim ORDER BY cnt DESC, label) AS INT) AS rank FROM c)
+         |SELECT dim, label, cnt, rank FROM r WHERE rank <= 5
+         |ORDER BY dim, rank""".stripMargin,
+
     "q_facet_topn" ->
       """WITH c AS (
         |  SELECT r_name, n_name, count(*) AS cnt FROM customer
@@ -571,6 +631,11 @@ object SparkEntry {
         |  coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE),
         |           0.0) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_json_field_filter" ->
+      s"""${bm25Cte("('SPARK')", "n_chars > 300")}
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_date_roundtrip" ->
       """SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS ts_str,

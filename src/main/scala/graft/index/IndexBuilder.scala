@@ -48,12 +48,17 @@ object IndexBuilder {
       flushEntries: Long = 4L << 20, // RAM posting-buffer flush threshold
                                      // (Lucene ramBufferSize analog,
                                      // ~64 MB of buffer arrays per task)
-      indexPositions: Boolean = false) // per-posting token positions
+      indexPositions: Boolean = false, // per-posting token positions
                                        // (phrase queries; reference
                                        // DOCS_AND_FREQS_AND_POSITIONS,
                                        // Indexer.java:713-714). Off by
                                        // default: +bytes/+work that pure
                                        // bag-of-words BM25 never reads
+      buildFacets: Boolean = false)    // build-time facet sidecar from
+                                       // page columns (reference facet
+                                       // fields, Indexer.java:277-364);
+                                       // config-gated like the
+                                       // reference's useFacet flag
 
   final case class RawPage(url: String, warc_ts: Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -316,6 +321,24 @@ object IndexBuilder {
     termStats.write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
     lap("term_stats")
 
+    // build-time facet sidecar (reference facet fields, Indexer.java:
+    // 277-364): flat label + hierarchical path per dim, one map-only
+    // pass over the docstore. Empty/null values get the reference's
+    // sentinel label (UNSUPPORTED_FACET_VALUE, Indexer.java:319-325).
+    if (cfg.buildFacets) {
+      val sentinel = "__UNSUPPORTED_FACET_VALUE__"
+      val host0 = regexp_extract(col("url"), "^[a-zA-Z]+://([^/]+)", 1)
+      val host = when(host0 === "", lit(sentinel)).otherwise(host0)
+      val tld = regexp_extract(host, "([^.]+)$", 1)
+      val lang = coalesce(col("lang"), lit(sentinel))
+      docstore.select(col("doc_id"), lit("lang").as("dim"),
+          lang.as("label"), array(lang).as("path"))
+        .unionByName(docstore.select(col("doc_id"), lit("site").as("dim"),
+          host.as("label"), array(tld, host).as("path")))
+        .write.mode("overwrite").parquet(IndexStore.facetsPath(root, seg))
+      lap("facets_sidecar")
+    }
+
     val (docCount, sumDl) = {
       val r = docstore.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
@@ -527,6 +550,31 @@ object IndexBuilder {
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg, snap.tombstones))
     report
+  }
+
+  /** Searchable dynamic JSON subfields (reference `addJson`,
+    * Indexer.java:639-747 — dynamic `PARENT.CHILD` fields become
+    * index-discoverable and filter/sortable): flattens a caller-supplied
+    * `(url, json)` frame through [[graft.pipeline.JsonFields.flatten]]
+    * and writes a per-segment long-format sidecar keyed by the engine's
+    * doc_ids (join on the PK url — one broadcast-or-shuffle equi-join per
+    * segment, map-only after that). [[graft.query.Searcher]] serves
+    * filters/sorts and the field catalog from it
+    * (reference field discovery, Searcher.java:397-477). */
+  def buildJsonSidecar(spark: SparkSession, root: String,
+                       jsonByUrl: DataFrame): Unit = {
+    val snap = IndexStore.readLatestSnapshot(spark, root)
+      .getOrElse(sys.error(s"no snapshot at $root"))
+    val src = jsonByUrl.toDF("url", "json")
+    snap.segments.foreach { seg =>
+      val ds = spark.read.parquet(IndexStore.docstorePath(root, seg))
+        .select("doc_id", "url")
+      graft.pipeline.JsonFields
+        .flatten(ds.join(src, Seq("url")).select("doc_id", "json"),
+          "doc_id", "json")
+        .write.mode("overwrite")
+        .parquet(IndexStore.jsonFieldsPath(root, seg))
+    }
   }
 
   /** Delete by PK (S5, Indexer.java:915-917): tombstone the urls and

@@ -87,6 +87,8 @@ object IndexStore {
   def docstorePath(root: String, seg: String) = s"${segmentDir(root, seg)}/docstore"
   def postingsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/postings"
   def termStatsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/term_stats"
+  def facetsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/facets"
+  def jsonFieldsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/json_fields"
   def statsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/stats"
   def manifestPath(root: String, seg: String) = s"${segmentDir(root, seg)}/manifest.jsonl"
 

@@ -525,6 +525,102 @@ final class Searcher(
   def doc(docIds: Seq[Long]): DataFrame =
     docstore.filter(col("doc_id").isin(docIds: _*))
 
+  // ---- index-integrated facets (reference facetSearch,
+  //      Searcher.java:1086-1283, over build-time facet fields) --------
+
+  /** Facet sidecar written by a `buildFacets = true` build: one
+    * (doc_id, dim, label, path) table per segment. None when any
+    * segment was built without facets. */
+  lazy val facetsTable: Option[DataFrame] = {
+    val f = IndexStore.fs(spark, root)
+    val paths = snapshot.segments.map(s => IndexStore.facetsPath(root, s))
+    if (paths.forall(p => f.exists(new org.apache.hadoop.fs.Path(p))))
+      Some(paths.map(spark.read.parquet(_)).reduce(_ unionByName _))
+    else None
+  }
+
+  private def facetsOrFail: DataFrame =
+    facetsTable.getOrElse(sys.error(
+      "index has no facets sidecar — rebuild with buildFacets = true"))
+
+  /** Flat facet counts over the query's match set, straight from the
+    * index (reference sortedSetFacetSearch :1365-1429 with the
+    * getAllDims(offset, limit, minCount) paging contract). */
+  def facetSearch(query: String, conjunctive: Boolean = true,
+                  filter: Option[Column] = None, offset: Int = 0,
+                  limit: Int = 10, minCount: Long = 1): DataFrame =
+    Facets.flatCounts(matchSet(query, conjunctive, filter), facetsOrFail,
+      offset, limit, minCount)
+
+  /** Hierarchical facet tree over the match set (reference
+    * taxonomyFacetSearch :1285-1363): every tree level in one shuffle. */
+  def facetSearchHier(query: String, conjunctive: Boolean = true,
+                      filter: Option[Column] = None,
+                      topN: Int = 10): DataFrame =
+    Facets.hierarchicalCounts(matchSet(query, conjunctive, filter),
+      facetsOrFail, topN)
+
+  // ---- searchable dynamic JSON subfields (reference addJson fields,
+  //      Indexer.java:639-747; discovery Searcher.java:397-477) --------
+
+  /** Per-doc dynamic-field sidecar (`doc_id, key, vtype, str_val,
+    * num_val, date_val`) written by [[graft.index.IndexBuilder
+    * .buildJsonSidecar]]; None when any segment lacks it. */
+  lazy val jsonFieldsTable: Option[DataFrame] = {
+    val f = IndexStore.fs(spark, root)
+    val paths = snapshot.segments.map(s => IndexStore.jsonFieldsPath(root, s))
+    if (paths.forall(p => f.exists(new org.apache.hadoop.fs.Path(p))))
+      Some(paths.map(spark.read.parquet(_)).reduce(_ unionByName _))
+    else None
+  }
+
+  private def jsonFieldsOrFail: DataFrame =
+    jsonFieldsTable.getOrElse(sys.error(
+      "index has no json_fields sidecar — run IndexBuilder.buildJsonSidecar"))
+
+  /** Discoverable dynamic-field catalog: (key, vtype, n_values) — the
+    * reference re-infers its dynamic schema from index segments
+    * (Searcher.java:397-477). */
+  def jsonFieldCatalog: DataFrame =
+    jsonFieldsOrFail.groupBy("key", "vtype").agg(count(lit(1)).as("n_values"))
+
+  /** Doc set whose dynamic field `key` satisfies `pred` (over str_val /
+    * num_val / date_val). */
+  def docsWithJsonField(key: String, pred: Column): DataFrame =
+    jsonFieldsOrFail.where(col("key") === key).where(pred)
+      .select("doc_id").distinct()
+
+  /** BM25 top-k restricted to docs whose dynamic JSON field matches —
+    * a filter clause served from the index sidecar, non-scoring (Q1). */
+  def searchJsonFiltered(query: String, k: Int, key: String, pred: Column,
+                         start: Int = 0,
+                         conjunctive: Boolean = true): DataFrame = {
+    val topk = score(query, conjunctive)
+      .join(docsWithJsonField(key, pred), Seq("doc_id"), "left_semi")
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .offset(start).limit(k)
+    fetchPage(topk)
+  }
+
+  /** Matches ordered by a dynamic numeric field (the reference's
+    * sort-by-dynamic-field DocValues, Indexer.java:697-728). */
+  def searchSortByJsonField(query: String, key: String, k: Int,
+                            descending: Boolean = true,
+                            conjunctive: Boolean = true): DataFrame = {
+    val vals = jsonFieldsOrFail.where(col("key") === key)
+      .groupBy("doc_id").agg(min("num_val").as("__v"))
+    val ord = if (descending) col("__v").desc_nulls_last else col("__v").asc_nulls_last
+    val ordOut =
+      if (descending) col("sort_value").desc_nulls_last
+      else col("sort_value").asc_nulls_last
+    matchSet(query, conjunctive).join(vals, Seq("doc_id"))
+      .orderBy(ord, col("doc_id").asc).limit(k)
+      .join(docstore, Seq("doc_id"))
+      .select(col("doc_id"), col("__v").as("sort_value"), col("url"),
+        col("lang"), col("text"))
+      .orderBy(ordOut, col("doc_id").asc)
+  }
+
   // ---- serving-layer caches + timeout (Q13/S8/F6/Q10) ----------------
 
   final case class QueryKey(query: String, k: Int, start: Int,

@@ -24,6 +24,53 @@ class FacetsSpec extends AnyFunSuite with SparkTestBase {
     ids.toDF("doc_id")
   }
 
+  test("index-integrated facets: flat counts + hierarchy served by the " +
+    "Searcher from the build-time facets sidecar (Indexer.java:277-364, " +
+    "Searcher.java:1086-1283)") {
+    import graft.analysis.SynonymDict
+    import graft.index.{IndexBuilder, WebtextGen}
+    val root = tmpDir("graft-facetidx-")
+    val dict = SynonymDict.empty
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 11L, 300), dict, root,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2,
+        buildFacets = true))
+    val s = new Searcher(spark, root, dict)
+    try {
+      // direct computation from the raw pages: same match set, same dims
+      val pages = WebtextGen.pages(11L, 300).map { p =>
+        val text = if (p.text != null) p.text
+          else graft.analysis.TextExtract.extractText(p.html)
+        (p.url, p.lang, graft.analysis.Tokenizer.tokenize(text).toSet)
+      }
+      val matched = pages.filter(_._3.contains("SPARK"))
+      val host = (u: String) => u.replaceFirst("^[a-zA-Z]+://", "").takeWhile(_ != '/')
+      val expectLang = matched.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val expectSite = matched.groupBy(p => host(p._1)).view.mapValues(_.size.toLong).toMap
+      val flat = s.facetSearch("spark", limit = 1000)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val gotLang = flat.filter(_._1 == "lang").map(x => x._2 -> x._3).toMap
+      val gotSite = flat.filter(_._1 == "site").map(x => x._2 -> x._3).toMap
+      assert(gotLang == expectLang)
+      assert(gotSite == expectSite)
+      // hierarchy: depth-1 'site' prefixes are tlds — counts roll up
+      val hier = s.facetSearchHier("spark", topN = 1000)
+        .where(col("dim") === "site" && col("depth") === 1)
+        .collect().map(r => (r.getSeq[String](1).head, r.getLong(3))).toMap
+      val expectTld = matched.groupBy(p => host(p._1).split('.').last)
+        .view.mapValues(_.size.toLong).toMap
+      assert(hier == expectTld)
+    } finally s.close()
+    // an index built WITHOUT facets refuses facetSearch loudly
+    val root2 = tmpDir("graft-nofacet-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 12L, 50), dict, root2,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2))
+    val s2 = new Searcher(spark, root2, dict)
+    try {
+      val e = intercept[RuntimeException](s2.facetSearch("spark"))
+      assert(e.getMessage.contains("buildFacets"))
+    } finally s2.close()
+  }
+
   test("flat counts: rank by (cnt desc, label asc), minCount, offset/limit " +
     "paging (F2, Searcher.java:1365-1429)") {
     val all = Facets.flatCounts(matchesOf(1L to 6L: _*), facets,
