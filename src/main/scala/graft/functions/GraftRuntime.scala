@@ -103,6 +103,30 @@ object GraftRuntime {
     def toInts: Array[Int] = java.util.Arrays.copyOf(a, n)
   }
 
+  /** Cosine similarity of two equal-length double arrays: dp, |a|², |b|²
+    * accumulated in index order in one pass — value-identical to the
+    * fold-based `aggregate(zip_with(...))` formulation but ~50 ns instead
+    * of ~4 µs (the HOF tree is interpreted per element; at 10^6 candidate
+    * pairs per task that difference IS the query's runtime). */
+  def vecCosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vec_cosine: length mismatch ${n} vs ${b.numElements()}")
+    var dp = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dp += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dp / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
   /** blob → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>> */
   def vbDecode(blob: Array[Byte]): ArrayData = {
     val (docIds, tfs, dls) = VarByte.decode(blob)

@@ -118,6 +118,30 @@ case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict)
     copy(child = newChild)
 }
 
+/** `vec_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) → DOUBLE` — one-pass
+  * cosine similarity (float arrays implicit-cast in). The vector ops'
+  * hot pair-verify primitive: codegen'd native loop instead of an
+  * interpreted aggregate/zip_with tree. */
+case class VecCosineExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftRuntime.vecCosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.GraftRuntime.vecCosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>>`
   * — posting-blob decode for the query path (SURVEY.md §2.11 UDTF row).
   * `dl` rides in the posting (norms-colocation) so scoring never joins
@@ -156,6 +180,8 @@ object graftFunctions {
     col(QubeTfPosExpr(expr(c), dict))
   def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
   def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
+  def vec_cosine(a: Column, b: Column): Column =
+    col(VecCosineExpr(expr(a), expr(b)))
 
   /** Register for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

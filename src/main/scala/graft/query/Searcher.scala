@@ -42,7 +42,11 @@ final class Searcher(
     val root: String,
     dict: SynonymDict = SynonymDict.empty,
     k1: Double = 1.2,
-    b: Double = 0.75) extends AutoCloseable {
+    b: Double = 0.75,
+    /** Above this many dead docs the liveDocs anti-join falls back to a
+      * shuffle: after heavy pre-merge upsert churn the dead set is
+      * O(corpus), and a forced broadcast of it would OOM the driver. */
+    maxBroadcastDeadDocs: Long = 2000000L) extends AutoCloseable {
 
   import spark.implicits._
 
@@ -165,11 +169,6 @@ final class Searcher(
   }
   private lazy val deadDocCount: Long = deadDocs.count()
   private lazy val hasDeadDocs: Boolean = deadDocCount > 0
-
-  /** Above this many dead docs the anti-join falls back to a shuffle:
-    * after heavy pre-merge upsert churn the dead set is O(corpus), and a
-    * forced broadcast of it would OOM the driver at scale. */
-  private val maxBroadcastDeadDocs = 2000000L
 
   val maxDoc: Long = docCount
   def numDocs: Long = docCount - deadDocCount // S9: live doc count

@@ -97,6 +97,44 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close()
   }
 
+  test("majority-superseded corpus: the deadDocs anti-join falls back " +
+    "from broadcast to shuffle above the size gate with identical results") {
+    // EVERY batch-1 url re-crawled ⇒ dead set ≈ half the corpus — the
+    // pre-merge churn profile where a forced broadcast would OOM at scale
+    val reb = batch1.map { p =>
+      val fresh = WebtextGen.page(Seed + 9999, p.url.hashCode.toLong & 0xFFFF)
+      p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + dayMs),
+        html = fresh.html, text = null, lang = fresh.lang)
+    }
+    val root = tmpDir("graft-churn-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    IndexBuilder.appendSegment(spark, toDf(reb), dict, root, cfg, "b2")
+    val sBroadcast = new Searcher(spark, root, dict) // default: broadcast
+    val sShuffle = new Searcher(spark, root, dict,
+      maxBroadcastDeadDocs = 0L) // gate forces the shuffle anti-join
+    try {
+      assert(sShuffle.numDocs == batch1.size.toLong) // half the corpus dead
+      for (q <- Seq("spark", "index data")) {
+        val eb = sBroadcast.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val es = sShuffle.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(eb == es, s"query '$q'")
+        assert(eb.nonEmpty)
+      }
+      // the LeftAnti join (the dead-docs filter) must carry the broadcast
+      // hint only below the gate — line-level check because the idf join
+      // is legitimately broadcast in both plans
+      def antiHasBroadcastHint(s: Searcher): Boolean =
+        s.score("spark").queryExecution.optimizedPlan.toString
+          .linesIterator.exists(l =>
+            l.contains("LeftAnti") && l.contains("broadcast"))
+      assert(antiHasBroadcastHint(sBroadcast))
+      assert(!antiHasBroadcastHint(sShuffle),
+        "dead-docs broadcast hint survived the size gate")
+    } finally { sBroadcast.close(); sShuffle.close() }
+  }
+
   test("merge compacts to the logical view: identical to a from-scratch " +
     "build over the surviving pages") {
     val root = tmpDir("graft-merge-")
