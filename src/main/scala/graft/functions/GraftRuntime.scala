@@ -138,4 +138,23 @@ object GraftRuntime {
     }
     new GenericArrayData(out)
   }
+
+  /** blob → ARRAY<STRUCT<doc_id, tf, dl, positions ARRAY<INT>>> — the
+    * positional decode for the phrase path, as a columnar expression so
+    * the decode stays inside codegen instead of a Dataset flatMap
+    * (tuple-encoder round-trip per posting). */
+  def vbDecodePos(blob: Array[Byte]): ArrayData = {
+    val (docIds, tfs, dls, poss) = VarByte.decodeWithPositions(blob)
+    val out = new Array[Any](docIds.length)
+    var i = 0
+    while (i < docIds.length) {
+      val ps = poss(i)
+      val arr = new Array[Any](if (ps == null) 0 else ps.length)
+      var j = 0
+      while (j < arr.length) { arr(j) = ps(j); j += 1 }
+      out(i) = InternalRow(docIds(i), tfs(i), dls(i), new GenericArrayData(arr))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }

@@ -118,6 +118,29 @@ case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict)
     copy(child = newChild)
 }
 
+/** `vb_decode_pos(blob)` — [[VbDecodeExpr]] plus per-posting positions
+  * (the phrase path's decode, columnar so it stays in codegen). */
+case class VbDecodePosExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false),
+      StructField("positions", ArrayType(IntegerType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vb_decode_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.vbDecodePos(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.vbDecodePos($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vec_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) → DOUBLE` — one-pass
   * cosine similarity (float arrays implicit-cast in). The vector ops'
   * hot pair-verify primitive: codegen'd native loop instead of an
@@ -180,6 +203,7 @@ object graftFunctions {
     col(QubeTfPosExpr(expr(c), dict))
   def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
   def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
+  def vb_decode_pos(c: Column): Column = col(VbDecodePosExpr(expr(c)))
   def vec_cosine(a: Column, b: Column): Column =
     col(VecCosineExpr(expr(a), expr(b)))
 

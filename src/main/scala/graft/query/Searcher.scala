@@ -449,11 +449,10 @@ final class Searcher(
     val idfs = termIdfs(distinctTerms)
     if (idfs.size < distinctTerms.size) return emptyPage // MUST semantics
     val rows = postingsForTerms(distinctTerms)
-      .select("term", "blob").as[(String, Array[Byte])]
-      .flatMap { case (t, blob) =>
-        val (ds, tfs, dls, ps) = graft.codec.VarByte.decodeWithPositions(blob)
-        ds.indices.iterator.map(i => (t, ds(i), tfs(i), dls(i), ps(i).toSeq))
-      }.toDF("term", "doc_id", "tf", "dl", "positions")
+      .select(col("term"), explode(vb_decode_pos(col("blob"))).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"),
+        col("p.positions").as("positions"))
     val restricted = applyMatchSetRestrictions(rows, filter)
     val byDoc = restricted.groupBy("doc_id")
       .agg(collect_list(
