@@ -16,13 +16,18 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main app.jar append --input /data/delta --index /data/idx
   * spark-submit --class graft.Main app.jar delete --index /data/idx --urls https://a,https://b
   * spark-submit --class graft.Main app.jar merge  --index /data/idx
-  * spark-submit --class graft.Main app.jar search --index /data/idx --query "spark index" [--k 10] [--or] [--start 0]
+  * spark-submit --class graft.Main app.jar search --index /data/idx --query "spark index" [--k 10] [--or] [--start 0] [--phrase] [--not "terms"]
+  * spark-submit --class graft.Main app.jar facets --index /data/idx --query spark [--hier] [--limit 10]
   * spark-submit --class graft.Main app.jar stream --input /data/incoming --index /data/idx
   * }}}
+  *
+  * `build`/`append`/`merge` take `--positions` (per-posting token
+  * positions → phrase queries) and `--facets` (build-time facet
+  * sidecar, required by the `facets` command).
   */
 object Main {
 
-  private val flagArgs = Set("or")
+  private val flagArgs = Set("or", "phrase", "positions", "facets", "hier")
 
   /** key-value pairs with valueless flags handled positionally (a naive
     * sliding(2,2) would shift every option after a flag). */
@@ -70,7 +75,9 @@ object Main {
       numParts = opt.getOrElse("parts", "64").toInt,
       rangeParts = opt.getOrElse("range-parts", "32").toInt,
       saltDf = opt.getOrElse("salt-df", "10000").toLong,
-      saltFanout = opt.getOrElse("salt-fanout", "8").toInt)
+      saltFanout = opt.getOrElse("salt-fanout", "8").toInt,
+      indexPositions = opt.contains("positions"),
+      buildFacets = opt.contains("facets"))
 
   def run(spark: SparkSession, cmd: String, opt: Map[String, String]): Unit =
     cmd match {
@@ -106,10 +113,23 @@ object Main {
       case "search" =>
         val s = new Searcher(spark, opt("index"), dictOf(opt))
         try {
-          s.searchWand(opt("query"), opt.getOrElse("k", "10").toInt,
-            start = opt.getOrElse("start", "0").toInt,
-            conjunctive = !opt.contains("or"))
-            .show(truncate = false)
+          val k = opt.getOrElse("k", "10").toInt
+          val start = opt.getOrElse("start", "0").toInt
+          val page =
+            if (opt.contains("phrase")) s.searchPhrase(opt("query"), k, start)
+            else s.searchWand(opt("query"), k, start = start,
+              conjunctive = !opt.contains("or"), notQuery = opt.get("not"))
+          page.show(truncate = false)
+        } finally s.close()
+
+      case "facets" =>
+        val s = new Searcher(spark, opt("index"), dictOf(opt))
+        try {
+          val limit = opt.getOrElse("limit", "10").toInt
+          val out =
+            if (opt.contains("hier")) s.facetSearchHier(opt("query"), topN = limit)
+            else s.facetSearch(opt("query"), limit = limit)
+          out.show(100, truncate = false)
         } finally s.close()
 
       case "stream" =>
