@@ -278,6 +278,34 @@ object SparkEntry {
             lit(0.0)).as("k_val"))
         .orderBy("event_id")),
 
+    // multi-field search with per-field analyzers: body (text analyzer)
+    // + src (keyword analyzer over the url) built as parallel indexes
+    // with their own statistics; cross-field AND composes on doc_id and
+    // sums per-field BM25 scores in field order — the reference's
+    // schema-driven fields with per-field analyzer dispatch
+    "q_fielded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(
+        format_string("doc://%s/%06d", col("source"), col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val fields = Seq(
+        graft.index.FieldedIndex.FieldSpec("body", col("text")),
+        graft.index.FieldedIndex.FieldSpec("src", col("url"),
+          analyzer = graft.analysis.Tokenizer.Keyword))
+      val root = java.nio.file.Files.createTempDirectory("graft-fld-").toString
+      graft.index.FieldedIndex.buildFull(s, pages, fields, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        "battery-fielded")
+      val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
+      fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10)
+        .join(fsr.searcher("body").docstore.select("doc_id", "url"),
+          Seq("doc_id"))
+        .select(expr("cast(regexp_extract(url, '/([0-9]{6})$', 1) as bigint)")
+          .as("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
     // dynamic JSON subfields THROUGH the index: json sidecar keyed by
     // the engine's doc_ids; BM25 top-k filtered by a nested numeric
     // field (META.CHARS — reference addJson dynamic fields). Output ids
@@ -631,6 +659,42 @@ object SparkEntry {
         |  coalesce(TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS DOUBLE),
         |           0.0) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // body score = the standard tokens-CTE BM25 (single term SPARK);
+    // src-field score over the url keyword tokens [DOC, <source>,
+    // <pad6>]: tf=1 and dl=avgdl=3 for every doc, so the per-doc score
+    // closes to idf(df(source)) with the engine's exact arithmetic
+    // shape; engine doc_id order = url string order = (source, pad6)
+    "q_fielded" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT d.doc_id,
+         |    (SELECT count(*) FROM toks f WHERE f.doc_id = d.doc_id) AS dl
+         |  FROM documents d
+         |), stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfq AS (
+         |  SELECT count(*) AS df FROM tf WHERE term = 'SPARK'
+         |), body AS (
+         |  SELECT tf.doc_id,
+         |    ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sb
+         |  FROM tf JOIN dl USING (doc_id), stats s, dfq
+         |  WHERE tf.term = 'SPARK'
+         |), sdf AS (
+         |  SELECT count(*) AS df FROM documents WHERE source = 'src3'
+         |), total AS (
+         |  SELECT b.doc_id, d.source,
+         |    round(b.sb
+         |      + ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5))
+         |        * (1 * (1.2 + 1.0))
+         |        / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)), 4) AS score
+         |  FROM body b JOIN documents d USING (doc_id), stats s, sdf
+         |  WHERE d.source = 'src3')
+         |SELECT doc_id, score FROM total
+         |ORDER BY score DESC, source, doc_id LIMIT 10""".stripMargin,
 
     "q_json_field_filter" ->
       s"""${bm25Cte("('SPARK')", "n_chars > 300")}

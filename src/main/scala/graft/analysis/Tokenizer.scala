@@ -17,15 +17,33 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Tokenizer {
 
-  def tokenize(text: String): Array[String] = {
+  /** Analyzer modes (the reference dispatches an analyzer per field from
+    * its schema config, `src/Indexer.java:420`; our per-field equivalent
+    * is a per-index analyzer recorded in the segment config):
+    *  - `Text`: Unicode-whitespace split (the reference's whitespace
+    *    analyzer) — body text;
+    *  - `Keyword`: split on every non-alphanumeric codepoint — urls,
+    *    hostnames, identifiers (`doc://src3/000042` → DOC, SRC3, 000042).
+    * Both fold codepoint-uppercase. */
+  val Text = "text"
+  val Keyword = "keyword"
+
+  def tokenize(text: String): Array[String] = tokenize(text, Text)
+
+  def tokenize(text: String, mode: String): Array[String] = {
     if (text == null) return Array.empty
+    val keyword = mode == Keyword
+    require(keyword || mode == Text, s"unknown analyzer mode '$mode'")
     val out = new ArrayBuffer[String]()
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     val n = text.length
     while (i < n) {
       val cp = text.codePointAt(i)
-      if (Character.isWhitespace(cp)) {
+      val isSep =
+        if (keyword) !Character.isLetterOrDigit(cp)
+        else Character.isWhitespace(cp)
+      if (isSep) {
         if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
       } else {
         sb.appendCodePoint(Character.toUpperCase(cp))

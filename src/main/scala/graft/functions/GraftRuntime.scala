@@ -15,8 +15,10 @@ object GraftRuntime {
   def extractText(html: Array[Byte]): UTF8String =
     UTF8String.fromString(TextExtract.extractText(html))
 
-  def tokenize(text: UTF8String): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString)
+  def tokenize(text: UTF8String): ArrayData = tokenize(text, Tokenizer.Text)
+
+  def tokenize(text: UTF8String, mode: String): ArrayData = {
+    val toks = Tokenizer.tokenize(text.toString, mode)
     val out = new Array[Any](toks.length)
     var i = 0
     while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
@@ -32,8 +34,11 @@ object GraftRuntime {
     * (identical on every struct of a row) rides along so downstream needs
     * no second pass over the array. Term order = first occurrence
     * (deterministic; irrelevant to the sorted posting layout). */
-  def tfPairs(dict: SynonymDict, text: UTF8String): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString)
+  def tfPairs(dict: SynonymDict, text: UTF8String): ArrayData =
+    tfPairs(dict, text, Tokenizer.Text)
+
+  def tfPairs(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
+    val toks = Tokenizer.tokenize(text.toString, mode)
     val expanded: Seq[String] =
       if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
       else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))
@@ -57,8 +62,11 @@ object GraftRuntime {
     * token stream — the position contract shared with the golden model
     * (phrase = consecutive positions; reference indexes
     * DOCS_AND_FREQS_AND_POSITIONS, Indexer.java:713-714). */
-  def tfPairsPos(dict: SynonymDict, text: UTF8String): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString)
+  def tfPairsPos(dict: SynonymDict, text: UTF8String): ArrayData =
+    tfPairsPos(dict, text, Tokenizer.Text)
+
+  def tfPairsPos(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
+    val toks = Tokenizer.tokenize(text.toString, mode)
     val expanded: Seq[String] =
       if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
       else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))

@@ -29,16 +29,18 @@ case class ExtractTextExpr(child: Expression) extends UnaryExpression
 
 /** `qube_tokenize(text STRING) → ARRAY<STRING>` — SURVEY.md A1+A2
   * (Unicode-whitespace split + codepoint UPPERCASE fold). */
-case class QubeTokenizeExpr(child: Expression) extends UnaryExpression
+case class QubeTokenizeExpr(child: Expression,
+    mode: String = graft.analysis.Tokenizer.Text) extends UnaryExpression
     with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "qube_tokenize"
   override protected def nullSafeEval(input: Any): Any =
-    GraftRuntime.tokenize(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    GraftRuntime.tokenize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.tokenize($c)")
+    defineCodeGen(ctx, ev, c => s"""graft.functions.GraftRuntime.tokenize($c, "$mode")""")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
@@ -65,7 +67,8 @@ case class NormalizeSortKeyExpr(child: Expression) extends UnaryExpression
   * (Y3) + per-document tf count + field length in one native pass. The
   * synonym dictionary is a plan-embedded reference object (tiny; the
   * reference ships its FST to every searcher the same way). */
-case class QubeTfExpr(child: Expression, dict: graft.analysis.SynonymDict)
+case class QubeTfExpr(child: Expression, dict: graft.analysis.SynonymDict,
+    mode: String = graft.analysis.Tokenizer.Text)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(
@@ -78,11 +81,12 @@ case class QubeTfExpr(child: Expression, dict: graft.analysis.SynonymDict)
   override def prettyName: String = "qube_tf"
   override protected def nullSafeEval(input: Any): Any =
     GraftRuntime.tfPairs(dict,
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dictRef = ctx.addReferenceObj("synDict", dict,
       classOf[graft.analysis.SynonymDict].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.tfPairs($dictRef, $c)")
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.GraftRuntime.tfPairs($dictRef, $c, "$mode")""")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -93,7 +97,8 @@ case class QubeTfExpr(child: Expression, dict: graft.analysis.SynonymDict)
   * token stream (phrase-query substrate; reference
   * DOCS_AND_FREQS_AND_POSITIONS, Indexer.java:713-714). Kept separate so
   * position-free builds pay zero extra bytes or work. */
-case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict)
+case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict,
+    mode: String = graft.analysis.Tokenizer.Text)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(
@@ -108,11 +113,12 @@ case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict)
   override def prettyName: String = "qube_tf_pos"
   override protected def nullSafeEval(input: Any): Any =
     GraftRuntime.tfPairsPos(dict,
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val dictRef = ctx.addReferenceObj("synDict", dict,
       classOf[graft.analysis.SynonymDict].getName)
-    defineCodeGen(ctx, ev, c => s"graft.functions.GraftRuntime.tfPairsPos($dictRef, $c)")
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.GraftRuntime.tfPairsPos($dictRef, $c, "$mode")""")
   }
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -197,10 +203,14 @@ object graftFunctions {
 
   def extract_text(c: Column): Column = col(ExtractTextExpr(expr(c)))
   def qube_tokenize(c: Column): Column = col(QubeTokenizeExpr(expr(c)))
-  def qube_tf(c: Column, dict: graft.analysis.SynonymDict): Column =
-    col(QubeTfExpr(expr(c), dict))
-  def qube_tf_pos(c: Column, dict: graft.analysis.SynonymDict): Column =
-    col(QubeTfPosExpr(expr(c), dict))
+  def qube_tokenize(c: Column, mode: String): Column =
+    col(QubeTokenizeExpr(expr(c), mode))
+  def qube_tf(c: Column, dict: graft.analysis.SynonymDict,
+              mode: String = graft.analysis.Tokenizer.Text): Column =
+    col(QubeTfExpr(expr(c), dict, mode))
+  def qube_tf_pos(c: Column, dict: graft.analysis.SynonymDict,
+                  mode: String = graft.analysis.Tokenizer.Text): Column =
+    col(QubeTfPosExpr(expr(c), dict, mode))
   def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
   def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
   def vb_decode_pos(c: Column): Column = col(VbDecodePosExpr(expr(c)))

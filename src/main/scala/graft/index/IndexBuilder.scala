@@ -54,11 +54,17 @@ object IndexBuilder {
                                        // Indexer.java:713-714). Off by
                                        // default: +bytes/+work that pure
                                        // bag-of-words BM25 never reads
-      buildFacets: Boolean = false)    // build-time facet sidecar from
+      buildFacets: Boolean = false,    // build-time facet sidecar from
                                        // page columns (reference facet
                                        // fields, Indexer.java:277-364);
                                        // config-gated like the
                                        // reference's useFacet flag
+      analyzer: String = graft.analysis.Tokenizer.Text)
+                                       // per-index analyzer mode (the
+                                       // reference's per-field analyzer
+                                       // dispatch, Indexer.java:420);
+                                       // recorded in config.json so the
+                                       // query side analyzes identically
 
   final case class RawPage(url: String, warc_ts: Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -251,11 +257,12 @@ object IndexBuilder {
     * in the cache, and — because a document's tokens live in one row — tf
     * needs NO groupBy(term, doc_id) shuffle (at 10^12 docs that shuffle
     * would move the entire token stream). */
-  def analyze(pages: Dataset[IdPage], dict: SynonymDict): DataFrame =
+  def analyze(pages: Dataset[IdPage], dict: SynonymDict,
+              mode: String = graft.analysis.Tokenizer.Text): DataFrame =
     pages.toDF()
       .withColumn("text", coalesce(col("text"), extract_text(col("html"))))
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
-        col("text"), qube_tf(col("text"), dict).as("tf_pairs"))
+        col("text"), qube_tf(col("text"), dict, mode).as("tf_pairs"))
       .withColumn("dl",
         coalesce(element_at(col("tf_pairs"), 1).getField("dl"), lit(0)))
 
@@ -289,7 +296,7 @@ object IndexBuilder {
     // stable materialization: every later pass derives from this parquet
     // (text already extracted), so nothing row-heavy is ever cached in
     // memory and the raw-page cache can be dropped right here
-    analyze(idPages, dict)
+    analyze(idPages, dict, cfg.analyzer)
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
         col("text"), col("dl"))
       .write.mode("overwrite").parquet(IndexStore.docstorePath(root, seg))
@@ -307,7 +314,7 @@ object IndexBuilder {
     // counts (allocation/GC contention) and could never fit at scale.
     def tf: DataFrame = docstore
       .select(col("doc_id"), col("dl"),
-        explode(qube_tf(col("text"), dict)).as("p"))
+        explode(qube_tf(col("text"), dict, cfg.analyzer)).as("p"))
       .select(col("doc_id"), col("dl"), col("p.term").as("term"),
         col("p.tf").cast("long").as("tf"))
 
@@ -371,8 +378,8 @@ object IndexBuilder {
     val withPos = cfg.indexPositions
     val analyzedRows = docstore
       .select(col("doc_id"),
-        (if (withPos) qube_tf_pos(col("text"), dict)
-         else qube_tf(col("text"), dict)).as("p"))
+        (if (withPos) qube_tf_pos(col("text"), dict, cfg.analyzer)
+         else qube_tf(col("text"), dict, cfg.analyzer)).as("p"))
     val fragSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("part",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -504,7 +511,7 @@ object IndexBuilder {
     // parquet metadata count — no recompute of the aggregation
     IndexStore.writeSegmentConfig(spark, root, seg,
       IndexStore.SegmentConfig(cfg.numParts, cfg.saltFanout, cfg.blockSize,
-        hasPositions = cfg.indexPositions))
+        hasPositions = cfg.indexPositions, analyzer = cfg.analyzer))
     val termCount =
       spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
     lap("manifest_and_counts")

@@ -51,20 +51,22 @@ object IndexStore {
     * the whole index layout. */
   final case class SegmentConfig(numParts: Int, saltFanout: Int, blockSize: Int,
                                  formatVersion: Int = graft.codec.VarByte.FormatVersion,
-                                 hasPositions: Boolean = false)
+                                 hasPositions: Boolean = false,
+                                 analyzer: String = graft.analysis.Tokenizer.Text)
 
   def writeSegmentConfig(spark: SparkSession, root: String, seg: String,
                          cfg: SegmentConfig): Unit =
     writeString(fs(spark, root), new Path(s"${segmentDir(root, seg)}/config.json"),
       s"""{"num_parts":${cfg.numParts},"salt_fanout":${cfg.saltFanout},""" +
         s""""block_size":${cfg.blockSize},"format_version":${cfg.formatVersion},""" +
-        s""""positions":${cfg.hasPositions}}""")
+        s""""positions":${cfg.hasPositions},"analyzer":"${cfg.analyzer}"}""")
 
   private val numPartsRe = """"num_parts":(\d+)""".r
   private val fanoutRe = """"salt_fanout":(\d+)""".r
   private val blockRe = """"block_size":(\d+)""".r
   private val versionRe = """"format_version":(\d+)""".r
   private val positionsRe = """"positions":(true|false)""".r
+  private val analyzerRe = """"analyzer":"([a-z]+)"""".r
 
   def readSegmentConfig(spark: SparkSession, root: String,
                         seg: String): Option[SegmentConfig] = {
@@ -80,7 +82,9 @@ object IndexStore {
       // absent field = a pre-versioning segment (format 1): recorded as
       // such so the Searcher can refuse it loudly
       versionRe.findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(1),
-      positionsRe.findFirstMatchIn(s).exists(_.group(1) == "true"))
+      positionsRe.findFirstMatchIn(s).exists(_.group(1) == "true"),
+      analyzerRe.findFirstMatchIn(s).map(_.group(1))
+        .getOrElse(graft.analysis.Tokenizer.Text))
   }
 
   def segmentDir(root: String, seg: String) = s"$root/segments/$seg"

@@ -114,6 +114,17 @@ final class Searcher(
   val positionsIndexed: Boolean =
     segConfigs.values.forall(_.exists(_.hasPositions))
 
+  /** Per-index analyzer mode (the reference's per-field analyzer
+    * dispatch, Indexer.java:420): the query side MUST analyze with the
+    * same mode the index was built with, so it is read from the segment
+    * configs and required to be uniform across segments. */
+  val analyzerMode: String = {
+    val modes = segConfigs.values.flatten.map(_.analyzer).toSet
+    require(modes.size <= 1,
+      s"segments were built with different analyzers: $modes — merge first")
+    modes.headOption.getOrElse(Tokenizer.Text)
+  }
+
   /** Posting rows restricted to `terms` with PLAN-TIME partition pruning:
     * each segment's candidate `part=` set is recomputed from its stored
     * build config ({partOf(term, salt) | salt < fanout} per term) — the
@@ -179,7 +190,8 @@ final class Searcher(
     * simplification; golden model shares this contract). */
   def analyzeQuery(query: String): Seq[String] =
     if (query == null) Seq.empty
-    else dict.expand(Tokenizer.tokenize(query).toIndexedSeq).distinct.sorted
+    else dict.expand(Tokenizer.tokenize(query, analyzerMode).toIndexedSeq)
+      .distinct.sorted
 
   final case class TermInfo(term: String, df: Long, idf: Double,
                             maxTf: Int, minDl: Int)
@@ -429,7 +441,7 @@ final class Searcher(
     * preserved — the position contract is over the expanded stream. */
   def analyzePhrase(phrase: String): Seq[String] =
     if (phrase == null) Seq.empty
-    else dict.expand(Tokenizer.tokenize(phrase).toIndexedSeq)
+    else dict.expand(Tokenizer.tokenize(phrase, analyzerMode).toIndexedSeq)
 
   /** Phrase top-k (reference PhraseQuery over positional postings,
     * Indexer.java:713-714): a doc matches iff the analyzed phrase terms

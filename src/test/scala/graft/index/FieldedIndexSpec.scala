@@ -1,0 +1,89 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.analysis.{SynonymDict, Tokenizer}
+import graft.golden.GoldenBM25
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-field indexing with per-field analyzers: each field is its own
+  * index + analyzer + statistics; cross-field AND composes on doc_id.
+  * Verified against per-field golden models. */
+class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
+
+  private val Seed = 42L
+  private val N = 400
+
+  test("keyword analyzer: split on non-alphanumerics, uppercase fold") {
+    assert(Tokenizer.tokenize("https://site-3.example/page/123", Tokenizer.Keyword)
+      .toSeq == Seq("HTTPS", "SITE", "3", "EXAMPLE", "PAGE", "123"))
+    assert(Tokenizer.tokenize("a_b c.d", Tokenizer.Keyword).toSeq ==
+      Seq("A", "B", "C", "D"))
+    assert(Tokenizer.tokenize("", Tokenizer.Keyword).isEmpty)
+    intercept[IllegalArgumentException](Tokenizer.tokenize("x", "bogus"))
+  }
+
+  private lazy val root: String = {
+    val dir = tmpDir("graft-fielded-")
+    FieldedIndex.buildFull(spark, WebtextGen.df(spark, Seed, N),
+      Seq(
+        FieldedIndex.FieldSpec("text", col("text"), html = col("html")),
+        FieldedIndex.FieldSpec("url", col("url"),
+          analyzer = Tokenizer.Keyword)),
+      dir, IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2))
+    dir
+  }
+
+  private lazy val fs = new FieldedIndex.FieldedSearcher(spark, root,
+    Seq(FieldedIndex.FieldSpec("text", col("text")),
+      FieldedIndex.FieldSpec("url", col("url"),
+        analyzer = Tokenizer.Keyword)))
+
+  // per-field golden models over the same corpus and analyzers
+  private lazy val pages = WebtextGen.pages(Seed, N)
+  private def goldenDocs(tokens: WebtextGen.Page => Vector[String]) =
+    pages.map(p => (p.url, p.lang, tokens(p)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((u, l, t), i) => GoldenBM25.Doc(i.toLong, u, l, t) }
+      .toVector
+  private lazy val goldenText = new GoldenBM25.Model(goldenDocs { p =>
+    val text = if (p.text != null) p.text
+      else graft.analysis.TextExtract.extractText(p.html)
+    Tokenizer.tokenize(text).toVector
+  })
+  private lazy val goldenUrl = new GoldenBM25.Model(goldenDocs(p =>
+    Tokenizer.tokenize(p.url, Tokenizer.Keyword).toVector))
+
+  test("single-field search through the url field's keyword analyzer is " +
+    "rank- and score-identical to its golden model") {
+    // the url analyzer is read back from the field's segment config
+    assert(fs.searcher("url").analyzerMode == Tokenizer.Keyword)
+    assert(fs.searcher("text").analyzerMode == Tokenizer.Text)
+    for (q <- Seq("page 123", "site 7 example", "https")) {
+      val e = fs.searchField("url", q, 10).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val g = goldenUrl.topK(goldenUrl.analyze(q, SynonymDict.empty), 10)
+        .map(h => (h.docId, h.score))
+      assert(e == g, s"url query '$q'")
+      assert(q != "page 123" || e.size == 1) // token 123 ⇒ exactly page/123
+    }
+  }
+
+  test("cross-field AND: per-field scores summed in field order, " +
+    "identical to the golden composition") {
+    val e = fs.searchMulti(Map("text" -> "spark", "url" -> "7"), 10)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tScores = goldenText.scoreAll(
+      goldenText.analyze("spark", SynonymDict.empty), conjunctive = true)
+      .map(h => h.docId -> h.score).toMap
+    val uScores = goldenUrl.scoreAll(
+      goldenUrl.analyze("7", SynonymDict.empty), conjunctive = true)
+      .map(h => h.docId -> h.score).toMap
+    val g = (tScores.keySet intersect uScores.keySet).toSeq
+      .map(id => (id, tScores(id) + uScores(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(e == g)
+    assert(e.nonEmpty)
+  }
+}
