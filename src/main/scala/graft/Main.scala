@@ -116,7 +116,8 @@ object Main {
           val k = opt.getOrElse("k", "10").toInt
           val start = opt.getOrElse("start", "0").toInt
           val page =
-            if (opt.contains("phrase")) s.searchPhrase(opt("query"), k, start)
+            if (opt.contains("phrase"))
+              s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"))
             else s.searchWand(opt("query"), k, start = start,
               conjunctive = !opt.contains("or"), notQuery = opt.get("not"))
           page.show(truncate = false)

@@ -101,6 +101,27 @@ object SparkEntry {
       }
     }.mkString(",\n    ")
 
+  /** Collect a (small) result eagerly into a LocalRelation so the
+    * battery query can close its Searcher (unpersisting cached frames)
+    * and delete its temp index before returning — index-building battery
+    * entries would otherwise leak persisted partitions and /tmp dirs on
+    * every Verify/Bench run. */
+  private def materialized(df: DataFrame)(cleanup: => Unit): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val out = df.sparkSession.createDataFrame(
+      df.collect().toSeq.asJava, df.schema)
+    cleanup
+    out
+  }
+
+  private def deleteRec(root: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(root)
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+  }
+
   /** `(j, a, b)` VALUES rows for the MinHash permutation constants. */
   private def permValues(k: Int): String =
     (0 until k).map(j =>
@@ -233,8 +254,11 @@ object SparkEntry {
       IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
         IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
           buildFacets = true), "battery-facet-index")
-      new Searcher(s, root, SynonymDict.empty)
-        .facetSearch("spark", limit = 5).orderBy("dim", "rank")
+      val sr = new Searcher(s, root, SynonymDict.empty)
+      materialized(
+        sr.facetSearch("spark", limit = 5).orderBy("dim", "rank")) {
+        sr.close(); deleteRec(root)
+      }
     }),
 
     "q_facet_topn" -> ((s, dir) => {
@@ -298,12 +322,15 @@ object SparkEntry {
         IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
         "battery-fielded")
       val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
-      fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10)
-        .join(fsr.searcher("body").docstore.select("doc_id", "url"),
-          Seq("doc_id"))
-        .select(expr("cast(regexp_extract(url, '/([0-9]{6})$', 1) as bigint)")
-          .as("doc_id"), round(col("score"), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
+      materialized(
+        fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10)
+          .join(fsr.searcher("body").docstore.select("doc_id", "url"),
+            Seq("doc_id"))
+          .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
+            .as("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)) {
+        fsr.close(); deleteRec(root)
+      }
     }),
 
     // dynamic JSON subfields THROUGH the index: json sidecar keyed by
@@ -325,11 +352,14 @@ object SparkEntry {
         format_string("doc://%06d", col("doc_id")).as("url"),
         format_string("""{"meta": {"chars": %d}, "src": "%s"}""",
           col("n_chars"), col("source")).as("json")))
-      new Searcher(s, root, SynonymDict.empty)
-        .searchJsonFiltered("spark", 10, "META.CHARS", col("num_val") > 300.0)
-        .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
-          round(col("score"), 4).as("score"))
-        .orderBy(col("score").desc, col("doc_id").asc)
+      val sr = new Searcher(s, root, SynonymDict.empty)
+      materialized(
+        sr.searchJsonFiltered("spark", 10, "META.CHARS", col("num_val") > 300.0)
+          .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+            round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)) {
+        sr.close(); deleteRec(root)
+      }
     }),
 
     "q_date_roundtrip" -> ((s, dir) =>
@@ -608,9 +638,12 @@ object SparkEntry {
       s"""$toksCte, m AS (
          |  SELECT DISTINCT doc_id FROM toks WHERE term = 'SPARK'),
          |f AS (
-         |  SELECT doc_id, 'lang' AS dim, lang AS label FROM documents
+         |  SELECT doc_id, 'lang' AS dim,
+         |    coalesce(lang, '__UNSUPPORTED_FACET_VALUE__') AS label
+         |  FROM documents
          |  UNION ALL
-         |  SELECT doc_id, 'site', source FROM documents),
+         |  SELECT doc_id, 'site',
+         |    coalesce(source, '__UNSUPPORTED_FACET_VALUE__') FROM documents),
          |c AS (
          |  SELECT dim, label, count(*) AS cnt FROM f
          |  WHERE doc_id IN (SELECT doc_id FROM m)

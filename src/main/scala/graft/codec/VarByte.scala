@@ -138,7 +138,11 @@ object VarByte {
           var pPrev = 0
           var j = 0
           while (j < ps.length) {
-            writeVLong(body, (ps(j) - pPrev).toLong) // pos0 then gaps >= 1
+            // pos0 >= 0, then strictly ascending (same stance as docIds:
+            // a duplicate position would silently round-trip otherwise)
+            require(if (j == 0) ps(j) >= 0 else ps(j) > pPrev,
+              s"positions must be strictly ascending: ${ps(j)} after $pPrev")
+            writeVLong(body, (ps(j) - pPrev).toLong)
             pPrev = ps(j)
             j += 1
           }

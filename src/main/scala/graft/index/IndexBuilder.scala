@@ -606,6 +606,24 @@ object IndexBuilder {
             cfg: IndexConfig = IndexConfig()): BuildReport = {
     val snap = IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root"))
+    // identity knobs (analyzer / positions / facets) are properties of
+    // the INDEX, not of the merge job: inherit them from the stored
+    // segment configs so a merge can never silently rewrite a
+    // keyword-analyzer or positional index as a default text one. The
+    // passed cfg keeps control of sizing (numParts, salting, ...).
+    val stored = snap.segments.flatMap(s =>
+      IndexStore.readSegmentConfig(spark, root, s))
+    val cfg1 = stored.headOption match {
+      case Some(sc) => cfg.copy(
+        analyzer = sc.analyzer,
+        indexPositions = stored.forall(_.hasPositions),
+        buildFacets = {
+          val f = IndexStore.fs(spark, root)
+          snap.segments.forall(s => f.exists(
+            new org.apache.hadoop.fs.Path(IndexStore.facetsPath(root, s))))
+        })
+      case None => cfg
+    }
     val all = snap.segments.map(s =>
       spark.read.parquet(IndexStore.docstorePath(root, s))).reduce(_ unionByName _)
     val tombs = IndexStore.readTombstones(spark, root, snap.tombstones)
@@ -623,7 +641,7 @@ object IndexBuilder {
     val pages = winners.select(col("url"), col("warc_ts"), lit(null).cast("binary").as("html"),
       col("text"), col("lang"))
     val seg = f"seg-${snap.id + 1}%06d"
-    val report = buildSegment(spark, pages, dict, root, seg, 0L, cfg,
+    val report = buildSegment(spark, pages, dict, root, seg, 0L, cfg1,
       s"merge-of-${snap.segments.mkString("+")}")
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))

@@ -266,16 +266,15 @@ final class Searcher(
     foldScores(applyMatchSetRestrictions(decoded, filter))
   }
 
-  /** Doc set containing ANY of the NOT-clause terms (unscored): the
-    * MUST_NOT side of the reference's BooleanQuery
-    * (`Occur` clauses, Searcher.java:734-736). */
-  private def notDocSet(notTerms: Seq[String]): Option[DataFrame] = {
-    val present = termIdfs(notTerms).map(_.term)
-    if (present.isEmpty) None
-    else Some(postingsForTerms(present)
+  /** Doc set containing ANY of the given index-present NOT terms
+    * (unscored): the MUST_NOT side of the reference's BooleanQuery
+    * (`Occur` clauses, Searcher.java:734-736). Presence must already be
+    * resolved by the caller's single term_stats probe. */
+  private def notDocSet(presentNotTerms: Seq[String]): Option[DataFrame] =
+    if (presentNotTerms.isEmpty) None
+    else Some(postingsForTerms(presentNotTerms)
       .select(explode(vb_decode(col("blob"))).as("p"))
       .select(col("p.doc_id").as("doc_id")).distinct())
-  }
 
   /** Conjunctive (AND, Q5) or disjunctive (OR) match set with scores.
     * AND with any zero-df term ⇒ MatchNoDocs (BooleanQuery MUST).
@@ -285,18 +284,24 @@ final class Searcher(
             filter: Option[Column] = None,
             notQuery: Option[String] = None): DataFrame = {
     val terms = analyzeQuery(query)
-    val idfs = termIdfs(terms) // single driver lookup per query
+    val notTerms = notQuery.map(analyzeQuery).getOrElse(Seq.empty)
+    // ONE driver lookup covers MUST and MUST_NOT terms (per-query
+    // latency is job-count-bound: one cached term_stats probe, always)
+    val all = termIdfs((terms ++ notTerms).distinct)
+    val termSet = terms.toSet
+    val idfs = all.filter(i => termSet.contains(i.term))
+    val notSet = notTerms.toSet
+    val presentNot = all.map(_.term).filter(notSet.contains)
     val scored = scoredMatches(terms, idfs, filter)
     val must =
       if (conjunctive) {
         if (idfs.size < terms.size) scored.where(lit(false))
         else scored.filter(col("matched") === terms.size)
       } else scored
-    notQuery.map(analyzeQuery).filter(_.nonEmpty)
-      .flatMap(notDocSet) match {
-        case Some(nd) => must.join(nd, Seq("doc_id"), "left_anti")
-        case None => must
-      }
+    notDocSet(presentNot) match {
+      case Some(nd) => must.join(nd, Seq("doc_id"), "left_anti")
+      case None => must
+    }
   }
 
   /** Flagship: BM25 top-k with pagination (Q3 + Q11) — fetch-after-rank
@@ -452,20 +457,29 @@ final class Searcher(
     * share the scan; the alignment itself is higher-order Column logic —
     * no UDF. Requires an index built with `indexPositions = true`. */
   def searchPhrase(phrase: String, k: Int, start: Int = 0,
-                   filter: Option[Column] = None): DataFrame = {
+                   filter: Option[Column] = None,
+                   notQuery: Option[String] = None): DataFrame = {
     require(positionsIndexed,
       "phrase queries need an index built with indexPositions = true")
     val ordered = analyzePhrase(phrase)
     if (ordered.isEmpty || docCount == 0) return emptyPage
     val distinctTerms = ordered.distinct.sorted
-    val idfs = termIdfs(distinctTerms)
+    val notTerms = notQuery.map(analyzeQuery).getOrElse(Seq.empty)
+    val all = termIdfs((distinctTerms ++ notTerms).distinct) // one probe
+    val termSet = distinctTerms.toSet
+    val idfs = all.filter(i => termSet.contains(i.term))
     if (idfs.size < distinctTerms.size) return emptyPage // MUST semantics
     val rows = postingsForTerms(distinctTerms)
       .select(col("term"), explode(vb_decode_pos(col("blob"))).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.dl").as("dl"),
         col("p.positions").as("positions"))
-    val restricted = applyMatchSetRestrictions(rows, filter)
+    val notSet = notTerms.toSet
+    val restricted0 = applyMatchSetRestrictions(rows, filter)
+    val restricted = notDocSet(all.map(_.term).filter(notSet.contains)) match {
+      case Some(nd) => restricted0.join(nd, Seq("doc_id"), "left_anti")
+      case None => restricted0
+    }
     val byDoc = restricted.groupBy("doc_id")
       .agg(collect_list(
         struct(col("term"), col("tf"), col("dl"), col("positions"))).as("es"))

@@ -135,6 +135,27 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     } finally { sBroadcast.close(); sShuffle.close() }
   }
 
+  test("merge inherits the index's identity knobs (analyzer, positions, " +
+    "facets) from the stored segment configs — a default-config merge " +
+    "must not downgrade the index") {
+    val root = tmpDir("graft-mergeid-")
+    val posCfg = cfg.copy(indexPositions = true, buildFacets = true,
+      analyzer = graft.analysis.Tokenizer.Keyword)
+    IndexBuilder.buildFull(spark, toDf(batch1.take(80)), dict, root, posCfg, "b1")
+    IndexBuilder.appendSegment(spark, toDf(batch2.take(20)), dict, root, posCfg, "b2")
+    // merge with the DEFAULT config: identity must come from the index
+    IndexBuilder.merge(spark, root, dict)
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.positionsIndexed, "merge dropped positions")
+      assert(s.analyzerMode == graft.analysis.Tokenizer.Keyword,
+        "merge rewrote the analyzer")
+      assert(s.facetsTable.nonEmpty, "merge dropped the facets sidecar")
+      // and the merged index still serves positional queries
+      assert(s.searchPhrase("spark", 100).count() > 0)
+    } finally s.close()
+  }
+
   test("merge compacts to the logical view: identical to a from-scratch " +
     "build over the surviving pages") {
     val root = tmpDir("graft-merge-")
