@@ -426,6 +426,7 @@ object IndexBuilder {
               var i = 0
               val n = arr.numElements()
               val nFields = if (withPos) 4 else 3
+              var cost = 0L
               while (i < n) {
                 val s = arr.getStruct(i, nFields)
                 val term = s.getUTF8String(0).toString
@@ -439,11 +440,18 @@ object IndexBuilder {
                   if (shards.length == 1) shards(0)
                   else shards(java.lang.Math.floorMod(
                     java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout))
-                shard.append(docId, s.getInt(1), s.getInt(2),
+                val tf = s.getInt(1)
+                shard.append(docId, tf, s.getInt(2),
                   if (withPos) s.getArray(3).toIntArray() else null)
+                // flushEntries budgets BYTES-in-buffers, in units of one
+                // position-free posting (~16 B): a positional posting
+                // additionally holds an Int[] (pointer + header + 4·tf),
+                // ~4 + tf/4 units — without this weighting a 5M-doc
+                // positional build OOMs where the plain build is flat
+                cost += (if (withPos) 4L + (tf >> 2) else 1L)
                 i += 1
               }
-              entries += n
+              entries += cost
             }
             flush()
           }
