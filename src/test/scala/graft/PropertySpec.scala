@@ -122,4 +122,69 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       } finally s.close()
     }
   }
+
+  test("phrase and MUST_NOT paths ≡ golden on random corpora (positional " +
+    "index, random phrases sampled from documents)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rnd = new scala.util.Random(99887766L)
+    for (trial <- 1 to 2) {
+      val nDocs = 25 + rnd.nextInt(30)
+      val sp = spark
+      import sp.implicits._
+      val bodies = (0 until nDocs).map(_ =>
+        Vector.fill(4 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))))
+      val pages = bodies.zipWithIndex.map { case (b, i) =>
+        (f"https://p/$trial%d/$i%04d",
+          new java.sql.Timestamp(1767225600000L + i * 1000),
+          null: Array[Byte], b.mkString(" "), "en")
+      }.toDF("url", "warc_ts", "html", "text", "lang")
+      val root = tmpDir(s"graft-phraseprop-$trial-")
+      IndexBuilder.buildFull(spark, pages, SynonymDict.empty, root,
+        IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2, saltDf = 10,
+          saltFanout = 2, indexPositions = true), s"phraseprop-$trial")
+      val rows = pages.collect().sortBy(_.getString(0))
+      val docs = rows.zipWithIndex.map { case (r, i) =>
+        GoldenBM25.Doc(i.toLong, r.getString(0), r.getString(4),
+          Tokenizer.tokenize(r.getString(3)).toVector)
+      }.toVector
+      val golden = new GoldenBM25.Model(docs)
+      val s = new Searcher(spark, root, SynonymDict.empty)
+      try {
+        // phrases sampled from real docs (guaranteed hits) + misses
+        val sampled = (1 to 6).map { _ =>
+          val d = docs(rnd.nextInt(docs.size))
+          val m = 1 + rnd.nextInt(math.min(3, d.tokens.size))
+          val p = rnd.nextInt(d.tokens.size - m + 1)
+          d.tokens.slice(p, p + m).mkString(" ")
+        }
+        for (ph <- sampled ++ Seq("alpha alpha alpha alpha alpha alpha",
+          "kappa zzznope")) {
+          val g = golden.phraseTopK(golden.analyzePhrase(ph, SynonymDict.empty), 10)
+            .map(h => (h.docId, h.score))
+          val e = s.searchPhrase(ph, 10).select("doc_id", "score")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(e == g, s"phrase trial=$trial '$ph'")
+        }
+        // MUST_NOT: exact and WAND-entry paths vs golden set difference
+        for ((q, not) <- Seq(("alpha", "beta"), ("gamma delta", "alpha"),
+          ("iota", "zzznope"))) {
+          val terms = golden.analyze(q, SynonymDict.empty)
+          val notDocs = golden.scoreAll(
+            golden.analyze(not, SynonymDict.empty), conjunctive = false)
+            .map(_.docId).toSet
+          val g = golden.topK(terms, 10, conjunctive = true,
+            filter = d => !notDocs.contains(d.docId)).map(h => (h.docId, h.score))
+          val e = s.search(q, 10, notQuery = Some(not))
+            .select("doc_id", "score").collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          val w = s.searchWand(q, 10, notQuery = Some(not))
+            .select("doc_id", "score").collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(e == g, s"NOT exact trial=$trial q=$q not=$not")
+          assert(w == g, s"NOT wand trial=$trial q=$q not=$not")
+        }
+      } finally s.close()
+    }
+  }
 }

@@ -83,6 +83,46 @@ class PhraseSpec extends AnyFunSuite with SparkTestBase {
     assert(enginePhrase(ph, start = 5) == goldenPhrase(ph, start = 5))
   }
 
+  test("phrase across APPENDED positional segments matches golden over " +
+    "the combined corpus (per-segment blobs, global statistics)") {
+    val dir = tmpDir("graft-posinc-")
+    val cfg = IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2,
+      indexPositions = true)
+    val n1 = 250
+    val n2 = 150
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 5L, n1), dict, dir, cfg)
+    // disjoint url space: different seed ⇒ fresh pages, ids continue
+    val extra = WebtextGen.df(spark, 6L, n2)
+      .withColumn("url", org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("x-"),
+          org.apache.spark.sql.functions.col("url")))
+    IndexBuilder.appendSegment(spark, extra, dict, dir, cfg)
+    val s = new Searcher(spark, dir, dict)
+    try {
+      assert(s.positionsIndexed)
+      // golden over BOTH segments with the engine's id rule
+      val seg1 = WebtextGen.pages(5L, n1).map(p => (p.url, p))
+      val seg2 = WebtextGen.pages(6L, n2).map(p => ("x-" + p.url, p))
+      def docsOf(seg: Seq[(String, graft.index.WebtextGen.Page)], base: Long) =
+        seg.sortBy(_._1).zipWithIndex.map { case ((u, p), i) =>
+          val text = if (p.text != null) p.text
+            else graft.analysis.TextExtract.extractText(p.html)
+          GoldenBM25.Doc(base + i,
+            u, p.lang, dict.expand(
+              graft.analysis.Tokenizer.tokenize(text).toIndexedSeq))
+        }
+      val g = new GoldenBM25.Model(docsOf(seg1, 0L) ++ docsOf(seg2, n1.toLong))
+      val phrases = Seq("spark index", "index build", "search")
+      for (ph <- phrases) {
+        val e = s.searchPhrase(ph, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val gg = g.phraseTopK(g.analyzePhrase(ph, dict), 10)
+          .map(h => (h.docId, h.score))
+        assert(e == gg, s"multi-segment phrase '$ph'")
+      }
+    } finally s.close()
+  }
+
   test("searchPhrase on a position-less index fails loudly") {
     val dir = tmpDir("graft-noposidx-")
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, 7L, 50), dict, dir,
