@@ -33,7 +33,9 @@ object SparkEntry {
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, 42L, 500), dict, root,
       cfg, "entry(seed=42,n=500)")
     val s = new Searcher(spark, root, dict)
-    s.searchWand("spark index", 10)
+    materialized(s.searchWand("spark index", 10)) {
+      s.close(); deleteRec(root)
+    }
   }
 
   // ---- shared SQL fragments (DuckDB dialect, ANSI-leaning) -----------

@@ -58,6 +58,39 @@ class StreamIndexerSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close()
   }
 
+  test("streamed POSITIONAL segments serve phrase queries with dead-doc " +
+    "(upsert) exclusion") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val root = tmpDir("graft-streampos-")
+    val input = MemoryStream[(String, Timestamp, Array[Byte], String, String)]
+    val pages = input.toDF().toDF("url", "warc_ts", "html", "text", "lang")
+    val q = StreamIndexer.start(spark, pages, dict, root,
+      cfg.copy(indexPositions = true), Some(tmpDir("graft-streampos-ckpt-")))
+    try {
+      input.addData(page("https://p/1", 1, "spark engine fast"),
+        page("https://p/2", 1, "engine spark reversed"))
+      q.processAllAvailable()
+      input.addData( // upsert p/1: loses the "spark engine" adjacency
+        page("https://p/1", 9, "spark fast engine now split"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.positionsIndexed)
+      // only the live version of p/1 counts: phrase no longer matches it,
+      // and p/2 has the terms but not the adjacency
+      assert(s.searchPhrase("spark engine", 10).count() == 0)
+      assert(s.searchPhrase("engine spark", 10)
+        .select("url").collect().map(_.getString(0)).toSeq ==
+        Seq("https://p/2"))
+      assert(s.searchPhrase("fast engine", 10)
+        .select("url").collect().map(_.getString(0)).toSeq ==
+        Seq("https://p/1"))
+    } finally s.close()
+  }
+
   test("batch re-delivery is idempotent (exactly-once append)") {
     val sp = spark
     import sp.implicits._
