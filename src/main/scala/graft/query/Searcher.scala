@@ -474,8 +474,19 @@ final class Searcher(
       .select(col("term"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.dl").as("dl"),
         col("p.positions").as("positions"))
+    // rarest-term pre-intersection: every phrase match contains every
+    // term, so docs(rarest) is a complete candidate superset — at scale
+    // this is the difference between shuffling a stopword's full posting
+    // list into the groupBy and shuffling the rare term's. Gated on a
+    // real df skew so cheap queries don't pay the extra join.
+    val rarest = idfs.minBy(_.df)
+    val rows0 =
+      if (idfs.size > 1 && idfs.map(_.df).max > 8 * rarest.df) {
+        val rare = rows.where(col("term") === rarest.term).select("doc_id")
+        rows.join(rare, Seq("doc_id"), "left_semi")
+      } else rows
     val notSet = notTerms.toSet
-    val restricted0 = applyMatchSetRestrictions(rows, filter)
+    val restricted0 = applyMatchSetRestrictions(rows0, filter)
     val restricted = notDocSet(all.map(_.term).filter(notSet.contains)) match {
       case Some(nd) => restricted0.join(nd, Seq("doc_id"), "left_anti")
       case None => restricted0
