@@ -224,5 +224,8 @@ object graftFunctions {
     reg.createOrReplaceTempFunction("qube_tokenize", es => QubeTokenizeExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("normalize_sort_key", es => NormalizeSortKeyExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vb_decode", es => VbDecodeExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vb_decode_pos", es => VbDecodePosExpr(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      es => VecCosineExpr(es.head, es(1)), "scala_udf")
   }
 }
