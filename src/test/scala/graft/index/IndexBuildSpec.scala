@@ -83,6 +83,17 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
     assert(postingsFingerprint(a) == postingsFingerprint(b))
   }
 
+  test("POSITIONAL flushes converge too (the weighted flush budget path: " +
+    "fragment positions survive tiny flushes + the k-way merge)") {
+    val a = tmpDir("graft-pflush-a-")
+    val b = tmpDir("graft-pflush-b-")
+    val pcfg = cfg.copy(indexPositions = true)
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, a, pcfg, "x")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, b,
+      pcfg.copy(flushEntries = 97L), "x")
+    assert(postingsFingerprint(a) == postingsFingerprint(b))
+  }
+
   test("empty corpus builds a valid empty index; searches MatchNoDocs " +
     "(S7, Searcher.java:248-284 create-empty-index)") {
     val root = tmpDir("graft-empty-")
