@@ -164,6 +164,12 @@ object SparkEntry {
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 10, notTerms = Seq("fast"))),
 
+    // Lucene's minimumNumberShouldMatch: OR of 3 terms, >= 2 must match
+    "q_bm25_msm" -> ((s, dir) =>
+      TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "vector"), 10, conjunctive = false,
+        minShouldMatch = 2)),
+
     // phrase query: adjacency over token positions, BM25 over the terms
     "q_phrase" -> ((s, dir) =>
       TextOps.phraseTopK(t(s, dir, "documents"), "doc_id", "text",
@@ -550,6 +556,11 @@ object SparkEntry {
       s"""${bm25Cte("('SPARK'), ('JOIN')")}
          |SELECT doc_id, score FROM scored WHERE matched = 2
          |AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'FAST')
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bm25_msm" ->
+      s"""${bm25Cte("('JOIN'), ('SPARK'), ('VECTOR')")}
+         |SELECT doc_id, score FROM scored WHERE matched >= 2
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_phrase" ->

@@ -53,9 +53,10 @@ object TextOps {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queryTerms: Seq[String], k: Int, conjunctive: Boolean = true,
                filter: Option[Column] = None, roundTo: Int = 4,
-               notTerms: Seq[String] = Nil): DataFrame =
+               notTerms: Seq[String] = Nil,
+               minShouldMatch: Int = 0): DataFrame =
     bm25Scores(docs, idCol, textCol, queryTerms, conjunctive, filter, roundTo,
-        notTerms)
+        notTerms, minShouldMatch)
       .orderBy(col("score").desc, col(idCol).asc)
       .select(idCol, "score").limit(k)
 
@@ -84,7 +85,8 @@ object TextOps {
   def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
                  queryTerms: Seq[String], conjunctive: Boolean = true,
                  filter: Option[Column] = None, roundTo: Int = 4,
-                 notTerms: Seq[String] = Nil): DataFrame = {
+                 notTerms: Seq[String] = Nil,
+                 minShouldMatch: Int = 0): DataFrame = {
     val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
     // collection stats and df are GLOBAL — the filter clause matches but
     // never scores and never shifts statistics (reference Q1 semantics,
@@ -120,6 +122,7 @@ object TextOps {
         aggregate(col("__p"), lit(0.0d), (acc, x) => acc + x("contrib")), roundTo))
       .select(col(idCol), col("matched"), col("score"))
     if (conjunctive) scored.filter(col("matched") === terms.size)
+    else if (minShouldMatch > 0) scored.filter(col("matched") >= minShouldMatch)
     else scored
   }
 

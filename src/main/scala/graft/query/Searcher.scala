@@ -279,10 +279,14 @@ final class Searcher(
   /** Conjunctive (AND, Q5) or disjunctive (OR) match set with scores.
     * AND with any zero-df term ⇒ MatchNoDocs (BooleanQuery MUST).
     * `notQuery` terms are MUST_NOT clauses: matching docs are excluded
-    * and never score (left-anti on the NOT-term doc set). */
+    * and never score (left-anti on the NOT-term doc set).
+    * `minShouldMatch` (OR mode only) is Lucene's
+    * minimumNumberShouldMatch: a doc must match at least that many
+    * distinct SHOULD terms. */
   def score(query: String, conjunctive: Boolean = true,
             filter: Option[Column] = None,
-            notQuery: Option[String] = None): DataFrame = {
+            notQuery: Option[String] = None,
+            minShouldMatch: Int = 0): DataFrame = {
     val terms = analyzeQuery(query)
     val notTerms = notQuery.map(analyzeQuery).getOrElse(Seq.empty)
     // ONE driver lookup covers MUST and MUST_NOT terms (per-query
@@ -297,7 +301,9 @@ final class Searcher(
       if (conjunctive) {
         if (idfs.size < terms.size) scored.where(lit(false))
         else scored.filter(col("matched") === terms.size)
-      } else scored
+      } else if (minShouldMatch > 0)
+        scored.filter(col("matched") >= minShouldMatch)
+      else scored
     notDocSet(presentNot) match {
       case Some(nd) => must.join(nd, Seq("doc_id"), "left_anti")
       case None => must
@@ -309,8 +315,9 @@ final class Searcher(
   def search(query: String, k: Int, start: Int = 0,
              conjunctive: Boolean = true,
              filter: Option[Column] = None,
-             notQuery: Option[String] = None): DataFrame = {
-    val topk = score(query, conjunctive, filter, notQuery)
+             notQuery: Option[String] = None,
+             minShouldMatch: Int = 0): DataFrame = {
+    val topk = score(query, conjunctive, filter, notQuery, minShouldMatch)
       .orderBy(col("score").desc, col("doc_id").asc)
       .offset(start).limit(k)
     topk.join(docstore, Seq("doc_id"))
@@ -366,12 +373,16 @@ final class Searcher(
                  filter: Option[Column] = None,
                  maxRescore: Int = 2000000,
                  wandMinDf: Long = 500000,
-                 notQuery: Option[String] = None): DataFrame = {
-    // MUST_NOT removes docs, which can only LOWER the final kth score —
-    // a θ seeded without the NOT clause could over-prune, so NOT queries
-    // take the exact path (same stance as filter clauses and dead docs)
-    if (hasDeadDocs || filter.nonEmpty || notQuery.exists(_.nonEmpty))
-      return search(query, k, start, conjunctive, filter, notQuery)
+                 notQuery: Option[String] = None,
+                 minShouldMatch: Int = 0): DataFrame = {
+    // MUST_NOT and minShouldMatch both REMOVE docs, which can only LOWER
+    // the final kth score — a θ seeded without them could over-prune, so
+    // those queries take the exact path (same stance as filter clauses
+    // and dead docs)
+    if (hasDeadDocs || filter.nonEmpty || notQuery.exists(_.nonEmpty) ||
+        minShouldMatch > 0)
+      return search(query, k, start, conjunctive, filter, notQuery,
+        minShouldMatch)
     val n = start + k
     val terms = analyzeQuery(query)
     if (terms.isEmpty || docCount == 0) return emptyPage

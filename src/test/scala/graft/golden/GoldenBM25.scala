@@ -54,9 +54,11 @@ object GoldenBM25 {
       dict.expand(Tokenizer.tokenize(query).toIndexedSeq).distinct.sorted
 
     /** All matches with scores; contributions summed in ascending term
-      * order (the shared determinism contract). */
+      * order (the shared determinism contract). `minShouldMatch` (OR
+      * mode): a doc must match at least that many distinct terms. */
     def scoreAll(terms: Seq[String], conjunctive: Boolean,
-                 filter: Doc => Boolean = _ => true): Seq[Hit] = {
+                 filter: Doc => Boolean = _ => true,
+                 minShouldMatch: Int = 0): Seq[Hit] = {
       val ts = terms.distinct.sorted
       if (ts.isEmpty) return Seq.empty
       if (conjunctive && ts.exists(df(_) == 0L)) return Seq.empty
@@ -67,6 +69,8 @@ object GoldenBM25 {
             .getOrElse(Set.empty).toSeq
         else perTerm.flatMap(_._2.keys).distinct
       candidates
+        .filter(id => conjunctive || minShouldMatch <= 0 ||
+          perTerm.count(_._2.contains(id)) >= minShouldMatch)
         .filter(id => filter(byId(id)))
         .map { id =>
           var s = 0.0

@@ -126,6 +126,28 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(w == goldenTopK(q))
   }
 
+  test("minimumShouldMatch (OR, >= m of n terms) matches golden on exact " +
+    "and WAND-entry paths") {
+    val threeTerm = querySet.filter(q =>
+      !q.conjunctive && q.filterLang.isEmpty &&
+        golden.analyze(q.query, dict).size >= 3)
+    val qs = if (threeTerm.nonEmpty) threeTerm.take(3)
+      else Seq(Q("msm", "spark index search", conjunctive = false, None))
+    for (q <- qs; m <- Seq(2, 3)) {
+      val terms = golden.analyze(q.query, dict)
+      val g = golden.scoreAll(terms, conjunctive = false, minShouldMatch = m)
+        .sortBy(h => (-h.score, h.docId)).take(K).map(h => (h.docId, h.score))
+      val e = searcher.search(q.query, K, conjunctive = false,
+          minShouldMatch = m).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val w = searcher.searchWand(q.query, K, conjunctive = false,
+          minShouldMatch = m).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(e == g, s"${q.name} m=$m exact")
+      assert(w == g, s"${q.name} m=$m wand-entry")
+    }
+  }
+
   test("k=0 is a valid (empty) request on every path") {
     assert(searcher.search("spark", 0).isEmpty)
     assert(searcher.searchWand("spark", 0).isEmpty)
