@@ -606,6 +606,20 @@ final class Searcher(
     Facets.hierarchicalCounts(matchSet(query, conjunctive, filter),
       facetsOrFail, topN)
 
+  /** Facet math over the match set, straight from the index (reference
+    * per-label count/sum/min/max/average + `*_total`, Searcher.java:
+    * 1438-1555): labels from the facets sidecar, numeric values from a
+    * docstore column — the docstore IS our DocValues analog, so the ref
+    * field is any of its numeric columns (e.g. `dl`). */
+  def facetMathSearch(query: String, dim: String, valueCol: String,
+                      conjunctive: Boolean = true,
+                      filter: Option[Column] = None): DataFrame = {
+    val f = facetsOrFail.where(col("dim") === dim).select("doc_id", "label")
+    Facets.facetMath(matchSet(query, conjunctive, filter),
+      f.join(docstore.select(col("doc_id"), col(valueCol)), Seq("doc_id")),
+      valueCol)
+  }
+
   // ---- searchable dynamic JSON subfields (reference addJson fields,
   //      Indexer.java:639-747; discovery Searcher.java:397-477) --------
 

@@ -59,6 +59,33 @@ class FacetsSpec extends AnyFunSuite with SparkTestBase {
       val expectTld = matched.groupBy(p => host(p._1).split('.').last)
         .view.mapValues(_.size.toLong).toMap
       assert(hier == expectTld)
+      // facet MATH through the index: per-lang stats over the docstore's
+      // dl column (count/sum/min/max/avg + *_total)
+      def num(r: org.apache.spark.sql.Row, i: Int): Double =
+        r.get(i).asInstanceOf[Number].doubleValue
+      val math = s.facetMathSearch("spark", "lang", "dl")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), num(r, 2), num(r, 3), num(r, 4), num(r, 5))).toMap
+      val matchedCounts = WebtextGen.pages(11L, 300).flatMap { pg =>
+        val text = if (pg.text != null) pg.text
+          else graft.analysis.TextExtract.extractText(pg.html)
+        val toks = graft.analysis.Tokenizer.tokenize(text)
+        if (toks.contains("SPARK")) Some(pg.lang -> toks.length.toDouble)
+        else None
+      }
+      val perLang = matchedCounts.groupBy(_._1).map { case (l, xs) =>
+        val v = xs.map(_._2)
+        l -> (v.size.toLong, v.sum, v.min, v.max,
+          BigDecimal(v.sum / v.size).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      perLang.foreach { case (l, (cnt, sum, mn, mx, _)) =>
+        val got = math(l)
+        assert(got._1 == cnt && got._2 == sum && got._3 == mn && got._4 == mx,
+          s"lang=$l got=$got")
+      }
+      val tot = math("*_total")
+      assert(tot._1 == matchedCounts.size.toLong)
     } finally s.close()
     // an index built WITHOUT facets refuses facetSearch loudly
     val root2 = tmpDir("graft-nofacet-")
