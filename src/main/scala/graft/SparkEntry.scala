@@ -124,6 +124,36 @@ object SparkEntry {
         .forEach(f => Files.deleteIfExists(f))
   }
 
+  /** The bucketed near-dup CTE chain (planes → buckets → candidates →
+    * per-pair dot/norm sums), shared by q_vec_neardup and
+    * q_neardup_dedup. */
+  private lazy val neardupCtes: String =
+    s"""planes AS (
+       |  SELECT * FROM (VALUES
+       |    ${planesValues(neardupSeeds, nPlanes = 4, dim = 64)}
+       |  ) p(sid, pid, w)),
+       |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+       |dots AS (
+       |  SELECT e.vec_id, p.sid, p.pid,
+       |    sum(CAST(e.embedding[i.i] AS DOUBLE) * p.w[i.i]) AS d
+       |  FROM embeddings e, planes p, idx i GROUP BY 1, 2, 3),
+       |buck AS (
+       |  SELECT vec_id, sid, CAST(sum(CASE WHEN d >= 0
+       |    THEN (1::BIGINT << pid) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM buck x JOIN buck y
+       |    ON x.sid = y.sid AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |s AS (
+       |  SELECT c.id_a, c.id_b,
+       |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
+       |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
+       |    sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
+       |  JOIN embeddings b ON b.vec_id = c.id_b, idx i
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** `(j, a, b)` VALUES rows for the MinHash permutation constants. */
   private def permValues(k: Int): String =
     (0 until k).map(j =>
@@ -494,6 +524,16 @@ object SparkEntry {
       VectorOps.cosineNearDupPairs(t(s, dir, "embeddings"), "vec_id",
           "embedding", threshold = 0.45, seeds = neardupSeeds, nPlanes = 4)
         .orderBy("id_a", "id_b")),
+
+    // dedup APPLICATION: collapse the near-dup pairs into components,
+    // keep_id = each component's smallest id (the survivor)
+    "q_neardup_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = VectorOps.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.45, seeds = neardupSeeds, nPlanes = 4)
+      TextOps.nearDupComponents(emb.select("vec_id"), "vec_id", pairs)
+        .orderBy("id")
+    }),
 
     // ---- match-set re-rank by vector similarity (SURVEY.md Q15: the
     //      reference's image re-rank, Searcher.java:963-1069, over our
@@ -886,34 +926,26 @@ object SparkEntry {
     // replays the engine's bucketed path: same seeded planes (inlined),
     // same per-seed bucket membership, exact cosine only on candidates
     "q_vec_neardup" ->
-      s"""WITH planes AS (
-         |  SELECT * FROM (VALUES
-         |    ${planesValues(neardupSeeds, nPlanes = 4, dim = 64)}
-         |  ) p(sid, pid, w)),
-         |idx AS (SELECT unnest(generate_series(1, 64)) AS i),
-         |dots AS (
-         |  SELECT e.vec_id, p.sid, p.pid,
-         |    sum(CAST(e.embedding[i.i] AS DOUBLE) * p.w[i.i]) AS d
-         |  FROM embeddings e, planes p, idx i GROUP BY 1, 2, 3),
-         |buck AS (
-         |  SELECT vec_id, sid, CAST(sum(CASE WHEN d >= 0
-         |    THEN (1::BIGINT << pid) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM dots GROUP BY 1, 2),
-         |cand AS (
-         |  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM buck x JOIN buck y
-         |    ON x.sid = y.sid AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
-         |s AS (
-         |  SELECT c.id_a, c.id_b,
-         |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS dp,
-         |    sum(CAST(a.embedding[i.i] AS DOUBLE) * CAST(a.embedding[i.i] AS DOUBLE)) AS na,
-         |    sum(CAST(b.embedding[i.i] AS DOUBLE) * CAST(b.embedding[i.i] AS DOUBLE)) AS nb
-         |  FROM cand c JOIN embeddings a ON a.vec_id = c.id_a
-         |  JOIN embeddings b ON b.vec_id = c.id_b, idx i
-         |  GROUP BY 1, 2)
+      s"""WITH $neardupCtes
          |SELECT id_a, id_b, round(dp / (sqrt(na) * sqrt(nb)), 4) AS cosine
          |FROM s WHERE round(dp / (sqrt(na) * sqrt(nb)), 4) >= 0.45
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the same near-dup pairs: transitive
+    // min-label closure as a recursive CTE
+    "q_neardup_dedup" ->
+      s"""WITH RECURSIVE $neardupCtes,
+         |np AS (
+         |  SELECT id_a, id_b FROM s
+         |  WHERE round(dp / (sqrt(na) * sqrt(nb)), 4) >= 0.45),
+         |e AS (SELECT id_a AS a, id_b AS b FROM np
+         |      UNION ALL SELECT id_b, id_a FROM np),
+         |reach(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.b, reach.lbl FROM reach JOIN e ON e.a = reach.id)
+         |SELECT id, min(lbl) AS keep_id FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin,
 
     // MinHash+LSH with the portable Horner hash and k=16 bands of 1 row:
     // candidates agree on some minhash lane; exact Jaccard verify is

@@ -360,6 +360,40 @@ object TextOps {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Collapse near-duplicate PAIRS into components: (id, keep_id) where
+    * keep_id is the component's smallest id — the "keep one
+    * representative, drop the rest" step of web-scale dedup, applicable
+    * to any pair source (MinHash, SimHash, embedding-cosine). Iterative
+    * min-label propagation over the symmetric edge set; duplicate
+    * components are tiny, so convergence takes a handful of rounds (one
+    * shuffle each, label frame localCheckpointed so the plan does not
+    * grow with iterations). At 10^12 docs the same loop runs with
+    * large-star/small-star rounds — the per-round shape is identical. */
+  def nearDupComponents(ids: DataFrame, idCol: String,
+                        pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids
+      .select(col(idCol).cast("long").as("id"),
+        col(idCol).cast("long").as("keep_id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = true
+    while (changed && iter < maxIters) {
+      val prop = labels.join(edges, labels("id") === edges("src"))
+        .select(col("dst").as("id"), col("keep_id"))
+      val next = labels.union(prop).groupBy("id")
+        .agg(min("keep_id").as("keep_id")).localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("keep_id", "__old"), Seq("id"))
+        .where(col("keep_id") < col("__old")).limit(1).count() > 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Top-n rows per group by ordering columns — the window-rank shape the
     * engine uses for facet paging (SURVEY.md §2.9). */
   def topNPerGroup(df: DataFrame, groupCols: Seq[String],

@@ -69,6 +69,22 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.9, s"planted recall=$recall")
   }
 
+  test("nearDupComponents: transitive chains collapse to the smallest id; " +
+    "singletons keep themselves") {
+    val sp = spark
+    import sp.implicits._
+    // components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star), {99}
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L, 22L, 99L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = TextOps.nearDupComponents(ids, "id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 99L -> 99L))
+    // survivors = distinct keep_ids; dropped = everything else
+    assert(got.values.toSet == Set(1L, 10L, 20L, 99L))
+  }
+
   test("multimodal resize: deterministic, schema-stable, length bounded") {
     val sp = spark
     import sp.implicits._
