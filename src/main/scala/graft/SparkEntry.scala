@@ -154,6 +154,27 @@ object SparkEntry {
        |  JOIN embeddings b ON b.vec_id = c.id_b, idx i
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** The SimHash CTE chain (tokens → tf → packed 62-bit hash → weighted
+    * bits → per-doc hash), shared by q_simhash and q_simhash_pairs. */
+  private lazy val simhashCtes: String =
+    s"""$toksCte, tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+       |), h AS (
+       |  SELECT doc_id, tf,
+       |    ${polyHashSql("term", 31L, 2147483647L)} * 2147483648
+       |    + ${polyHashSql("term", 37L, 2147483629L)} AS h
+       |  FROM tf
+       |), bits AS (
+       |  SELECT doc_id, j.j,
+       |    CAST(sum(CASE WHEN (h >> j.j) & 1 = 1 THEN tf ELSE -tf END)
+       |      AS BIGINT) AS acc
+       |  FROM h, (SELECT unnest(generate_series(0, 61)) AS j) j
+       |  GROUP BY 1, 2
+       |), sim AS (
+       |  SELECT doc_id, CAST(sum(CASE WHEN acc > 0
+       |    THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   /** `(j, a, b)` VALUES rows for the MinHash permutation constants. */
   private def permValues(k: Int): String =
     (0 until k).map(j =>
@@ -492,6 +513,15 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       TextOps.simhash64(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // chunk-bucketed SimHash pairs: the 16-bit-chunk pigeonhole is
+    // EXHAUSTIVE at maxDist <= 3 (3 flipped bits touch <= 3 of 4
+    // chunks), so the bucketed engine output equals the oracle's
+    // brute-force Hamming join
+    "q_simhash_pairs" -> ((s, dir) =>
+      TextOps.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxDist = 3)
+        .orderBy("id_a", "id_b")),
 
     // ---- similarity search over embeddings ----
     "q_ann_cosine" -> ((s, dir) => {
@@ -985,26 +1015,22 @@ object SparkEntry {
     // 62-bit SimHash: two poly-hash lanes packed as h1·2^31 + h2; bit
     // j weighted by tf; token-less docs hash to 0 (engine's empty fold)
     "q_simhash" ->
-      s"""$toksCte, tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
-         |), h AS (
-         |  SELECT doc_id, tf,
-         |    ${polyHashSql("term", 31L, 2147483647L)} * 2147483648
-         |    + ${polyHashSql("term", 37L, 2147483629L)} AS h
-         |  FROM tf
-         |), bits AS (
-         |  SELECT doc_id, j.j,
-         |    CAST(sum(CASE WHEN (h >> j.j) & 1 = 1 THEN tf ELSE -tf END)
-         |      AS BIGINT) AS acc
-         |  FROM h, (SELECT unnest(generate_series(0, 61)) AS j) j
-         |  GROUP BY 1, 2
-         |), sim AS (
-         |  SELECT doc_id, CAST(sum(CASE WHEN acc > 0
-         |    THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
+      s"""$simhashCtes
          |SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
          |FROM documents d LEFT JOIN sim s USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
+
+    // brute-force Hamming join over all pairs — the engine's chunk
+    // buckets are exhaustive at maxDist <= 3, so the sets must be equal
+    "q_simhash_pairs" ->
+      s"""$simhashCtes, allh AS (
+         |  SELECT d.doc_id, coalesce(s.simhash, 0) AS sh
+         |  FROM documents d LEFT JOIN sim s USING (doc_id))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+         |FROM allh a JOIN allh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // sign-LSH ANN: bucket every row with the seeded planes (inlined),
     // probe the query's bucket + its 4 Hamming-1 neighbors, exact cosine
