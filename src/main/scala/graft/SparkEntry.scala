@@ -80,6 +80,15 @@ object SparkEntry {
   // The sketches are deterministic functions of seeded constants, so the
   // oracle SQL inlines those constants (computed HERE, once, by the same
   // code the engine uses) and replays the identical integer arithmetic.
+  //
+  // Float-epsilon caveat (sign-LSH bucket bits): the oracle's hyperplane
+  // dot products use an unordered SQL SUM while the engine folds in index
+  // order, so a dot product within double-epsilon of 0 could in principle
+  // flip a bucket bit on one side only (bucket membership is a hard sign
+  // threshold, unlike the rounded cosine compares). This is accepted: the
+  // planes are seeded Gaussians over 64 dims and the inputs are coarse
+  // floats, so P(|dot| < 1e-12) is negligible — and a flip would surface
+  // as a loud rows-mismatch in the gate, not a silent wrong answer.
 
   private[graft] val neardupSeeds: Seq[Long] = (0 until 8).map(i => 42L + i)
 
@@ -119,9 +128,12 @@ object SparkEntry {
   private def deleteRec(root: String): Unit = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(root)
-    if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+    if (Files.exists(p)) {
+      val walk = Files.walk(p) // must be closed: it holds a directory handle
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
   }
 
   /** The bucketed near-dup CTE chain (planes → buckets → candidates →
@@ -382,11 +394,14 @@ object SparkEntry {
         "battery-fielded")
       val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
       materialized(
-        fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10)
+        // rank on 4dp-rounded scores to mirror the oracle's rounded rank
+        // (TextOps.bm25TopK convention — round BEFORE the limit)
+        fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10,
+            roundScoresTo = Some(4))
           .join(fsr.searcher("body").docstore.select("doc_id", "url"),
             Seq("doc_id"))
           .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
-            .as("doc_id"), round(col("score"), 4).as("score"))
+            .as("doc_id"), col("score"))
           .orderBy(col("score").desc, col("doc_id").asc)) {
         fsr.close(); deleteRec(root)
       }
@@ -413,9 +428,10 @@ object SparkEntry {
           col("n_chars"), col("source")).as("json")))
       val sr = new Searcher(s, root, SynonymDict.empty)
       materialized(
-        sr.searchJsonFiltered("spark", 10, "META.CHARS", col("num_val") > 300.0)
+        sr.searchJsonFiltered("spark", 10, "META.CHARS", col("num_val") > 300.0,
+            roundScoresTo = Some(4)) // rounded rank = the oracle's rank
           .select(expr("cast(substring(url, 7) as bigint)").as("doc_id"),
-            round(col("score"), 4).as("score"))
+            col("score"))
           .orderBy(col("score").desc, col("doc_id").asc)) {
         sr.close(); deleteRec(root)
       }

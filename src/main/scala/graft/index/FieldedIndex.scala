@@ -65,9 +65,14 @@ object FieldedIndex {
     /** Cross-field AND: docs matching EVERY per-field query; score =
       * Σ per-field BM25 scores, summed in field-name order (the fixed
       * fold that keeps doubles deterministic). Output:
-      * (doc_id, score_<field>..., score). */
+      * (doc_id, score_<field>..., score). `roundScoresTo` rounds the
+      * total BEFORE ranking — the oracle-parity knob for callers whose
+      * reference ranking is over rounded scores (a raw-double rank with a
+      * rounding-boundary tie at the k-th cutoff would otherwise pick a
+      * different page than the rounded rank). */
     def searchMulti(queries: Map[String, String], k: Int,
-                    start: Int = 0): DataFrame = {
+                    start: Int = 0,
+                    roundScoresTo: Option[Int] = None): DataFrame = {
       require(queries.nonEmpty, "searchMulti needs at least one field query")
       val ordered = queries.toSeq.sortBy(_._1)
       val perField = ordered.map { case (f, q) =>
@@ -75,8 +80,9 @@ object FieldedIndex {
           .select(col("doc_id"), col("score").as(s"score_$f"))
       }
       val joined = perField.reduce((a, b) => a.join(b, Seq("doc_id")))
-      val total = ordered.map { case (f, _) => col(s"score_$f") }
+      val total0 = ordered.map { case (f, _) => col(s"score_$f") }
         .reduce(_ + _)
+      val total = roundScoresTo.fold(total0)(d => round(total0, d))
       joined.withColumn("score", total)
         .orderBy(col("score").desc, col("doc_id").asc)
         .offset(start).limit(k)

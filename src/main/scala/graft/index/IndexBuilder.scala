@@ -130,6 +130,11 @@ object IndexBuilder {
   private[index] def mergeFragments(frags: Array[Array[Byte]],
                                     blockSize: Int): Array[Byte] = {
     val withPos = VarByte.hasPositions(frags(0))
+    // one build = one config, so fragments can't mix — but fail loudly if
+    // they ever do (a mixed set would NPE or silently drop positions
+    // depending on which fragment happens to be first)
+    require(frags.forall(f => VarByte.hasPositions(f) == withPos),
+      "cannot merge positional and non-positional posting fragments")
     val decoded = frags.map(VarByte.decodeWithPositions)
     val total = decoded.map(_._1.length).sum
     val ids = new Array[Long](total)

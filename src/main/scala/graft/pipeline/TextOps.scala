@@ -391,6 +391,10 @@ object TextOps {
       labels = next
       iter += 1
     }
+    // partial labels would silently diverge from the transitive closure —
+    // a graph whose diameter exceeds the round budget must fail loudly
+    require(!changed, s"nearDupComponents did not converge in $maxIters " +
+      "rounds — raise maxIters (component diameter exceeds the budget)")
     labels
   }
 

@@ -651,11 +651,18 @@ final class Searcher(
       .select("doc_id").distinct()
 
   /** BM25 top-k restricted to docs whose dynamic JSON field matches —
-    * a filter clause served from the index sidecar, non-scoring (Q1). */
+    * a filter clause served from the index sidecar, non-scoring (Q1).
+    * `roundScoresTo` rounds scores BEFORE ranking (oracle-parity knob:
+    * a rounding-boundary tie at the k-th cutoff would otherwise page
+    * differently than a rounded-score reference ranking). */
   def searchJsonFiltered(query: String, k: Int, key: String, pred: Column,
                          start: Int = 0,
-                         conjunctive: Boolean = true): DataFrame = {
-    val topk = score(query, conjunctive)
+                         conjunctive: Boolean = true,
+                         roundScoresTo: Option[Int] = None): DataFrame = {
+    val scored0 = score(query, conjunctive)
+    val scored = roundScoresTo.fold(scored0)(d =>
+      scored0.withColumn("score", round(col("score"), d)))
+    val topk = scored
       .join(docsWithJsonField(key, pred), Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id").asc)
       .offset(start).limit(k)
