@@ -598,14 +598,24 @@ object IndexBuilder {
   }
 
   /** Delete by PK (S5, Indexer.java:915-917): tombstone the urls and
-    * advance the snapshot; physical removal happens at [[merge]]. */
-  def deleteByPk(spark: SparkSession, root: String, urls: Seq[String]): Unit = {
+    * advance the snapshot; physical removal happens at [[merge]]. The
+    * batch is a DataFrame and is written as parquet — deletions never
+    * round-trip through driver memory, so a purge of 10^10 urls is just
+    * another distributed write (the reference deletes in batches through
+    * the index, Indexer.java:891-964). */
+  def deleteByPk(spark: SparkSession, root: String, urls: DataFrame): Unit = {
     val snap = IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root"))
     val name = f"tomb-${snap.id + 1}%06d"
-    IndexStore.writeTombstones(spark, root, name, urls)
+    IndexStore.writeTombstonesDf(spark, root, name, urls)
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, snap.segments, snap.tombstones :+ name))
+  }
+
+  /** Driver-side convenience overload for small interactive deletions. */
+  def deleteByPk(spark: SparkSession, root: String, urls: Seq[String]): Unit = {
+    import spark.implicits._
+    deleteByPk(spark, root, urls.toDF("url"))
   }
 
   /** Distributed segment merge / compaction: materializes the logical
@@ -616,7 +626,8 @@ object IndexBuilder {
     * docstore, which preserves the byte-identical-text invariant because
     * docstore.text IS the extracted text. */
   def merge(spark: SparkSession, root: String, dict: SynonymDict,
-            cfg: IndexConfig = IndexConfig()): BuildReport = {
+            cfg: IndexConfig = IndexConfig(),
+            maxBroadcastTombstones: Long = 2000000L): BuildReport = {
     val snap = IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root"))
     // identity knobs (analyzer / positions / facets) are properties of
@@ -639,11 +650,17 @@ object IndexBuilder {
     }
     val all = snap.segments.map(s =>
       spark.read.parquet(IndexStore.docstorePath(root, s))).reduce(_ unionByName _)
-    val tombs = IndexStore.readTombstones(spark, root, snap.tombstones)
-    val live = if (tombs.isEmpty) all else {
-      import spark.implicits._
-      all.join(broadcast(tombs.toDF("url")), Seq("url"), "left_anti")
-    }
+    val live =
+      IndexStore.readTombstonesDf(spark, root, snap.tombstones) match {
+        case None => all
+        case Some(tombs) =>
+          // size-gated like the Searcher's deadDocs: a mass-deletion
+          // tombstone table must anti-join via shuffle, not broadcast
+          val side =
+            if (tombs.count() <= maxBroadcastTombstones) broadcast(tombs)
+            else tombs
+          all.join(side, Seq("url"), "left_anti")
+      }
     // cross-segment latest-wins: newest warc_ts wins, ties to the later
     // segment (higher doc_id) — exactly the query-time liveDocs rule
     val w = Window.partitionBy("url")

@@ -20,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   *   <root>/segments/<segName>/term_stats/      parquet
   *   <root>/segments/<segName>/stats/           parquet (1 row)
   *   <root>/segments/<segName>/manifest.jsonl   per-part lineage + metrics
-  *   <root>/tombstones/<name>.txt               deleted PKs (urls), 1/line
+  *   <root>/tombstones/<name>/                  deleted PKs (urls), parquet
+  *                                              (legacy <name>.txt readable)
   *   <root>/snapshots/snap-<n>.json             active segment list
   *   <root>/snapshots/LATEST                    atomic pointer (rename swap)
   * }}}
@@ -189,19 +190,36 @@ object IndexStore {
   }
 
   // --- tombstones (delete-by-PK, S5) ---
+  //
+  // Stored as PARQUET per deletion batch, never as driver-resident lists:
+  // a GDPR-style purge of 1% of 10^12 urls is a 10^10-row table — it must
+  // flow executor-to-executor (write from a DataFrame, read as one, join
+  // against the docstore) with the driver only tracking the batch NAMES
+  // in the snapshot. Legacy `<name>.txt` batches (round ≤2 layouts) are
+  // still readable.
 
-  def writeTombstones(spark: SparkSession, root: String, name: String,
-                      urls: Seq[String]): Unit = {
-    val f = fs(spark, root)
-    writeString(f, new Path(s"$root/tombstones/$name.txt"), urls.mkString("\n"))
-  }
+  def writeTombstonesDf(spark: SparkSession, root: String, name: String,
+                        urls: org.apache.spark.sql.DataFrame): Unit =
+    urls.toDF("url").write.mode("overwrite")
+      .parquet(s"$root/tombstones/$name")
 
-  def readTombstones(spark: SparkSession, root: String, names: Seq[String]): Seq[String] = {
+  /** Union of the named tombstone batches as a 1-column (`url`) frame;
+    * None when there are none. Each batch is a parquet dir (current) or a
+    * one-url-per-line `.txt` (legacy). */
+  def readTombstonesDf(spark: SparkSession, root: String,
+                       names: Seq[String]): Option[org.apache.spark.sql.DataFrame] = {
+    if (names.isEmpty) return None
     val f = fs(spark, root)
-    names.flatMap { n =>
-      val p = new Path(s"$root/tombstones/$n.txt")
-      if (f.exists(p)) readString(f, p).linesIterator.filter(_.nonEmpty).toSeq
-      else Seq.empty
+    import spark.implicits._
+    val dfs = names.flatMap { n =>
+      val dir = new Path(s"$root/tombstones/$n")
+      val txt = new Path(s"$root/tombstones/$n.txt")
+      if (f.exists(dir)) Some(spark.read.parquet(dir.toString).toDF("url"))
+      else if (f.exists(txt))
+        Some(readString(f, txt).linesIterator.filter(_.nonEmpty)
+          .toSeq.toDF("url"))
+      else None
     }
+    if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
   }
 }

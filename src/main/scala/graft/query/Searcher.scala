@@ -171,11 +171,19 @@ final class Searcher(
       if (snapshot.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
       else docstore.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > 1).select("doc_id")
-    val tombs = IndexStore.readTombstones(spark, root, snapshot.tombstones)
     val deleted =
-      if (tombs.isEmpty) spark.emptyDataset[Long].toDF("doc_id")
-      else docstore.join(broadcast(tombs.toDF("url")), Seq("url"), "left_semi")
-        .select("doc_id")
+      IndexStore.readTombstonesDf(spark, root, snapshot.tombstones) match {
+        case None => spark.emptyDataset[Long].toDF("doc_id")
+        case Some(tombs) =>
+          // same size gate as the deadDocs broadcast below: after a mass
+          // deletion the tombstone table is O(corpus) and force-
+          // broadcasting it would OOM the driver — fall back to a
+          // shuffle semi-join (the count is a parquet metadata read)
+          val side =
+            if (tombs.count() <= maxBroadcastDeadDocs) broadcast(tombs)
+            else tombs
+          docstore.join(side, Seq("url"), "left_semi").select("doc_id")
+      }
     superseded.union(deleted).distinct().persist(StorageLevel.MEMORY_AND_DISK)
   }
   private lazy val deadDocCount: Long = deadDocs.count()

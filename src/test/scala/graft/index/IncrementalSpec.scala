@@ -135,6 +135,42 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     } finally { sBroadcast.close(); sShuffle.close() }
   }
 
+  test("mass deletion: tombstones stay distributed — DataFrame deleteByPk, " +
+    "parquet batch, and a semi-join that drops the broadcast hint above " +
+    "the size gate") {
+    val root = tmpDir("graft-tomb-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    // a GDPR-style purge: 1/3 of the corpus, issued as a DataFrame so the
+    // url set never materializes on the driver
+    import spark.implicits._
+    val purged = batch1.zipWithIndex.collect { case (p, i) if i % 3 == 0 => p.url }
+    IndexBuilder.deleteByPk(spark, root, purged.toDF("url"))
+    val sBroadcast = new Searcher(spark, root, dict) // default gate
+    val sShuffle = new Searcher(spark, root, dict, maxBroadcastDeadDocs = 0L)
+    try {
+      assert(sShuffle.numDocs == (batch1.size - purged.size).toLong)
+      for (q <- Seq("spark", "index data")) {
+        val eb = sBroadcast.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        val es = sShuffle.search(q, 10).select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(eb == es && eb.nonEmpty, s"query '$q'")
+      }
+      // no purged url survives
+      val hits = sShuffle.search("spark", batch1.size).select("url")
+        .collect().map(_.getString(0)).toSet
+      assert(purged.forall(u => !hits.contains(u)))
+      // the tombstone semi-join carries the broadcast hint only below the
+      // gate (analyzed plan: deadDocs is persisted, so the optimized plan
+      // would already be cache-substituted)
+      def semiBroadcastHinted(s: Searcher): Boolean =
+        s.deadDocs.queryExecution.analyzed.toString.contains("broadcast")
+      assert(semiBroadcastHinted(sBroadcast))
+      assert(!semiBroadcastHinted(sShuffle),
+        "tombstone broadcast hint survived the size gate")
+    } finally { sBroadcast.close(); sShuffle.close() }
+  }
+
   test("merge inherits the index's identity knobs (analyzer, positions, " +
     "facets) from the stored segment configs — a default-config merge " +
     "must not downgrade the index") {
