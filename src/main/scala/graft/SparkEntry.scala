@@ -322,9 +322,15 @@ object SparkEntry {
         lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
         lit(null).cast("binary").as("html"), col("text"), col("lang"))
       val root = java.nio.file.Files.createTempDirectory("graft-fidx-").toString
+      // dims declared through the FacetSpec config (the reference's
+      // schema-driven facet fields) rather than the built-in defaults
       IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
         IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
-          buildFacets = true), "battery-facet-index")
+          facetSpecs = Seq(
+            IndexBuilder.FacetSpec("lang", col("lang")),
+            IndexBuilder.FacetSpec("site",
+              regexp_extract(col("url"), "^[a-zA-Z]+://([^/]+)", 1)))),
+        "battery-facet-index")
       val sr = new Searcher(s, root, SynonymDict.empty)
       materialized(
         sr.facetSearch("spark", limit = 5).orderBy("dim", "rank")) {

@@ -59,12 +59,77 @@ object IndexBuilder {
                                        // fields, Indexer.java:277-364);
                                        // config-gated like the
                                        // reference's useFacet flag
+      facetSpecs: Seq[FacetSpec] = Nil, // facet DIMENSION CONFIG — the
+                                       // reference's schema-driven facet
+                                       // fields (Indexer.java:157-172):
+                                       // arbitrary dims over the docstore
+                                       // columns, with hierarchy and
+                                       // multi-value flags. Empty +
+                                       // buildFacets=true ⇒ the default
+                                       // lang/site dims
       analyzer: String = graft.analysis.Tokenizer.Text)
                                        // per-index analyzer mode (the
                                        // reference's per-field analyzer
                                        // dispatch, Indexer.java:420);
                                        // recorded in config.json so the
                                        // query side analyzes identically
+
+  /** One build-time facet dimension (the reference's facet field config,
+    * `/root/reference/LuceneSearchEngine/src/Indexer.java:157-172` —
+    * per-field facet flags with multi-value and hierarchy variants,
+    * applied at :277-364).
+    *
+    *  - `label`: Column over the docstore row (`doc_id, url, warc_ts,
+    *    lang, text, dl`) producing the flat label — or, when
+    *    `multiValue = true`, an ARRAY of labels (one facet row per
+    *    element, the reference's multi-valued facet field).
+    *  - `path`: hierarchy levels root→leaf (taxonomy dims); empty ⇒ flat
+    *    (path = [label]). Mutually exclusive with `multiValue`.
+    *
+    * Null/empty labels get the reference's sentinel
+    * (UNSUPPORTED_FACET_VALUE, Indexer.java:319-325) — applied to every
+    * label and path level, so specs never need their own null handling. */
+  final case class FacetSpec(dim: String,
+                             label: org.apache.spark.sql.Column,
+                             path: Seq[org.apache.spark.sql.Column] = Nil,
+                             multiValue: Boolean = false) {
+    require(!(multiValue && path.nonEmpty),
+      s"facet dim '$dim': multiValue dims are flat — no hierarchy path")
+  }
+
+  val FacetSentinel = "__UNSUPPORTED_FACET_VALUE__"
+
+  /** The default dims (what `buildFacets = true` built before specs
+    * existed): document language, and site host with a tld→host
+    * hierarchy. */
+  def defaultFacetSpecs: Seq[FacetSpec] = {
+    val host0 = regexp_extract(col("url"), "^[a-zA-Z]+://([^/]+)", 1)
+    val host = when(host0 === "", lit(FacetSentinel)).otherwise(host0)
+    val tld = regexp_extract(host, "([^.]+)$", 1)
+    Seq(
+      FacetSpec("lang", col("lang")),
+      FacetSpec("site", host, path = Seq(tld, host)))
+  }
+
+  /** Facet sidecar rows `(doc_id, dim, label, path)` for one spec over
+    * the docstore frame. */
+  private def facetRows(docstore: DataFrame, sp: FacetSpec): DataFrame = {
+    def sent(c: org.apache.spark.sql.Column) =
+      when(c.isNull || c === lit(""), lit(FacetSentinel)).otherwise(c)
+    if (sp.multiValue)
+      docstore
+        .select(col("doc_id"), explode_outer(sp.label).as("__v"))
+        .select(col("doc_id"), lit(sp.dim).as("dim"),
+          sent(col("__v")).as("label"))
+        .withColumn("path", array(col("label")))
+    else {
+      val lbl = sent(sp.label)
+      val path =
+        if (sp.path.nonEmpty) array(sp.path.map(sent): _*) else array(lbl)
+      docstore.select(col("doc_id"), lit(sp.dim).as("dim"),
+        lbl.as("label"), path.as("path"))
+    }
+  }
 
   final case class RawPage(url: String, warc_ts: Timestamp,
                            html: Array[Byte], text: String, lang: String)
@@ -334,19 +399,17 @@ object IndexBuilder {
     lap("term_stats")
 
     // build-time facet sidecar (reference facet fields, Indexer.java:
-    // 277-364): flat label + hierarchical path per dim, one map-only
-    // pass over the docstore. Empty/null values get the reference's
-    // sentinel label (UNSUPPORTED_FACET_VALUE, Indexer.java:319-325).
-    if (cfg.buildFacets) {
-      val sentinel = "__UNSUPPORTED_FACET_VALUE__"
-      val host0 = regexp_extract(col("url"), "^[a-zA-Z]+://([^/]+)", 1)
-      val host = when(host0 === "", lit(sentinel)).otherwise(host0)
-      val tld = regexp_extract(host, "([^.]+)$", 1)
-      val lang = coalesce(col("lang"), lit(sentinel))
-      docstore.select(col("doc_id"), lit("lang").as("dim"),
-          lang.as("label"), array(lang).as("path"))
-        .unionByName(docstore.select(col("doc_id"), lit("site").as("dim"),
-          host.as("label"), array(tld, host).as("path")))
+    // 277-364): config-driven dims — flat label + hierarchical path per
+    // spec, one map-only pass over the docstore. Empty/null values get
+    // the reference's sentinel label (Indexer.java:319-325).
+    val specs =
+      if (cfg.facetSpecs.nonEmpty) cfg.facetSpecs
+      else if (cfg.buildFacets) defaultFacetSpecs
+      else Nil
+    if (specs.nonEmpty) {
+      require(specs.map(_.dim).distinct.size == specs.size,
+        s"duplicate facet dims: ${specs.map(_.dim)}")
+      specs.map(facetRows(docstore, _)).reduce(_ unionByName _)
         .write.mode("overwrite").parquet(IndexStore.facetsPath(root, seg))
       lap("facets_sidecar")
     }
@@ -637,17 +700,15 @@ object IndexBuilder {
     // passed cfg keeps control of sizing (numParts, salting, ...).
     val stored = snap.segments.flatMap(s =>
       IndexStore.readSegmentConfig(spark, root, s))
-    val cfg1 = stored.headOption match {
+    // facet/json sidecars are CARRIED OVER (url-remapped below), never
+    // regenerated: a regeneration would silently replace custom
+    // FacetSpec dims with the defaults
+    val cfg1 = (stored.headOption match {
       case Some(sc) => cfg.copy(
         analyzer = sc.analyzer,
-        indexPositions = stored.forall(_.hasPositions),
-        buildFacets = {
-          val f = IndexStore.fs(spark, root)
-          snap.segments.forall(s => f.exists(
-            new org.apache.hadoop.fs.Path(IndexStore.facetsPath(root, s))))
-        })
+        indexPositions = stored.forall(_.hasPositions))
       case None => cfg
-    }
+    }).copy(buildFacets = false, facetSpecs = Nil)
     val all = snap.segments.map(s =>
       spark.read.parquet(IndexStore.docstorePath(root, s))).reduce(_ unionByName _)
     val live =
@@ -673,6 +734,29 @@ object IndexBuilder {
     val seg = f"seg-${snap.id + 1}%06d"
     val report = buildSegment(spark, pages, dict, root, seg, 0L, cfg1,
       s"merge-of-${snap.segments.mkString("+")}")
+
+    // carry the sidecars across the doc_id reassignment: old winner
+    // doc_id → url → new doc_id (one equi-join chain per sidecar; the
+    // losers' and tombstoned docs' rows drop out with the winners join)
+    def remapSidecar(pathOf: (String, String) => String): Unit = {
+      val f = IndexStore.fs(spark, root)
+      val present = snap.segments.forall(s =>
+        f.exists(new org.apache.hadoop.fs.Path(pathOf(root, s))))
+      if (!present) return
+      val old = snap.segments.map(s => spark.read.parquet(pathOf(root, s)))
+        .reduce(_ unionByName _).withColumnRenamed("doc_id", "__old_id")
+      val dataCols = old.columns.filter(_ != "__old_id").toSeq
+      val winnerIds = winners.select(col("doc_id").as("__old_id"), col("url"))
+      val newIds = spark.read.parquet(IndexStore.docstorePath(root, seg))
+        .select("doc_id", "url")
+      old.join(winnerIds, Seq("__old_id"))
+        .join(newIds, Seq("url"))
+        .select("doc_id", dataCols: _*)
+        .write.mode("overwrite").parquet(pathOf(root, seg))
+    }
+    remapSidecar(IndexStore.facetsPath)
+    remapSidecar(IndexStore.jsonFieldsPath)
+
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
     report

@@ -98,6 +98,63 @@ class FacetsSpec extends AnyFunSuite with SparkTestBase {
     } finally s2.close()
   }
 
+  test("config-driven facet dims: custom FacetSpec set with multi-value " +
+    "and custom-hierarchy dims, plus the sentinel rule (Indexer.java:" +
+    "157-172,319-325)") {
+    import graft.analysis.SynonymDict
+    import graft.index.{IndexBuilder, IndexStore, WebtextGen}
+    val root = tmpDir("graft-facetspec-")
+    val dict = SynonymDict.empty
+    val specs = Seq(
+      // multi-value: every doc carries two tags
+      IndexBuilder.FacetSpec("tags",
+        array(col("lang"), concat(lit("len"),
+          (length(col("text")) % 2).cast("string"))), multiValue = true),
+      // custom hierarchy: all → lang
+      IndexBuilder.FacetSpec("langtree", col("lang"),
+        path = Seq(lit("all"), col("lang"))),
+      // always-empty label ⇒ the sentinel
+      IndexBuilder.FacetSpec("empty", regexp_extract(col("url"), "zzz(x)", 1)))
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 13L, 200), dict, root,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2,
+        facetSpecs = specs))
+    val s = new Searcher(spark, root, dict)
+    try {
+      // expected straight from the written docstore (plumbing check)
+      val ds = spark.read.parquet(
+        IndexStore.docstorePath(root, "seg-000000"))
+      val m = s.matchSet("spark")
+      val expTags = ds.join(m, Seq("doc_id"), "left_semi")
+        .select(explode(array(col("lang"), concat(lit("len"),
+          (length(col("text")) % 2).cast("string")))).as("label"))
+        .groupBy("label").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val flat = s.facetSearch("spark", limit = 1000)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val gotTags = flat.filter(_._1 == "tags").map(x => x._2 -> x._3).toMap
+      assert(gotTags == expTags)
+      // every 'empty'-dim label collapsed to the sentinel
+      val gotEmpty = flat.filter(_._1 == "empty")
+      assert(gotEmpty.map(_._2).toSeq == Seq(IndexBuilder.FacetSentinel))
+      assert(gotEmpty.head._3 == m.count())
+      // custom hierarchy: depth-1 is the single 'all' root with the full
+      // match count; depth-2 children are the langs
+      val hier = s.facetSearchHier("spark", topN = 1000)
+        .where(col("dim") === "langtree").collect()
+        .map(r => (r.getSeq[String](1), r.getLong(3)))
+      assert(hier.filter(_._1.size == 1).toSeq == Seq(Seq("all") -> m.count()))
+      val expLang = ds.join(m, Seq("doc_id"), "left_semi")
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hier.filter(_._1.size == 2)
+        .map(x => x._1.last -> x._2).toMap == expLang)
+      // a multiValue spec with a hierarchy path must refuse loudly
+      intercept[IllegalArgumentException](
+        IndexBuilder.FacetSpec("bad", col("lang"),
+          path = Seq(col("lang")), multiValue = true))
+    } finally s.close()
+  }
+
   test("flat counts: rank by (cnt desc, label asc), minCount, offset/limit " +
     "paging (F2, Searcher.java:1365-1429)") {
     val all = Facets.flatCounts(matchesOf(1L to 6L: _*), facets,
