@@ -283,13 +283,34 @@ object IndexBuilder {
   def assignDocIds(spark: SparkSession, pages: Dataset[RawPage],
                    baseDocId: Long, rangeParts: Int): Dataset[IdPage] = {
     import spark.implicits._
-    val rawRdd = pages.rdd
-    val keyed = rawRdd.map { p =>
-      (SortKey(p.url, if (p.warc_ts == null) Long.MinValue else p.warc_ts.getTime,
-        p.text), p)
+    // RawPage and IdPage line up column-for-column (doc_id prepended), so
+    // the typed path is a view over the generic row implementation
+    assignDocIdsDf(spark, pages.toDF(), baseDocId, rangeParts, "text")
+      .as[IdPage]
+  }
+
+  /** Generic-schema variant of [[assignDocIds]]: same fused
+    * dedup+assignment over ANY frame with `url`/`warc_ts` columns,
+    * carrying every other column through unchanged and prepending
+    * `doc_id`. `tieCol` names the (string) column that breaks exact
+    * (url, warc_ts) ties — the single-field build passes `text`; the
+    * fielded build passes the field texts concatenated in field-name
+    * order, so all fields agree on one winner row. */
+  def assignDocIdsDf(spark: SparkSession, df: DataFrame, baseDocId: Long,
+                     rangeParts: Int, tieCol: String): DataFrame = {
+    val schema = df.schema
+    val urlIdx = schema.fieldIndex("url")
+    val tsIdx = schema.fieldIndex("warc_ts")
+    val tieIdx = schema.fieldIndex(tieCol)
+    val rawRdd = df.rdd
+    val keyed = rawRdd.map { r =>
+      val ts = r.getAs[Timestamp](tsIdx)
+      (SortKey(r.getString(urlIdx),
+        if (ts == null) Long.MinValue else ts.getTime,
+        r.getString(tieIdx)), r)
     }
     val urlRp = new org.apache.spark.RangePartitioner(
-      math.max(rangeParts, 1), rawRdd.map(p => (p.url, null)))
+      math.max(rangeParts, 1), rawRdd.map(r => (r.getString(urlIdx), null)))
     val sorted = keyed.repartitionAndSortWithinPartitions(
       new UrlRangePartitioner(urlRp))
     val counts = sorted.mapPartitions { it =>
@@ -306,17 +327,20 @@ object IndexBuilder {
     val ids = sorted.mapPartitions { it =>
       var next = bcOff.value.getOrElse(TaskContext.getPartitionId(), 0L)
       var prev: String = null
-      it.flatMap { case (_, p) =>
-        if (p.url == prev) Iterator.empty
+      it.flatMap { case (_, r) =>
+        if (r.getString(urlIdx) == prev) Iterator.empty
         else {
-          prev = p.url
-          val d = IdPage(next, p.url, p.warc_ts, p.html, p.text, p.lang)
+          prev = r.getString(urlIdx)
+          val out = org.apache.spark.sql.Row.fromSeq(next +: r.toSeq)
           next += 1
-          Iterator.single(d)
+          Iterator.single(out)
         }
       }
     }
-    spark.createDataset(ids)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false) +: schema.fields)
+    spark.createDataFrame(ids, outSchema)
   }
 
   /** Analysis chain over the id-assigned pages: byte-identical text per
@@ -327,9 +351,9 @@ object IndexBuilder {
     * in the cache, and — because a document's tokens live in one row — tf
     * needs NO groupBy(term, doc_id) shuffle (at 10^12 docs that shuffle
     * would move the entire token stream). */
-  def analyze(pages: Dataset[IdPage], dict: SynonymDict,
+  def analyze(pages: DataFrame, dict: SynonymDict,
               mode: String = graft.analysis.Tokenizer.Text): DataFrame =
-    pages.toDF()
+    pages
       .withColumn("text", coalesce(col("text"), extract_text(col("html"))))
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
         col("text"), qube_tf(col("text"), dict, mode).as("tf_pairs"))
@@ -346,20 +370,38 @@ object IndexBuilder {
                    resume: Boolean = false): BuildReport = {
     import spark.implicits._
     val t0 = System.nanoTime()
-    val phases = Seq.newBuilder[(String, Long)]
-    var tPrev = t0
-    def lap(name: String): Unit = {
-      val now = System.nanoTime()
-      phases += name -> (now - tPrev) / 1000000
-      tPrev = now
-    }
-
     val raw = pages
       .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
       .as[RawPage]
     // latest-wins dedup is fused into the id-assignment sort (one shuffle)
     val idPages = assignDocIds(spark, raw, baseDocId, cfg.rangeParts)
-    lap("sort_dedup_assign")
+    val assignMs = (System.nanoTime() - t0) / 1000000
+    buildSegmentFromIdPages(spark, idPages.toDF(), dict, root, seg, cfg,
+      inputSnapshot, resume,
+      prePhases = Seq("sort_dedup_assign" -> assignMs), startNanos = t0)
+  }
+
+  /** The post-assignment build pipeline over an ALREADY id-assigned frame
+    * (`doc_id, url, warc_ts, html, text, lang`) — the seam that lets
+    * [[FieldedIndex.buildFull]] pay the id-assignment shuffle ONCE for N
+    * fields and run only the per-field analysis + fragment passes here. */
+  def buildSegmentFromIdPages(spark: SparkSession, idPages: DataFrame,
+                              dict: SynonymDict, root: String, seg: String,
+                              cfg: IndexConfig = IndexConfig(),
+                              inputSnapshot: String = "",
+                              resume: Boolean = false,
+                              prePhases: Seq[(String, Long)] = Nil,
+                              startNanos: Long = -1L): BuildReport = {
+    import spark.implicits._
+    val t0 = if (startNanos > 0) startNanos else System.nanoTime()
+    val phases = Seq.newBuilder[(String, Long)]
+    phases ++= prePhases
+    var tPrev = System.nanoTime()
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      phases += name -> (now - tPrev) / 1000000
+      tPrev = now
+    }
 
     // docstore: row store for stored-field fetch (S8) + dl for BM25 —
     // written in ONE analysis pass and immediately becoming the build's

@@ -23,15 +23,25 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     intercept[IllegalArgumentException](Tokenizer.tokenize("x", "bogus"))
   }
 
-  private lazy val root: String = {
-    val dir = tmpDir("graft-fielded-")
+  private lazy val reports: Map[String, IndexBuilder.BuildReport] = {
     FieldedIndex.buildFull(spark, WebtextGen.df(spark, Seed, N),
       Seq(
         FieldedIndex.FieldSpec("text", col("text"), html = col("html")),
         FieldedIndex.FieldSpec("url", col("url"),
           analyzer = Tokenizer.Keyword)),
-      dir, IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2))
-    dir
+      rootDir, IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2))
+  }
+  private lazy val rootDir: String = tmpDir("graft-fielded-")
+  private def root: String = { reports; rootDir }
+
+  test("single-pass build: the id-assignment shuffle runs once for the " +
+    "whole field set, not once per field") {
+    val assigns = reports.values.toSeq
+      .flatMap(_.phases.map(_._1)).count(_ == "sort_dedup_assign")
+    assert(assigns == 1, s"expected ONE shared sort_dedup_assign phase, " +
+      s"got $assigns across ${reports.keySet}")
+    // both fields saw the same deduped corpus
+    assert(reports.values.map(_.docCount).toSet == Set(N.toLong))
   }
 
   private lazy val fs = new FieldedIndex.FieldedSearcher(spark, root,
