@@ -27,7 +27,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
 
-  private val flagArgs = Set("or", "phrase", "positions", "facets", "hier")
+  private val flagArgs = Set("or", "phrase", "positions", "facets", "hier",
+    "rebuild")
 
   /** key-value pairs with valueless flags handled positionally (a naive
     * sliding(2,2) would shift every option after a flag). */
@@ -107,8 +108,17 @@ object Main {
         println(s"""{"tombstoned":${urls.size}}""")
 
       case "merge" =>
-        val rep = IndexBuilder.merge(spark, opt("index"), dictOf(opt), cfgOf(opt))
-        println(s"""{"segment":"${rep.segment}","docs":${rep.docCount}}""")
+        // posting-level compaction by default (O(posting bytes)); falls
+        // back to the rebuild merge on mixed-layout segments or huge
+        // dead sets; --rebuild forces the rebuild path
+        val rep =
+          if (opt.contains("rebuild"))
+            IndexBuilder.merge(spark, opt("index"), dictOf(opt), cfgOf(opt))
+          else
+            IndexBuilder.mergeCompact(spark, opt("index"), dictOf(opt), cfgOf(opt))
+        println(s"""{"segment":"${rep.segment}","docs":${rep.docCount},""" +
+          s""""wall_ms":${rep.wallMs},"phases":{""" +
+          rep.phases.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}")
 
       case "search" =>
         val s = new Searcher(spark, opt("index"), dictOf(opt))

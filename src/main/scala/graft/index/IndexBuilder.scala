@@ -192,15 +192,15 @@ object IndexBuilder {
     * are disjoint (each doc indexed by exactly one task) but id ranges
     * interleave, so merge — never concatenate. Position lists (when the
     * fragments carry them) ride along untouched: they are per-doc data. */
-  private[index] def mergeFragments(frags: Array[Array[Byte]],
-                                    blockSize: Int): Array[Byte] = {
-    val withPos = VarByte.hasPositions(frags(0))
-    // one build = one config, so fragments can't mix — but fail loudly if
-    // they ever do (a mixed set would NPE or silently drop positions
-    // depending on which fragment happens to be first)
-    require(frags.forall(f => VarByte.hasPositions(f) == withPos),
-      "cannot merge positional and non-positional posting fragments")
-    val decoded = frags.map(VarByte.decodeWithPositions)
+  private[index] type Decoded =
+    (Array[Long], Array[Int], Array[Int], Array[Array[Int]])
+
+  /** K-way merge of DECODED posting lists with disjoint doc sets but
+    * (possibly) interleaved id ranges → one encoded blob. The shared
+    * engine of both the within-build fragment merge and the
+    * cross-segment [[mergeCompact]]. */
+  private[index] def mergeDecoded(decoded: Array[Decoded], withPos: Boolean,
+                                  blockSize: Int): Array[Byte] = {
     val total = decoded.map(_._1.length).sum
     val ids = new Array[Long](total)
     val tfs = new Array[Int](total)
@@ -227,6 +227,46 @@ object IndexBuilder {
       filled += 1
     }
     VarByte.encode(ids, tfs, dls, blockSize, poss)
+  }
+
+  private[index] def mergeFragments(frags: Array[Array[Byte]],
+                                    blockSize: Int): Array[Byte] = {
+    val withPos = VarByte.hasPositions(frags(0))
+    // one build = one config, so fragments can't mix — but fail loudly if
+    // they ever do (a mixed set would NPE or silently drop positions
+    // depending on which fragment happens to be first)
+    require(frags.forall(f => VarByte.hasPositions(f) == withPos),
+      "cannot merge positional and non-positional posting fragments")
+    mergeDecoded(frags.map(VarByte.decodeWithPositions), withPos, blockSize)
+  }
+
+  /** Drop postings whose docId is in `dead` (sorted ascending); returns
+    * the input arrays untouched when nothing matches. */
+  private[index] def filterDead(d: Decoded, dead: Array[Long]): Decoded = {
+    if (dead.isEmpty) return d
+    val (ids, tfs, dls, poss) = d
+    var n = 0
+    var i = 0
+    while (i < ids.length) {
+      if (java.util.Arrays.binarySearch(dead, ids(i)) < 0) n += 1
+      i += 1
+    }
+    if (n == ids.length) return d
+    val ids2 = new Array[Long](n)
+    val tfs2 = new Array[Int](n)
+    val dls2 = new Array[Int](n)
+    val poss2: Array[Array[Int]] = if (poss == null) null else new Array(n)
+    var j = 0
+    i = 0
+    while (i < ids.length) {
+      if (java.util.Arrays.binarySearch(dead, ids(i)) < 0) {
+        ids2(j) = ids(i); tfs2(j) = tfs(i); dls2(j) = dls(i)
+        if (poss != null) poss2(j) = poss(i)
+        j += 1
+      }
+      i += 1
+    }
+    (ids2, tfs2, dls2, poss2)
   }
 
   /** Dedup+id-assign sort key: (url asc, warc_ts desc, text desc nulls
@@ -456,12 +496,20 @@ object IndexBuilder {
       lap("facets_sidecar")
     }
 
-    val (docCount, sumDl) = {
-      val r = docstore.agg(count(lit(1)), sum(col("dl").cast("long"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val (docCount, sumDl, idCeiling) = {
+      val r = docstore
+        .agg(count(lit(1)), sum(col("dl").cast("long")), max(col("doc_id")))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2) + 1L)
     }
-    Seq((docCount, sumDl, if (docCount == 0) 0.0 else sumDl.toDouble / docCount))
-      .toDF("doc_count", "sum_dl", "avgdl")
+    // id_ceiling: first doc_id safely above every id in this segment —
+    // the APPEND base. Distinct from doc_count because a compacted
+    // segment ([[mergeCompact]]) keeps original ids WITH GAPS where dead
+    // docs fell out.
+    Seq((docCount, sumDl,
+        if (docCount == 0) 0.0 else sumDl.toDouble / docCount, idCeiling))
+      .toDF("doc_count", "sum_dl", "avgdl", "id_ceiling")
       .write.mode("overwrite").parquet(IndexStore.statsPath(root, seg))
     lap("collection_stats")
 
@@ -661,15 +709,23 @@ object IndexBuilder {
                     inputSnapshot: String = ""): BuildReport = {
     val snap = IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root — run buildFull first"))
-    // dense id ranges per segment ⇒ next base = Σ doc_count (stats rows,
-    // no docstore scan)
+    // next base = max id_ceiling across segments (stats rows, no docstore
+    // scan). NOT Σ doc_count: a compacted segment keeps original ids with
+    // gaps, so its ceiling exceeds its live count. Legacy segments
+    // without the column fall back to a column-pruned max(doc_id) scan.
     val nextBase = snap.segments.map { s =>
-      spark.read.parquet(IndexStore.statsPath(root, s))
-        .agg(sum("doc_count")).head() match {
+      val st = spark.read.parquet(IndexStore.statsPath(root, s))
+      if (st.columns.contains("id_ceiling"))
+        st.agg(max("id_ceiling")).head() match {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-    }.sum
+      else spark.read.parquet(IndexStore.docstorePath(root, s))
+        .agg(max("doc_id")).head() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0) + 1L
+        }
+    }.max
     val seg = f"seg-${snap.id + 1}%06d"
     val report = buildSegment(spark, pages, dict, root, seg, nextBase, cfg, inputSnapshot)
     IndexStore.writeSnapshot(spark, root,
@@ -802,5 +858,266 @@ object IndexBuilder {
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
     report
+  }
+
+  private final case class CompactRow(part: Int, term: String,
+                                      df_local: Long, max_tf: Int,
+                                      min_dl: Int, blob: Array[Byte],
+                                      ttf: Long)
+
+  /** POSTING-LEVEL segment merge — compaction that costs O(posting
+    * bytes), never a corpus re-analysis (the analog of Lucene forceMerge
+    * behind the reference's searcher hot-swap,
+    * `/root/reference/LuceneSearchEngine/src/Searcher.java:527-583`).
+    *
+    * Per (part, term), the segments' posting BLOBS are k-way-merged
+    * directly (doc sets are disjoint across segments; dead doc_ids —
+    * superseded upserts + tombstoned urls — are dropped during the
+    * decode), so the merge never tokenizes, never re-assigns ids, and
+    * ships only compressed blobs through its one shuffle. Original
+    * doc_ids are KEPT (gaps where dead docs fell out are harmless: no
+    * query path assumes density, and `id_ceiling` in the stats keeps
+    * future APPEND bases safe). Blobs of terms untouched by deletions
+    * pass through byte-identical without a re-encode; when there are no
+    * dead docs at all, term_stats merge as pure per-segment sums and no
+    * blob is even decoded.
+    *
+    * Falls back to the rebuild [[merge]] when segments disagree on
+    * layout/identity knobs (numParts, saltFanout, positions, analyzer —
+    * their posting spaces aren't unionable) or when the dead-id set
+    * exceeds `maxBroadcastDeadIds` (the per-task membership filter
+    * broadcasts the sorted id array; past the gate a rebuild's shuffle
+    * anti-joins are the scale-safe plan). */
+  def mergeCompact(spark: SparkSession, root: String, dict: SynonymDict,
+                   cfg: IndexConfig = IndexConfig(),
+                   maxBroadcastDeadIds: Long = 4000000L): BuildReport = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+    val phases = Seq.newBuilder[(String, Long)]
+    var tPrev = t0
+    def lap(name: String): Unit = {
+      val now = System.nanoTime()
+      phases += name -> (now - tPrev) / 1000000
+      tPrev = now
+    }
+    val snap = IndexStore.readLatestSnapshot(spark, root)
+      .getOrElse(sys.error(s"no snapshot at $root"))
+    val stored = snap.segments.flatMap(s =>
+      IndexStore.readSegmentConfig(spark, root, s))
+    val uniform = stored.size == snap.segments.size &&
+      stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
+        .distinct.size == 1
+    if (!uniform) return merge(spark, root, dict, cfg)
+    val sc0 = stored.head
+    val (numParts, withPos, blockSize) =
+      (sc0.numParts, sc0.hasPositions, cfg.blockSize)
+
+    val docstores = snap.segments.map(s =>
+      spark.read.parquet(IndexStore.docstorePath(root, s)))
+    val allDocs = docstores.reduce(_ unionByName _)
+
+    // dead = superseded by a newer version of the same url + tombstoned
+    // (exactly the Searcher's liveDocs rule)
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, col("doc_id").desc)
+    val superseded =
+      if (snap.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
+      else allDocs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1).select("doc_id")
+    val tombstoned =
+      IndexStore.readTombstonesDf(spark, root, snap.tombstones) match {
+        case None => spark.emptyDataset[Long].toDF("doc_id")
+        case Some(tombs) =>
+          val side =
+            if (tombs.count() <= maxBroadcastDeadIds) broadcast(tombs)
+            else tombs
+          allDocs.join(side, Seq("url"), "left_semi").select("doc_id")
+      }
+    val deadDf = superseded.union(tombstoned).distinct()
+    val deadCount = deadDf.count()
+    if (deadCount > maxBroadcastDeadIds) return merge(spark, root, dict, cfg)
+    val deadSorted: Array[Long] = deadDf.as[Long].collect()
+    java.util.Arrays.sort(deadSorted)
+    lap("dead_scan")
+
+    val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("df_local",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_tf",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("min_dl",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("blob",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType)))
+    def segPostings(s: String): DataFrame =
+      try spark.read.parquet(IndexStore.postingsPath(root, s))
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            postingsSchema)
+      }
+    val allPostings = snap.segments.map(segPostings).reduce(_ unionByName _)
+      .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
+      .repartition(numParts, col("part"))
+      .sortWithinPartitions("part", "term")
+      .as[(Int, String, Long, Int, Int, Array[Byte])]
+
+    val merged: Dataset[CompactRow] =
+      if (deadCount == 0)
+        // no dead docs: single-source blobs pass through byte-identical;
+        // only genuinely multi-segment terms decode+merge
+        allPostings.mapPartitions { it =>
+          val in = it.buffered
+          new Iterator[CompactRow] {
+            def hasNext: Boolean = in.hasNext
+            def next(): CompactRow = {
+              val (part, term, df0, mt0, md0, first) = in.next()
+              var frags: List[Array[Byte]] = first :: Nil
+              var df = df0; var mt = mt0; var md = md0
+              while (in.hasNext && in.head._1 == part && in.head._2 == term) {
+                val r = in.next()
+                frags = r._6 :: frags
+                df += r._3
+                if (r._4 > mt) mt = r._4
+                if (r._5 < md) md = r._5
+              }
+              val blob =
+                if (frags.tail.isEmpty) first
+                else mergeFragments(frags.reverse.toArray, blockSize)
+              CompactRow(part, term, df, mt, md, blob, -1L)
+            }
+          }
+        }
+      else {
+        val bcDead = spark.sparkContext.broadcast(deadSorted)
+        allPostings.mapPartitions { it =>
+          val dead = bcDead.value
+          val in = it.buffered
+          new Iterator[CompactRow] {
+            private var pending: CompactRow = null
+            def hasNext: Boolean = {
+              while (pending == null && in.hasNext) {
+                val (part, term, _, _, _, first) = in.next()
+                var frags: List[Array[Byte]] = first :: Nil
+                while (in.hasNext && in.head._1 == part && in.head._2 == term)
+                  frags = in.next()._6 :: frags
+                val decoded =
+                  frags.reverse.toArray.map(VarByte.decodeWithPositions)
+                val filtered = decoded.map(filterDead(_, dead))
+                val total = filtered.map(_._1.length).sum
+                if (total > 0) { // terms whose docs all died vanish
+                  var ttf = 0L
+                  filtered.foreach { f =>
+                    var i = 0
+                    while (i < f._2.length) { ttf += f._2(i); i += 1 }
+                  }
+                  val blob =
+                    if (frags.tail.isEmpty && (filtered(0) eq decoded(0)))
+                      first // untouched by deletions: reuse bytes
+                    else mergeDecoded(filtered, withPos, blockSize)
+                  val (maxTf, minDl) = VarByte.termBounds(blob)
+                  pending =
+                    CompactRow(part, term, total.toLong, maxTf, minDl, blob, ttf)
+                }
+              }
+              pending != null
+            }
+            def next(): CompactRow = {
+              if (!hasNext) throw new NoSuchElementException
+              val r = pending; pending = null; r
+            }
+          }
+        }
+      }
+
+    val seg = f"seg-${snap.id + 1}%06d"
+    val persisted = merged.persist()
+    persisted.toDF()
+      .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
+      .write.mode("overwrite").partitionBy("part")
+      .parquet(IndexStore.postingsPath(root, seg))
+    lap("postings_blob_merge_write")
+
+    // term_stats: pure per-segment sums when nothing died (no blob ever
+    // decoded for them); from the merged rows' live counts otherwise
+    val termStats =
+      if (deadCount == 0)
+        snap.segments.map(s =>
+            spark.read.parquet(IndexStore.termStatsPath(root, s)))
+          .reduce(_ unionByName _)
+          .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"),
+            max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+      else persisted.toDF()
+        .groupBy("term").agg(sum("df_local").as("df"), sum("ttf").as("ttf"),
+          max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
+    termStats.write.mode("overwrite")
+      .parquet(IndexStore.termStatsPath(root, seg))
+    lap("term_stats")
+
+    // docstore: live rows only, ids unchanged (broadcast anti-join — the
+    // dead set already passed the gate)
+    val deadIdsDf = spark.createDataset(deadSorted.toSeq).toDF("doc_id")
+    val liveDocs =
+      if (deadCount == 0) allDocs
+      else allDocs.join(broadcast(deadIdsDf), Seq("doc_id"), "left_anti")
+    liveDocs.write.mode("overwrite")
+      .parquet(IndexStore.docstorePath(root, seg))
+    val st = spark.read.parquet(IndexStore.docstorePath(root, seg))
+      .agg(count(lit(1)), sum(col("dl").cast("long")), max(col("doc_id")))
+      .head()
+    val docCount = st.getLong(0)
+    val sumDl = if (st.isNullAt(1)) 0L else st.getLong(1)
+    val idCeiling = if (st.isNullAt(2)) 0L else st.getLong(2) + 1L
+    Seq((docCount, sumDl,
+        if (docCount == 0) 0.0 else sumDl.toDouble / docCount, idCeiling))
+      .toDF("doc_count", "sum_dl", "avgdl", "id_ceiling")
+      .write.mode("overwrite").parquet(IndexStore.statsPath(root, seg))
+    lap("docstore_stats")
+
+    // sidecars ride along unchanged (ids are stable) minus dead rows
+    def carrySidecar(pathOf: (String, String) => String): Unit = {
+      val f = IndexStore.fs(spark, root)
+      val present = snap.segments.forall(s =>
+        f.exists(new org.apache.hadoop.fs.Path(pathOf(root, s))))
+      if (!present) return
+      val old = snap.segments.map(s => spark.read.parquet(pathOf(root, s)))
+        .reduce(_ unionByName _)
+      val live =
+        if (deadCount == 0) old
+        else old.join(broadcast(deadIdsDf), Seq("doc_id"), "left_anti")
+      live.write.mode("overwrite").parquet(pathOf(root, seg))
+    }
+    carrySidecar(IndexStore.facetsPath)
+    carrySidecar(IndexStore.jsonFieldsPath)
+    lap("sidecars")
+
+    val wallMs0 = (System.nanoTime() - t0) / 1000000
+    val manifestRows = persisted.toDF()
+      .groupBy("part").agg(
+        count(lit(1)).as("rows"),
+        sum(length(col("blob"))).as("bytes"),
+        sum(crc32(concat(col("term"), lit("|"),
+          col("df_local").cast("string")))).as("cks"))
+      .collect().map { r =>
+        IndexStore.ManifestRow(r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), s"compact-of-${snap.segments.mkString("+")}", wallMs0)
+      }.toSeq
+    IndexStore.appendManifest(spark, root, seg, manifestRows)
+    IndexStore.writeSegmentConfig(spark, root, seg,
+      IndexStore.SegmentConfig(numParts, sc0.saltFanout, blockSize,
+        hasPositions = withPos, analyzer = sc0.analyzer))
+    val termCount =
+      spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
+    persisted.unpersist()
+    IndexStore.writeSnapshot(spark, root,
+      IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
+    lap("manifest_and_swap")
+    BuildReport(seg, docCount, termCount, manifestRows.map(_.rows).sum,
+      (System.nanoTime() - t0) / 1000000, phases.result())
   }
 }

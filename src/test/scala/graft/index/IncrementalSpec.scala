@@ -192,6 +192,103 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close()
   }
 
+  test("mergeCompact: posting-level blob merge ≡ rebuild merge (same " +
+    "stats, same results by url), no re-analysis, positions survive, " +
+    "appends after compaction stay collision-free") {
+    val rootA = tmpDir("graft-mcA-") // posting-level compact
+    val rootB = tmpDir("graft-mcB-") // rebuild merge (the reference plan)
+    val posCfg = cfg.copy(indexPositions = true)
+    for (r <- Seq(rootA, rootB)) {
+      IndexBuilder.buildFull(spark, toDf(batch1), dict, r, posCfg, "b1")
+      IndexBuilder.appendSegment(spark, toDf(batch2), dict, r, posCfg, "b2")
+      IndexBuilder.deleteByPk(spark, r, deletedUrls)
+    }
+    val repA = IndexBuilder.mergeCompact(spark, rootA, dict, posCfg)
+    IndexBuilder.merge(spark, rootB, dict, posCfg)
+    // the compact path must never re-analyze or re-assign ids
+    assert(!repA.phases.map(_._1).exists(p =>
+      p.contains("analyze") || p.contains("sort_dedup_assign")),
+      s"compact ran a rebuild phase: ${repA.phases.map(_._1)}")
+    val sA = new Searcher(spark, rootA, dict)
+    val sB = new Searcher(spark, rootB, dict)
+    try {
+      assert(sA.snapshot.segments.size == 1 && sA.snapshot.tombstones.isEmpty)
+      assert(sA.docCount == sB.docCount && sA.numDocs == sB.numDocs)
+      assert(sA.avgdl == sB.avgdl)
+      // identical global term statistics (df, ttf, WAND bound inputs)
+      def stats(s: Searcher) = s.termStats.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).toSet
+      assert(stats(sA) == stats(sB))
+      // identical result SETS by (url, score) — doc_ids legitimately
+      // differ (compact keeps originals with gaps, rebuild reassigns),
+      // so rank-k membership under score ties is id-dependent; the full
+      // scored sets must agree exactly
+      def full(s: Searcher, q: String) = s.search(q, 2000)
+        .select("url", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      for (q <- Seq("spark", "index data", "w200", "nike"))
+        assert(full(sA, q) == full(sB, q), s"query '$q'")
+      // WAND through the compacted (gappy-id) index stays exact
+      val w = sA.searchWand("spark index", 10).select("url", "score")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val e = sA.search("spark index", 10).select("url", "score")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(w == e)
+      // phrase queries through the compacted positional postings
+      def phr(s: Searcher) = s.searchPhrase("spark index", 2000)
+        .select("url", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).sorted.toSeq
+      assert(phr(sA) == phr(sB) && phr(sA).nonEmpty)
+    } finally { sA.close(); sB.close() }
+    // append AFTER compaction: new ids must start at the id ceiling —
+    // above every surviving id, despite the gaps
+    val batch3 = (1000 until 1040).map(i => WebtextGen.page(Seed, i.toLong))
+    IndexBuilder.appendSegment(spark, toDf(batch3), dict, rootA, posCfg, "b3")
+    val s3 = new Searcher(spark, rootA, dict)
+    try {
+      val snap = s3.snapshot
+      val newSeg = snap.segments.last
+      val oldMax = spark.read.parquet(
+        IndexStore.docstorePath(rootA, snap.segments.head))
+        .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0)
+      val newMin = spark.read.parquet(IndexStore.docstorePath(rootA, newSeg))
+        .agg(org.apache.spark.sql.functions.min("doc_id")).head().getLong(0)
+      assert(newMin > oldMax, s"append base collided: $newMin <= $oldMax")
+      assert(s3.search("spark", 5).count() > 0)
+    } finally s3.close()
+  }
+
+  test("mergeCompact with no dead docs: single-source blobs pass through " +
+    "byte-identical (no decode, no re-encode)") {
+    val root = tmpDir("graft-mcpt-")
+    // two append-only batches with disjoint urls — nothing superseded
+    val b2 = (N until N + 100).map(i => WebtextGen.page(Seed, i.toLong))
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    IndexBuilder.appendSegment(spark, toDf(b2), dict, root, cfg, "b2")
+    val oldSegs = new Searcher(spark, root, dict).snapshot.segments
+    // single-source (part, term) groups before the merge, with their blob
+    val before = oldSegs.map(s =>
+        spark.read.parquet(IndexStore.postingsPath(root, s)))
+      .reduce(_ unionByName _)
+      .select("part", "term", "blob").collect()
+      .groupBy(r => (r.getInt(0), r.getString(1)))
+      .collect { case (k, rows) if rows.length == 1 =>
+        k -> rows.head.getAs[Array[Byte]]("blob") }
+    assert(before.nonEmpty)
+    IndexBuilder.mergeCompact(spark, root, dict, cfg)
+    val snap = IndexStore.readLatestSnapshot(spark, root).get
+    val after = spark.read.parquet(
+        IndexStore.postingsPath(root, snap.segments.head))
+      .select("part", "term", "blob").collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        r.getAs[Array[Byte]]("blob")).toMap
+    before.foreach { case (k, blob) =>
+      assert(java.util.Arrays.equals(after(k), blob),
+        s"blob for $k was re-encoded on the no-dead passthrough path")
+    }
+  }
+
   test("merge compacts to the logical view: identical to a from-scratch " +
     "build over the surviving pages") {
     val root = tmpDir("graft-merge-")
