@@ -365,17 +365,25 @@ final class Searcher(
     *  - single term: per-partition bounded heaps, block skipped only when
     *    `idf·f(maxTf, minDl)` is strictly below the heap's kth score;
     *  - AND: every match contains the rarest term, so the rarest term's
-    *    doc set is a complete candidate set (posting-list intersection);
+    *    doc set is a complete candidate set (posting-list intersection) —
+    *    restrictions (filter / NOT / dead docs) only shrink the true
+    *    match set, never grow it, so the superset stays complete;
     *  - OR: θ = exact kth single-term score of the highest-upper-bound
     *    term (a provable lower bound of the final kth score); a doc is a
     *    candidate unless EVERY block it appears in satisfies
-    *    `bound(block) + Σ other-term upper bounds < θ`.
+    *    `bound(block) + Σ other-term upper bounds < θ`. Under
+    *    restrictions, θ is seeded AFTER restricting the single-term
+    *    scores to the eligible docset — there are ≥ n eligible docs whose
+    *    total score is ≥ that restricted kth contribution, so it still
+    *    lower-bounds the final kth score (an unrestricted seed could
+    *    over-prune; a restricted one cannot).
     * Candidates are then rescored exactly via docId-skip decode
-    * ([[graft.codec.VarByte.decodeForDocs]]) + the shared term-ordered
-    * fold. Falls back to [[search]] when pruning can't be exact (filter
-    * clause or dead docs present) or the candidate set exceeds
-    * `maxRescore` (the 10^12-scale guard: pruning is an optimization,
-    * never a correctness risk). */
+    * ([[graft.codec.VarByte.decodeForDocs]]) with the SAME restrictions
+    * applied before the shared term-ordered fold. Falls back to
+    * [[search]] only for `minShouldMatch` (msm removes docs from the
+    * universe without a seedable per-doc bound) and when the candidate
+    * set exceeds `maxRescore` (the 10^12-scale guard: pruning is an
+    * optimization, never a correctness risk). */
   def searchWand(query: String, k: Int, start: Int = 0,
                  conjunctive: Boolean = true,
                  filter: Option[Column] = None,
@@ -383,24 +391,35 @@ final class Searcher(
                  wandMinDf: Long = 500000,
                  notQuery: Option[String] = None,
                  minShouldMatch: Int = 0): DataFrame = {
-    // MUST_NOT and minShouldMatch both REMOVE docs, which can only LOWER
-    // the final kth score — a θ seeded without them could over-prune, so
-    // those queries take the exact path (same stance as filter clauses
-    // and dead docs)
-    if (hasDeadDocs || filter.nonEmpty || notQuery.exists(_.nonEmpty) ||
-        minShouldMatch > 0)
+    if (minShouldMatch > 0)
       return search(query, k, start, conjunctive, filter, notQuery,
         minShouldMatch)
     val n = start + k
     val terms = analyzeQuery(query)
     if (terms.isEmpty || docCount == 0) return emptyPage
-    val idfs = termIdfs(terms)
+    val notTerms = notQuery.map(analyzeQuery).getOrElse(Seq.empty)
+    // ONE driver lookup covers MUST and MUST_NOT terms
+    val all = termIdfs((terms ++ notTerms).distinct)
+    val termSet = terms.toSet
+    val idfs = all.filter(i => termSet.contains(i.term))
     if (idfs.isEmpty || (conjunctive && idfs.size < terms.size))
       return emptyPage
+    val notSet = notTerms.toSet
+    val presentNot = all.map(_.term).filter(notSet.contains)
+    val isRestricted = hasDeadDocs || filter.nonEmpty || presentNot.nonEmpty
+    // filter semi-join + dead-docs anti-join + MUST_NOT anti-join — the
+    // exact path's restriction set, applied to per-term rows pre-fold
+    def restrict(rows: DataFrame): DataFrame = {
+      val r0 = applyMatchSetRestrictions(rows, filter)
+      notDocSet(presentNot) match {
+        case Some(nd) => r0.join(nd, Seq("doc_id"), "left_anti")
+        case None => r0
+      }
+    }
     val (k1c, bc, ac) = (k1, b, avgdl)
     val idfMap = idfs.map(i => i.term -> i.idf).toMap
 
-    if (idfs.size == 1) {
+    if (idfs.size == 1 && !isRestricted) {
       val i = idfs.head
       return fetchPage(singleTermTopK(i.term, i.idf, n).offset(start).limit(k))
     }
@@ -408,9 +427,11 @@ final class Searcher(
     // cost-based path choice: the multi-term WAND pipeline spends 3-4
     // Spark jobs (seed θ, candidates, rescore) to AVOID decode work —
     // worth it only when the posting volume dominates the fixed per-job
-    // cost. Below the threshold the 2-job exact path is strictly faster.
-    if (idfs.map(_.df).sum < wandMinDf)
-      return search(query, k, start, conjunctive, filter)
+    // cost. Below the threshold (and for restricted single-term queries,
+    // where block pruning has nothing extra to skip) the exact path is
+    // strictly faster.
+    if (idfs.size == 1 || idfs.map(_.df).sum < wandMinDf)
+      return search(query, k, start, conjunctive, filter, notQuery)
 
     // per-term upper bounds straight from the cached term_stats lookup —
     // no extra job, no posting-file touch
@@ -427,10 +448,29 @@ final class Searcher(
           .take(maxRescore + 1)
       } else {
         val best = ubs.maxBy(_._2)._1
-        val seed = singleTermTopK(best, idfMap(best), n).collect()
         val theta =
-          if (seed.length >= n) seed.last.getDouble(1)
-          else Double.NegativeInfinity
+          if (!isRestricted) {
+            val seed = singleTermTopK(best, idfMap(best), n).collect()
+            if (seed.length >= n) seed.last.getDouble(1)
+            else Double.NegativeInfinity
+          } else {
+            // restricted θ seed: the best term's exact contributions
+            // (same arithmetic shape as foldScores — a θ even one ulp
+            // above the true restricted kth could over-prune), restricted
+            // to the eligible docset, kth best
+            val bi = idfs.find(_.term == best).get
+            val seedRows = postingsForTerms(Seq(best))
+              .select(explode(vb_decode(col("blob"))).as("p"))
+              .select(col("p.doc_id").as("doc_id"),
+                col("p.tf").as("tf"), col("p.dl").as("dl"))
+            val contrib = lit(bi.idf) * (col("tf") * lit(k1c + 1.0)) /
+              (col("tf") + lit(k1c) * (lit(1.0 - bc) + lit(bc) * col("dl") / lit(ac)))
+            val seed = restrict(seedRows)
+              .select(col("doc_id"), contrib.as("score"))
+              .orderBy(col("score").desc, col("doc_id").asc).limit(n)
+              .select("score").as[Double].collect()
+            if (seed.length >= n) seed.last else Double.NegativeInfinity
+          }
         val ubsL = ubs
         val idfL = idfMap
         postingsForTerms(idfs.map(_.term))
@@ -442,7 +482,7 @@ final class Searcher(
           .distinct().take(maxRescore + 1)
       }
     if (candidates.length > maxRescore)
-      return search(query, k, start, conjunctive)
+      return search(query, k, start, conjunctive, filter, notQuery)
 
     java.util.Arrays.sort(candidates)
     val bcCand = spark.sparkContext.broadcast(candidates)
@@ -454,7 +494,7 @@ final class Searcher(
         ds.indices.iterator.map(i => (t, ds(i), tfs(i), dls(i)))
       }.toDF("term", "doc_id", "tf", "dl")
       .join(broadcast(idfDf), Seq("term"))
-    val scored = foldScores(rescored)
+    val scored = foldScores(restrict(rescored))
     val page =
       (if (conjunctive) scored.filter(col("matched") === terms.size) else scored)
         .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
@@ -539,10 +579,13 @@ final class Searcher(
   def searchWithMeta(query: String, k: Int, start: Int = 0,
                      conjunctive: Boolean = true,
                      filter: Option[Column] = None): (DataFrame, Meta) = {
-    // two evaluations of the (cheap) scored set rather than a persist:
-    // the returned page is lazy, so a persist here could never be paired
-    // with an unpersist and would leak cached partitions per call
-    val scored = score(query, conjunctive, filter)
+    // ONE evaluation of the scored set: eager localCheckpoint
+    // materializes it once, then the agg job and the (lazy) page both
+    // read the materialized partitions. Unlike a persist — which could
+    // never be paired with an unpersist here because the page escapes —
+    // the checkpointed RDD is reclaimed by the ContextCleaner once the
+    // returned frame is unreachable.
+    val scored = score(query, conjunctive, filter).localCheckpoint(true)
     val m = scored.agg(count(lit(1)), max("score")).head()
     val meta = Meta(m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
     val page = scored.orderBy(col("score").desc, col("doc_id").asc)

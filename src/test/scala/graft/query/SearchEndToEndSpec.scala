@@ -148,6 +148,49 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("WAND pruning stays exact under filter, MUST_NOT, and dead docs " +
+    "(restricted θ seed — these previously forced the exact fallback)") {
+    def exact(q: String, conj: Boolean, f: Option[org.apache.spark.sql.Column],
+              not: Option[String], s: Searcher = searcher) =
+      s.search(q, K, conjunctive = conj, filter = f, notQuery = not)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def wand(q: String, conj: Boolean, f: Option[org.apache.spark.sql.Column],
+             not: Option[String], s: Searcher = searcher) =
+      s.searchWand(q, K, conjunctive = conj, filter = f, notQuery = not,
+          wandMinDf = 0)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val cases = Seq(
+      ("spark index", Some(col("lang") === "en"), Some("fast")),
+      ("spark data", None, Some("index")),
+      ("search engine", Some(col("lang") === "ko"), None))
+    for ((q, f, not) <- cases; conj <- Seq(true, false)) {
+      val e = exact(q, conj, f, not)
+      val w = wand(q, conj, f, not)
+      assert(w == e, s"'$q' conj=$conj filter=${f.nonEmpty} not=$not")
+      assert(conj || e.nonEmpty, s"'$q' OR case degenerate")
+    }
+    // dead docs: tombstone a slice of the corpus — the WAND path must
+    // now run its restricted pipeline instead of bailing, and stay exact
+    val root2 = tmpDir("graft-wanddead-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, 400), dict,
+      root2, IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+        saltDf = 200, saltFanout = 4), "wand-dead")
+    val doomed = WebtextGen.pages(Seed, 400).zipWithIndex
+      .collect { case (p, i) if i % 7 == 0 => p.url }
+    IndexBuilder.deleteByPk(spark, root2, doomed)
+    val s2 = new Searcher(spark, root2, dict)
+    try {
+      for (q <- Seq("spark index", "data search"); conj <- Seq(true, false)) {
+        val e = exact(q, conj, None, None, s2)
+        val w = wand(q, conj, None, None, s2)
+        assert(w == e, s"dead-docs '$q' conj=$conj")
+        assert(e.nonEmpty, s"dead-docs '$q' degenerate")
+      }
+    } finally s2.close()
+  }
+
   test("k=0 is a valid (empty) request on every path") {
     assert(searcher.search("spark", 0).isEmpty)
     assert(searcher.searchWand("spark", 0).isEmpty)
