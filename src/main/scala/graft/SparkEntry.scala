@@ -601,12 +601,27 @@ object SparkEntry {
       VectorOps.rerankByCosine(matches, emb, "vec_id", "embedding", q, 10)
     }),
 
-    // ---- multimodal plumbing (decode STUBBED — see Multimodal) ----
+    // ---- multimodal plumbing (audio/video decode STUBBED — see
+    //      Multimodal; image decode is REAL, next query) ----
     "q_multimodal" -> ((s, dir) =>
       Multimodal.extractFeatures(s,
           Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"))
         .toDF().select("media_id", "kind", "n_bytes", "byte_sum", "width", "height")
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+
+    // REAL image decode through javax.imageio: deterministic 8×8 PNGs
+    // generated per doc (pure function of doc_id), decoded back to true
+    // dimensions + pixel sums — PNG is lossless, so the oracle recomputes
+    // the expected pixels from the generator formula in pure SQL
+    "q_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticPng(id))))
+        .toDF("media_id", "payload")
+      Multimodal.decodeImages(s, media).toDF()
+        .select("media_id", "width", "height", "px_sum")
+        .orderBy("media_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1178,6 +1193,20 @@ object SparkEntry {
         |  CAST(greatest(1, length(d.text) % 640) AS INT) AS width,
         |  CAST(greatest(1, (length(d.text) // 3) % 480) AS INT) AS height
         |FROM documents d JOIN sums s USING (doc_id)
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // replays the PNG generator formula pixel(x,y) = (id*31+x*7+y*13)%256
+    // over the 8x8 grid — the engine decodes the actual PNG bytes, so a
+    // match proves the decode is real (lossless round-trip)
+    "q_image_decode" ->
+      """SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height,
+        |  CAST(sum((doc_id * 31 + g.x * 7 + g.y * 13) % 256) AS BIGINT)
+        |    AS px_sum
+        |FROM documents,
+        |  (SELECT x.x, y.y
+        |   FROM (SELECT unnest(generate_series(0, 7)) AS x) x,
+        |        (SELECT unnest(generate_series(0, 7)) AS y) y) g
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin
   )
 }

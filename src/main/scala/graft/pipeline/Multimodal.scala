@@ -6,13 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `BINARY`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The decode step is a STUB: real image/audio codecs are not in this
-  * container, so [[decodeImageStub]] is a deterministic fake that derives
-  * "features" purely from the bytes. Everything around it is real and
-  * tested — the schema, the partition-batched execution shape (one
-  * decoder instantiation per partition, amortized across rows, exactly
-  * how a JNI/FFI codec or a Pandas-UDF batch would be driven), and the
-  * pushdown-friendly metadata columns.
+  * IMAGE decode is REAL: [[decodeImage]] reads PNG/JPEG through
+  * `javax.imageio` (base JDK — no external codec dependency) and
+  * extracts true pixel dimensions + pixel-sum features;
+  * [[syntheticPng]] generates deterministic PNGs so correctness is
+  * oracle-checkable end-to-end (PNG is lossless: decode returns the
+  * exact generator formula). AUDIO/VIDEO decode remains a STUB
+  * ([[decodeImageStub]] / [[sampleFrames]]) — those codecs are not in
+  * this container — with the batch plumbing (schema, per-partition
+  * decoder amortization, per-row purity) real and tested.
   */
 object Multimodal {
 
@@ -28,10 +30,72 @@ object Multimodal {
       (when(col(idCol) % 2 === 0, "image").otherwise("audio")).as("kind"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** STUB decoder ??? real codec goes here. Deterministic byte-derived
-    * fake: "dimensions" from the payload length, "mean" over the bytes,
-    * crc over the head. The point under test is the batch plumbing, not
-    * the pixels. */
+  // ---- REAL image decode (javax.imageio, base JDK) -------------------
+
+  /** Deterministic grayscale PNG: pixel(x, y) = (id·31 + x·7 + y·13) mod
+    * 256 — a pure function of (id, w, h), so an SQL oracle can recompute
+    * the expected decode output without touching the bytes. */
+  def syntheticPng(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: PNG/JPEG bytes → (width, height, pixel sum of the
+    * first band). None when the payload is not a decodable image —
+    * malformed media must degrade to a row-level null, never a task
+    * failure (one corrupt image in 10^12 can't kill a job). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val raster = img.getRaster
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += raster.getSample(x, y, 0)
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, sum))
+      }
+    } catch { case _: Exception => None }
+
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 px_sum: Long)
+
+  /** Real image feature extraction, batched per partition like
+    * [[extractFeatures]]; undecodable payloads are dropped (logged by
+    * count upstream if needed). Shuffle-free. */
+  def decodeImages(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeImage(payload).map { case (w, h, s) => ImageFeatures(id, w, h, s) }
+      })
+  }
+
+  /** STUB decoder for AUDIO/VIDEO payloads (codecs not in this
+    * container). Deterministic byte-derived fake: "dimensions" from the
+    * payload length, "mean" over the bytes, crc over the head. The point
+    * under test is the batch plumbing, not the samples. */
   def decodeImageStub(payload: Array[Byte]): (Int, Int, Long, Long) = {
     val n = payload.length
     val width = math.max(1, n % 640)
@@ -60,8 +124,9 @@ object Multimodal {
   }
 
   // ---- resize / frame-sample: the remaining pipeline verbs. Real
-  // codecs ??? go behind these seams; the deterministic fakes keep the
-  // Spark-side contract (schema, batching, per-row purity) testable. ----
+  // audio/video codecs go behind these seams; the deterministic fakes
+  // keep the Spark-side contract (schema, batching, per-row purity)
+  // testable. ----
 
   final case class ResizedRow(media_id: Long, width: Int, height: Int,
                               payload: Array[Byte])

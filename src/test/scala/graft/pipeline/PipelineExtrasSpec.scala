@@ -85,6 +85,37 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.toSet == Set(1L, 10L, 20L, 99L))
   }
 
+  test("real image decode: PNG round-trip recovers the exact generator " +
+    "pixels; garbage payloads degrade to None, distributed path agrees") {
+    // lossless round-trip: decode(syntheticPng(id)) == the formula
+    for (id <- Seq(0L, 1L, 7L, 255L, 1000000L)) {
+      val Some((w, h, sum)) = Multimodal.decodeImage(Multimodal.syntheticPng(id))
+      val expected = (for (y <- 0 until 8; x <- 0 until 8)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(w == 8 && h == 8 && sum == expected, s"id=$id")
+    }
+    // non-square dims decode true width/height, not stub arithmetic
+    val Some((w2, h2, _)) = Multimodal.decodeImage(
+      Multimodal.syntheticPng(3L, w = 5, h = 11))
+    assert(w2 == 5 && h2 == 11)
+    // corrupt media degrades to a dropped row, never a task failure
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    // distributed: decodeImages drops the corrupt row, keeps the rest
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, "garbage".getBytes),
+      (3L, Multimodal.syntheticPng(3L))).toDF("media_id", "payload")
+    val out = Multimodal.decodeImages(spark, media).collect()
+      .map(f => f.media_id -> f.px_sum).toMap
+    assert(out.keySet == Set(1L, 3L))
+    val exp1 = (for (y <- 0 until 8; x <- 0 until 8)
+      yield (31 + x * 7 + y * 13) % 256).sum
+    assert(out(1L) == exp1)
+  }
+
   test("multimodal resize: deterministic, schema-stable, length bounded") {
     val sp = spark
     import sp.implicits._
