@@ -363,14 +363,20 @@ object TextOps {
   /** Collapse near-duplicate PAIRS into components: (id, keep_id) where
     * keep_id is the component's smallest id — the "keep one
     * representative, drop the rest" step of web-scale dedup, applicable
-    * to any pair source (MinHash, SimHash, embedding-cosine). Iterative
-    * min-label propagation over the symmetric edge set; duplicate
-    * components are tiny, so convergence takes a handful of rounds (one
-    * shuffle each, label frame localCheckpointed so the plan does not
-    * grow with iterations). At 10^12 docs the same loop runs with
-    * large-star/small-star rounds — the per-round shape is identical. */
+    * to any pair source (MinHash, SimHash, embedding-cosine).
+    *
+    * Iterative min-label propagation over the symmetric edge set, with a
+    * POINTER-DOUBLING step per round (follow the label's label — the
+    * distributed path-halving of large-star/small-star contraction): a
+    * component of diameter D converges in O(log D) rounds instead of
+    * O(D), so an adversarial 10^6-long chain fits the same round budget
+    * as the typical tiny dup cluster. Each round is two equi-joins + one
+    * min-agg shuffle; the label frame is localCheckpointed so the plan
+    * never grows with iterations. Labels only decrease and are bounded
+    * below by the component minimum, so the fixpoint IS the transitive
+    * closure. */
   def nearDupComponents(ids: DataFrame, idCol: String,
-                        pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+                        pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -383,8 +389,16 @@ object TextOps {
     while (changed && iter < maxIters) {
       val prop = labels.join(edges, labels("id") === edges("src"))
         .select(col("dst").as("id"), col("keep_id"))
-      val next = labels.union(prop).groupBy("id")
-        .agg(min("keep_id").as("keep_id")).localCheckpoint(true)
+      val combined = labels.union(prop).groupBy("id")
+        .agg(min("keep_id").as("keep_id"))
+      // pointer doubling: keep_id := keep_id's keep_id (every keep_id is
+      // itself a node id, so the inner join is total); monotone because
+      // the followed label is never larger
+      val next = combined
+        .join(combined.select(col("id").as("__kid"),
+          col("keep_id").as("__kk")), col("keep_id") === col("__kid"))
+        .select(col("id"), col("__kk").as("keep_id"))
+        .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("keep_id", "__old"), Seq("id"))
         .where(col("keep_id") < col("__old")).limit(1).count() > 0
@@ -392,9 +406,9 @@ object TextOps {
       iter += 1
     }
     // partial labels would silently diverge from the transitive closure —
-    // a graph whose diameter exceeds the round budget must fail loudly
+    // a graph that somehow outruns the log-round budget must fail loudly
     require(!changed, s"nearDupComponents did not converge in $maxIters " +
-      "rounds — raise maxIters (component diameter exceeds the budget)")
+      "rounds — raise maxIters")
     labels
   }
 

@@ -85,6 +85,52 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.toSet == Set(1L, 10L, 20L, 99L))
   }
 
+  test("nearDupComponents matches a union-find oracle on random graphs " +
+    "and converges logarithmically on an adversarial chain") {
+    val sp = spark
+    import sp.implicits._
+    // union-find oracle
+    def ufComponents(n: Int, pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // root = min of component by construction (always union into min)
+      (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    }
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 40
+      val pairs = (0 until n / 2).map { _ =>
+        val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+        (math.min(a, b).toLong, math.max(a, b).toLong)
+      }.filter(p => p._1 != p._2).distinct
+      val got = TextOps.nearDupComponents(
+          (0 until n).map(_.toLong).toDF("id"), "id",
+          pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufComponents(n, pairs), s"trial $trial (n=$n)")
+    }
+    // adversarial chain 0-1-2-...-999: diameter 999 must converge within
+    // the default round budget (pointer doubling ⇒ O(log D) rounds; the
+    // plain propagation loop would need ~1000)
+    val chainN = 1000
+    val chain = (0 until chainN - 1).map(i => (i.toLong, i.toLong + 1))
+    val labels = TextOps.nearDupComponents(
+        (0 until chainN).map(_.toLong).toDF("id"), "id",
+        chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.forall(_._2 == 0L), "chain did not fully contract to 0")
+  }
+
   test("real image decode: PNG round-trip recovers the exact generator " +
     "pixels; garbage payloads degrade to None, distributed path agrees") {
     // lossless round-trip: decode(syntheticPng(id)) == the formula
