@@ -447,10 +447,16 @@ object IndexBuilder {
     // written in ONE analysis pass and immediately becoming the build's
     // stable materialization: every later pass derives from this parquet
     // (text already extracted), so nothing row-heavy is ever cached in
-    // memory and the raw-page cache can be dropped right here
+    // memory and the raw-page cache can be dropped right here.
+    // Collection stats (N, Σdl, max id) are OBSERVED during the write —
+    // at 10^12 docs a separate stats agg would re-scan the docstore; as
+    // observed metrics they cost nothing.
+    val docObs = org.apache.spark.sql.Observation()
     analyze(idPages, dict, cfg.analyzer)
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
         col("text"), col("dl"))
+      .observe(docObs, count(lit(1)).as("cnt"),
+        sum(col("dl").cast("long")).as("sdl"), max(col("doc_id")).as("mx"))
       .write.mode("overwrite").parquet(IndexStore.docstorePath(root, seg))
     lap("analyze_docstore")
 
@@ -477,7 +483,9 @@ object IndexBuilder {
     val termStats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("ttf"),
         max("tf").cast("int").as("max_tf"), min("dl").cast("int").as("min_dl"))
-    termStats.write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
+    val termObs = org.apache.spark.sql.Observation()
+    termStats.observe(termObs, count(lit(1)).as("terms"))
+      .write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
     lap("term_stats")
 
     // build-time facet sidecar (reference facet fields, Indexer.java:
@@ -497,11 +505,10 @@ object IndexBuilder {
     }
 
     val (docCount, sumDl, idCeiling) = {
-      val r = docstore
-        .agg(count(lit(1)), sum(col("dl").cast("long")), max(col("doc_id")))
-        .head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
-        if (r.isNullAt(2)) 0L else r.getLong(2) + 1L)
+      val m = docObs.get // observed during the docstore write — no job
+      (m("cnt").asInstanceOf[Long],
+        Option(m("sdl")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(m("mx")).map(_.asInstanceOf[Long] + 1L).getOrElse(0L))
     }
     // id_ceiling: first doc_id safely above every id in this segment —
     // the APPEND base. Distinct from doc_count because a compacted
@@ -674,12 +681,11 @@ object IndexBuilder {
       }.toSeq
     IndexStore.appendManifest(spark, root, seg, manifestRows)
 
-    // parquet metadata count — no recompute of the aggregation
     IndexStore.writeSegmentConfig(spark, root, seg,
       IndexStore.SegmentConfig(cfg.numParts, cfg.saltFanout, cfg.blockSize,
         hasPositions = cfg.indexPositions, analyzer = cfg.analyzer))
-    val termCount =
-      spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
+    // observed during the term_stats write — no extra job
+    val termCount = termObs.get("terms").asInstanceOf[Long]
     lap("manifest_and_counts")
     val postingRows = manifestRows.map(_.rows).sum // no extra job
     val report = BuildReport(seg, docCount, termCount, postingRows, wallMs,
@@ -1055,24 +1061,28 @@ object IndexBuilder {
       else persisted.toDF()
         .groupBy("term").agg(sum("df_local").as("df"), sum("ttf").as("ttf"),
           max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
-    termStats.write.mode("overwrite")
+    val termObs = org.apache.spark.sql.Observation()
+    termStats.observe(termObs, count(lit(1)).as("terms"))
+      .write.mode("overwrite")
       .parquet(IndexStore.termStatsPath(root, seg))
     lap("term_stats")
 
     // docstore: live rows only, ids unchanged (broadcast anti-join — the
-    // dead set already passed the gate)
+    // dead set already passed the gate); stats observed during the write
     val deadIdsDf = spark.createDataset(deadSorted.toSeq).toDF("doc_id")
     val liveDocs =
       if (deadCount == 0) allDocs
       else allDocs.join(broadcast(deadIdsDf), Seq("doc_id"), "left_anti")
-    liveDocs.write.mode("overwrite")
+    val docObs = org.apache.spark.sql.Observation()
+    liveDocs
+      .observe(docObs, count(lit(1)).as("cnt"),
+        sum(col("dl").cast("long")).as("sdl"), max(col("doc_id")).as("mx"))
+      .write.mode("overwrite")
       .parquet(IndexStore.docstorePath(root, seg))
-    val st = spark.read.parquet(IndexStore.docstorePath(root, seg))
-      .agg(count(lit(1)), sum(col("dl").cast("long")), max(col("doc_id")))
-      .head()
-    val docCount = st.getLong(0)
-    val sumDl = if (st.isNullAt(1)) 0L else st.getLong(1)
-    val idCeiling = if (st.isNullAt(2)) 0L else st.getLong(2) + 1L
+    val stM = docObs.get
+    val docCount = stM("cnt").asInstanceOf[Long]
+    val sumDl = Option(stM("sdl")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val idCeiling = Option(stM("mx")).map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
     Seq((docCount, sumDl,
         if (docCount == 0) 0.0 else sumDl.toDouble / docCount, idCeiling))
       .toDF("doc_count", "sum_dl", "avgdl", "id_ceiling")
@@ -1111,8 +1121,7 @@ object IndexBuilder {
     IndexStore.writeSegmentConfig(spark, root, seg,
       IndexStore.SegmentConfig(numParts, sc0.saltFanout, blockSize,
         hasPositions = withPos, analyzer = sc0.analyzer))
-    val termCount =
-      spark.read.parquet(IndexStore.termStatsPath(root, seg)).count()
+    val termCount = termObs.get("terms").asInstanceOf[Long]
     persisted.unpersist()
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
