@@ -866,7 +866,10 @@ object IndexBuilder {
     report
   }
 
-  private final case class CompactRow(part: Int, term: String,
+  // NOT private: the Dataset encoder's generated code must call the
+  // accessors — a private class makes Janino compilation fail per task
+  // and silently drop the whole compact path to interpreted encoders
+  final case class CompactRow(part: Int, term: String,
                                       df_local: Long, max_tf: Int,
                                       min_dl: Int, blob: Array[Byte],
                                       ttf: Long)
