@@ -394,11 +394,15 @@ object IndexBuilder {
   def analyze(pages: DataFrame, dict: SynonymDict,
               mode: String = graft.analysis.Tokenizer.Text): DataFrame =
     pages
-      .withColumn("text", coalesce(col("text"), extract_text(col("html"))))
+      // final "" fallback: a doc can legitimately MISS a field (null text
+      // AND no html in a fielded build) — it must analyze to an empty
+      // token array, not a null that NPEs the fragment builder
+      .withColumn("text",
+        coalesce(col("text"), extract_text(col("html")), lit("")))
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
         col("text"), qube_tf(col("text"), dict, mode).as("tf_pairs"))
-      .withColumn("dl",
-        coalesce(element_at(col("tf_pairs"), 1).getField("dl"), lit(0)))
+      .withColumn("dl", // try_: an empty-field doc has an EMPTY tf array
+        coalesce(try_element_at(col("tf_pairs"), lit(1)).getField("dl"), lit(0)))
 
   /** Build one complete segment under `root/segments/<seg>` and return
     * its report. `resume = true` skips posting partitions already present
@@ -504,20 +508,10 @@ object IndexBuilder {
       lap("facets_sidecar")
     }
 
-    val (docCount, sumDl, idCeiling) = {
-      val m = docObs.get // observed during the docstore write — no job
-      (m("cnt").asInstanceOf[Long],
-        Option(m("sdl")).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(m("mx")).map(_.asInstanceOf[Long] + 1L).getOrElse(0L))
-    }
-    // id_ceiling: first doc_id safely above every id in this segment —
-    // the APPEND base. Distinct from doc_count because a compacted
-    // segment ([[mergeCompact]]) keeps original ids WITH GAPS where dead
-    // docs fell out.
-    Seq((docCount, sumDl,
-        if (docCount == 0) 0.0 else sumDl.toDouble / docCount, idCeiling))
-      .toDF("doc_count", "sum_dl", "avgdl", "id_ceiling")
-      .write.mode("overwrite").parquet(IndexStore.statsPath(root, seg))
+    // stats row from the metrics observed during the docstore write — no
+    // job; layout shared with mergeCompact via IndexStore
+    val (docCount, sumDl, idCeiling) =
+      IndexStore.writeStatsFromObservation(spark, root, seg, docObs.get)
     lap("collection_stats")
 
     // --- map-side posting fragments + skew-salted shuffle + merge ---
@@ -913,7 +907,14 @@ object IndexBuilder {
       .getOrElse(sys.error(s"no snapshot at $root"))
     val stored = snap.segments.flatMap(s =>
       IndexStore.readSegmentConfig(spark, root, s))
+    // formatVersion is part of the gate: an old-format segment's blobs
+    // can neither be decoded (dead-doc filtering would crash mid-job) nor
+    // passed through (the new segment's config would re-stamp them as
+    // current-format, silencing the Searcher's loud version check). The
+    // rebuild merge re-encodes from the docstore, so it handles any
+    // version — fall back, never error (invariant 14).
     val uniform = stored.size == snap.segments.size &&
+      stored.forall(_.formatVersion == graft.codec.VarByte.FormatVersion) &&
       stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
         .distinct.size == 1
     if (!uniform) return merge(spark, root, dict, cfg)
@@ -937,40 +938,29 @@ object IndexBuilder {
       IndexStore.readTombstonesDf(spark, root, snap.tombstones) match {
         case None => spark.emptyDataset[Long].toDF("doc_id")
         case Some(tombs) =>
+          // url rows are wider than dead ids — gate at the same 2M-row
+          // threshold the Searcher and rebuild merge use for this table,
+          // not the 4M id gate
           val side =
-            if (tombs.count() <= maxBroadcastDeadIds) broadcast(tombs)
+            if (tombs.count() <= 2000000L) broadcast(tombs)
             else tombs
           allDocs.join(side, Seq("url"), "left_semi").select("doc_id")
       }
     val deadDf = superseded.union(tombstoned).distinct()
-    val deadCount = deadDf.count()
-    if (deadCount > maxBroadcastDeadIds) return merge(spark, root, dict, cfg)
-    val deadSorted: Array[Long] = deadDf.as[Long].collect()
+    // ONE action for gate + collect: fetch at most gate+1 ids — if that
+    // overflows the gate, the rebuild's shuffle anti-joins are the
+    // scale-safe plan; otherwise we already hold the array (no second
+    // pass over the docstore-union window)
+    val fetchCap = math.min(maxBroadcastDeadIds + 1L, Int.MaxValue.toLong).toInt
+    val deadSorted: Array[Long] = deadDf.limit(fetchCap).as[Long].collect()
+    if (deadSorted.length >= fetchCap) return merge(spark, root, dict, cfg)
     java.util.Arrays.sort(deadSorted)
+    val deadCount: Long = deadSorted.length.toLong
     lap("dead_scan")
 
-    val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("term",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("df_local",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("max_tf",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("min_dl",
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("blob",
-        org.apache.spark.sql.types.BinaryType),
-      org.apache.spark.sql.types.StructField("part",
-        org.apache.spark.sql.types.IntegerType)))
-    def segPostings(s: String): DataFrame =
-      try spark.read.parquet(IndexStore.postingsPath(root, s))
-      catch {
-        case _: org.apache.spark.sql.AnalysisException =>
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            postingsSchema)
-      }
-    val allPostings = snap.segments.map(segPostings).reduce(_ unionByName _)
+    val allPostings = snap.segments
+      .map(IndexStore.readPostingsOrEmpty(spark, root, _))
+      .reduce(_ unionByName _)
       .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
       .repartition(numParts, col("part"))
       .sortWithinPartitions("part", "term")
@@ -1082,14 +1072,8 @@ object IndexBuilder {
         sum(col("dl").cast("long")).as("sdl"), max(col("doc_id")).as("mx"))
       .write.mode("overwrite")
       .parquet(IndexStore.docstorePath(root, seg))
-    val stM = docObs.get
-    val docCount = stM("cnt").asInstanceOf[Long]
-    val sumDl = Option(stM("sdl")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    val idCeiling = Option(stM("mx")).map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
-    Seq((docCount, sumDl,
-        if (docCount == 0) 0.0 else sumDl.toDouble / docCount, idCeiling))
-      .toDF("doc_count", "sum_dl", "avgdl", "id_ceiling")
-      .write.mode("overwrite").parquet(IndexStore.statsPath(root, seg))
+    val (docCount, _, _) =
+      IndexStore.writeStatsFromObservation(spark, root, seg, docObs.get)
     lap("docstore_stats")
 
     // sidecars ride along unchanged (ids are stable) minus dead rows

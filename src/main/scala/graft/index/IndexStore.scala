@@ -97,6 +97,58 @@ object IndexStore {
   def statsPath(root: String, seg: String) = s"${segmentDir(root, seg)}/stats"
   def manifestPath(root: String, seg: String) = s"${segmentDir(root, seg)}/manifest.jsonl"
 
+  /** THE pinned postings schema: an empty segment's partitioned dir has
+    * no parquet footers to infer from (S7 create-empty-index), and every
+    * reader (Searcher, posting-level merge) must agree on one layout —
+    * this is the single copy. */
+  val postingsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("df_local",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("max_tf",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("min_dl",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("blob",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("part",
+        org.apache.spark.sql.types.IntegerType)))
+
+  /** Collection-stats row from the cnt/sdl/mx metrics observed during a
+    * segment's docstore write — the single copy of the (doc_count,
+    * sum_dl, avgdl, id_ceiling) layout that built AND compacted segments
+    * share. `id_ceiling` is the first doc_id safely above every id in
+    * the segment — the APPEND base; distinct from doc_count because a
+    * compacted segment keeps original ids WITH GAPS where dead docs fell
+    * out. Returns (docCount, sumDl, idCeiling). */
+  def writeStatsFromObservation(spark: SparkSession, root: String,
+                                seg: String, m: Map[String, Any])
+      : (Long, Long, Long) = {
+    import spark.implicits._
+    val docCount = m("cnt").asInstanceOf[Long]
+    val sumDl = Option(m("sdl")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val idCeiling = Option(m("mx")).map(_.asInstanceOf[Long] + 1L).getOrElse(0L)
+    Seq((docCount, sumDl,
+        if (docCount == 0) 0.0 else sumDl.toDouble / docCount, idCeiling))
+      .toDF("doc_count", "sum_dl", "avgdl", "id_ceiling")
+      .write.mode("overwrite").parquet(statsPath(root, seg))
+    (docCount, sumDl, idCeiling)
+  }
+
+  /** Segment postings, or an empty pinned-schema frame for a segment
+    * whose partitioned dir has no footers (empty corpus). */
+  def readPostingsOrEmpty(spark: SparkSession, root: String,
+                          seg: String): org.apache.spark.sql.DataFrame =
+    try spark.read.parquet(postingsPath(root, seg))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          postingsSchema)
+    }
+
   private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()

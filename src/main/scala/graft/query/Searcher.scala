@@ -54,38 +54,22 @@ final class Searcher(
     IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root"))
 
+  // allowMissingColumns: a legacy segment's stats lack `id_ceiling` while
+  // a round-3 append's carry it — a strict unionByName would make a valid
+  // mixed-version index unreadable (missing columns read as null, and
+  // every consumer aggregates only columns present in both)
   private def unionSegs(path: String => String): DataFrame =
-    snapshot.segments.map(s => spark.read.parquet(path(s))).reduce(_ unionByName _)
+    snapshot.segments.map(s => spark.read.parquet(path(s)))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Row store (S8): doc_id, url, warc_ts, lang, text, dl. */
   val docstore: DataFrame =
     unionSegs(IndexStore.docstorePath(root, _)).persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Postings table. An EMPTY segment's partitioned parquet dir has no
-    * footers to infer from (S7's create-empty-index case), so the schema
-    * is pinned explicitly. */
-  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("term",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("df_local",
-      org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("max_tf",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("min_dl",
-      org.apache.spark.sql.types.IntegerType),
-    org.apache.spark.sql.types.StructField("blob",
-      org.apache.spark.sql.types.BinaryType),
-    org.apache.spark.sql.types.StructField("part",
-      org.apache.spark.sql.types.IntegerType)))
-
+  /** Postings table — schema pinned in [[IndexStore.postingsSchema]]
+    * (S7's create-empty-index case has no footers to infer from). */
   private def readPostings(seg: String): DataFrame =
-    try spark.read.parquet(IndexStore.postingsPath(root, seg))
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          postingsSchema)
-    }
+    IndexStore.readPostingsOrEmpty(spark, root, seg)
 
   /** One relation per segment, created ONCE: re-reading per query would
     * re-list the partition directories on every plan (driver-side
@@ -408,10 +392,21 @@ final class Searcher(
     val presentNot = all.map(_.term).filter(notSet.contains)
     val isRestricted = hasDeadDocs || filter.nonEmpty || presentNot.nonEmpty
     // filter semi-join + dead-docs anti-join + MUST_NOT anti-join — the
-    // exact path's restriction set, applied to per-term rows pre-fold
+    // exact path's restriction set, applied to per-term rows pre-fold.
+    // The restricted OR path evaluates restrictions in BOTH the θ-seed
+    // collect and the final page job; for large NOT postings the doc set
+    // is materialized once (eager localCheckpoint — one extra job buys
+    // halving the NOT decode), while small ones stay inline (the
+    // duplicate row-group-pruned decode is cheaper than a job). Lazy so
+    // the exact-path fallbacks never trigger it.
+    lazy val ndShared: Option[DataFrame] = notDocSet(presentNot).map { nd =>
+      val notDfTotal = all.filter(i => notSet.contains(i.term)).map(_.df).sum
+      if (!conjunctive && notDfTotal >= wandMinDf) nd.localCheckpoint(true)
+      else nd
+    }
     def restrict(rows: DataFrame): DataFrame = {
       val r0 = applyMatchSetRestrictions(rows, filter)
-      notDocSet(presentNot) match {
+      ndShared match {
         case Some(nd) => r0.join(nd, Seq("doc_id"), "left_anti")
         case None => r0
       }

@@ -96,4 +96,39 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e == g)
     assert(e.nonEmpty)
   }
+
+  test("dedup tie with complementary null fields is deterministic: " +
+    "(null, x) and (x, null) get distinct tie keys, same winner either " +
+    "input order") {
+    import spark.implicits._
+    val ts = new java.sql.Timestamp(1767225600000L)
+    // two exact (url, warc_ts) duplicates differing only in WHICH field
+    // is null — a null-skipping tie key would make the winner
+    // partition-order-dependent
+    val rows = Seq(
+      ("https://dup.example/p/1", ts, "en", null.asInstanceOf[String], "alpha"),
+      ("https://dup.example/p/1", ts, "en", "alpha", null.asInstanceOf[String]),
+      ("https://other.example/p/2", ts, "en", "beta", "gamma"))
+    def build(ordered: Seq[(String, java.sql.Timestamp, String, String, String)],
+              parts: Int): (Seq[(String, String)], Seq[(String, String)]) = {
+      val df = ordered.toDF("url", "warc_ts", "lang", "a", "b")
+        .repartition(parts)
+      val r = tmpDir("graft-nulltie-")
+      FieldedIndex.buildFull(spark, df,
+        Seq(FieldedIndex.FieldSpec("a", col("a")),
+          FieldedIndex.FieldSpec("b", col("b"))),
+        r, IndexBuilder.IndexConfig(numParts = 2, rangeParts = 2))
+      def docs(f: String) = spark.read.parquet(
+          IndexStore.docstorePath(FieldedIndex.fieldRoot(r, f), "seg-000000"))
+        .select("url", "text").collect()
+        .map(x => (x.getString(0), x.getString(1))).sortBy(_._1).toSeq
+      (docs("a"), docs("b"))
+    }
+    val (a1, b1) = build(rows, 1)
+    val (a2, b2) = build(rows.reverse, 3)
+    assert(a1 == a2, "field a winner depends on input order")
+    assert(b1 == b2, "field b winner depends on input order")
+    // and the two duplicate rows were actually collapsed to one winner
+    assert(a1.count(_._1 == "https://dup.example/p/1") == 1)
+  }
 }

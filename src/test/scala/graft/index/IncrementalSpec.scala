@@ -320,4 +320,48 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       }
     } finally { sm.close(); sf.close() }
   }
+
+  test("legacy segment whose stats lack id_ceiling: append falls back to " +
+    "the max(doc_id) scan and the mixed-schema index stays readable") {
+    val root = tmpDir("graft-legacy-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    // simulate a round-2 segment: rewrite its stats without id_ceiling
+    val statsPath = IndexStore.statsPath(root, "seg-000000")
+    val legacy = spark.read.parquet(statsPath)
+      .select("doc_count", "sum_dl", "avgdl").collect()
+    import spark.implicits._
+    legacy.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.toDF("doc_count", "sum_dl", "avgdl")
+      .write.mode("overwrite").parquet(statsPath)
+    // append writes NEW-schema stats next to the legacy segment's
+    IndexBuilder.appendSegment(spark, toDf(batch2), dict, root, cfg, "b2")
+    val s = new Searcher(spark, root, dict)
+    try {
+      // a strict stats unionByName would throw here on the missing column
+      assert(s.docCount == (batch1.size + batch2.size).toLong)
+      // ids must not collide across the schema generations
+      val ids = s.docstore.select("doc_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length)
+      assert(s.search("spark", 10).count() > 0)
+    } finally s.close()
+  }
+
+  test("old-format segment: mergeCompact falls back to the rebuild merge " +
+    "instead of passing v1 blobs through re-stamped as current") {
+    val root = tmpDir("graft-oldfmt-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    val b2 = (N until N + 100).map(i => WebtextGen.page(Seed, i.toLong))
+    IndexBuilder.appendSegment(spark, toDf(b2), dict, root, cfg, "b2")
+    // mark the first segment as a pre-versioning layout (format v1)
+    val sc = IndexStore.readSegmentConfig(spark, root, "seg-000000").get
+    IndexStore.writeSegmentConfig(spark, root, "seg-000000",
+      sc.copy(formatVersion = 1))
+    val rep = IndexBuilder.mergeCompact(spark, root, dict, cfg)
+    val phaseNames = rep.phases.map(_._1).toSet
+    assert(phaseNames.contains("sort_dedup_assign") &&
+      !phaseNames.contains("postings_blob_merge_write"),
+      s"expected the rebuild path, got phases $phaseNames")
+    val s = new Searcher(spark, root, dict)
+    try assert(s.search("spark", 10).count() > 0) finally s.close()
+  }
 }
