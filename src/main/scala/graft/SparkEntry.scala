@@ -621,6 +621,21 @@ object SparkEntry {
       Multimodal.decodeImages(s, media).toDF()
         .select("media_id", "width", "height", "px_sum")
         .orderBy("media_id")
+    }),
+
+    // REAL WAV/PCM decode through a direct RIFF parse (raw samples need
+    // no codec library): deterministic PCM16 WAVs generated per doc,
+    // decoded back to sample-rate + sample statistics — the oracle
+    // replays the generator formula in pure SQL, so a match proves the
+    // container parse and sample extraction are real
+    "q_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("media_id", "payload")
+      Multimodal.decodeAudios(s, media).toDF()
+        .select("media_id", "sample_rate", "n_samples", "abs_sum", "max_abs")
+        .orderBy("media_id")
     })
   )
 
@@ -1207,6 +1222,21 @@ object SparkEntry {
         |  (SELECT x.x, y.y
         |   FROM (SELECT unnest(generate_series(0, 7)) AS x) x,
         |        (SELECT unnest(generate_series(0, 7)) AS y) y) g
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // replays the WAV generator sample(i) = (id*131 + i*31) % 4001 - 2000
+    // over n = 32 + id%32 samples — the engine parses the actual RIFF
+    // bytes, so a match proves the PCM decode is real
+    "q_audio_decode" ->
+      """SELECT doc_id AS media_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(32 + doc_id % 32 AS BIGINT) AS n_samples,
+        |  CAST(sum(abs((doc_id * 131 + g.i * 31) % 4001 - 2000)) AS BIGINT)
+        |    AS abs_sum,
+        |  CAST(max(abs((doc_id * 131 + g.i * 31) % 4001 - 2000)) AS BIGINT)
+        |    AS max_abs
+        |FROM documents,
+        |  (SELECT unnest(generate_series(0, 63)) AS i) g
+        |WHERE g.i < 32 + doc_id % 32
         |GROUP BY doc_id ORDER BY media_id""".stripMargin
   )
 }

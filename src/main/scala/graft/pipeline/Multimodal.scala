@@ -11,7 +11,10 @@ import org.apache.spark.sql.functions._
   * extracts true pixel dimensions + pixel-sum features;
   * [[syntheticPng]] generates deterministic PNGs so correctness is
   * oracle-checkable end-to-end (PNG is lossless: decode returns the
-  * exact generator formula). AUDIO/VIDEO decode remains a STUB
+  * exact generator formula). AUDIO decode is REAL for WAV/PCM16:
+  * [[decodeWav]] walks the RIFF container directly (raw samples need no
+  * codec library) with [[syntheticWav]] as its oracle-replayable
+  * generator. VIDEO (and compressed-audio codecs) remain a STUB
   * ([[decodeImageStub]] / [[sampleFrames]]) — those codecs are not in
   * this container — with the batch plumbing (schema, per-partition
   * decoder amortization, per-row purity) real and tested.
@@ -92,10 +95,107 @@ object Multimodal {
       })
   }
 
-  /** STUB decoder for AUDIO/VIDEO payloads (codecs not in this
-    * container). Deterministic byte-derived fake: "dimensions" from the
-    * payload length, "mean" over the bytes, crc over the head. The point
-    * under test is the batch plumbing, not the samples. */
+  // ---- REAL audio decode (RIFF/WAV PCM16 — a container with raw
+  // samples, parsed directly; no codec library involved) ----------------
+
+  /** Deterministic mono PCM16 WAV at 8 kHz: n = 32 + id mod 32 samples,
+    * sample(i) = ((id·131 + i·31) mod 4001) − 2000 — a pure function of
+    * id, so an SQL oracle recomputes the decoded sample statistics
+    * without touching the bytes. */
+  def syntheticWav(id: Long, sampleRate: Int = 8000): Array[Byte] = {
+    val n = (32 + (id % 32)).toInt
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2) // block align
+      .putShort(16) // bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      out.putShort((((id * 131 + i * 31) % 4001) - 2000).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** REAL WAV decode: RIFF chunk walk → PCM16 samples → (sample_rate,
+    * n_samples, Σ|sample|, max|sample|). None for anything that is not a
+    * well-formed mono/stereo PCM16 WAV — one corrupt payload in 10^12
+    * must degrade to a dropped row, never a task failure. */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Long, Long, Long)] =
+    try {
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      buf.getInt // riff size (unchecked: truncated files fail at get)
+      if (tag() != "WAVE") return None
+      var rate = -1
+      var channels = -1
+      var bits = -1
+      var pcm = false
+      var stats: Option[(Long, Long, Long)] = None
+      while (buf.remaining() >= 8 && stats.isEmpty) {
+        val id = tag()
+        val len = buf.getInt
+        if (len < 0 || len > buf.remaining()) return None
+        val next = buf.position() + len + (len & 1) // chunks are word-aligned
+        id match {
+          case "fmt " =>
+            pcm = buf.getShort == 1
+            channels = buf.getShort.toInt
+            rate = buf.getInt
+            buf.getInt; buf.getShort // byte rate, block align
+            bits = buf.getShort.toInt
+          case "data" =>
+            if (!pcm || bits != 16 || channels < 1 || channels > 2 ||
+              rate <= 0) return None
+            val n = len / 2 / channels
+            var absSum = 0L
+            var maxAbs = 0L
+            var i = 0
+            while (i < n.toLong * channels) {
+              val v = math.abs(buf.getShort.toLong)
+              absSum += v
+              if (v > maxAbs) maxAbs = v
+              i += 1
+            }
+            stats = Some((n.toLong, absSum, maxAbs))
+          case _ => () // skip LIST/INFO/etc.
+        }
+        buf.position(math.min(next, buf.limit()))
+      }
+      stats.map { case (n, s, m) => (rate, n, s, m) }
+    } catch { case _: Exception => None }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 n_samples: Long, abs_sum: Long,
+                                 max_abs: Long)
+
+  /** Real audio feature extraction, batched per partition like
+    * [[decodeImages]]; undecodable payloads are dropped. Shuffle-free. */
+  def decodeAudios(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        decodeWav(payload).map { case (r, n, s, m) =>
+          AudioFeatures(id, r, n, s, m) }
+      })
+  }
+
+  /** STUB decoder for VIDEO (and compressed-audio) payloads — those
+    * codecs are not in this container. Deterministic byte-derived fake:
+    * "dimensions" from the payload length, "mean" over the bytes, crc
+    * over the head. The point under test is the batch plumbing, not the
+    * samples. */
   def decodeImageStub(payload: Array[Byte]): (Int, Int, Long, Long) = {
     val n = payload.length
     val width = math.max(1, n % 640)

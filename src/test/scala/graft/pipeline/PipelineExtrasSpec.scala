@@ -162,6 +162,40 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(out(1L) == exp1)
   }
 
+  test("real audio decode: WAV/PCM16 round-trip recovers the exact " +
+    "generator samples; malformed RIFF degrades to None, distributed " +
+    "path agrees") {
+    // lossless round-trip: decode(syntheticWav(id)) == the formula
+    for (id <- Seq(0L, 1L, 31L, 255L, 1000000L)) {
+      val Some((rate, n, absSum, maxAbs)) =
+        Multimodal.decodeWav(Multimodal.syntheticWav(id))
+      val expectedN = 32 + (id % 32)
+      val samples = (0L until expectedN)
+        .map(i => math.abs((id * 131 + i * 31) % 4001 - 2000))
+      assert(rate == 8000 && n == expectedN, s"id=$id")
+      assert(absSum == samples.sum && maxAbs == samples.max, s"id=$id")
+    }
+    // malformed containers degrade to dropped rows, never task failures
+    assert(Multimodal.decodeWav("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.emptyByteArray).isEmpty)
+    // truncated mid-header and mid-data
+    val ok = Multimodal.syntheticWav(5L)
+    assert(Multimodal.decodeWav(ok.take(10)).isEmpty)
+    assert(Multimodal.decodeWav(ok.take(50)).isEmpty)
+    // a PNG is not a WAV (cross-codec payloads must not misparse)
+    assert(Multimodal.decodeWav(Multimodal.syntheticPng(1L)).isEmpty)
+    // distributed: decodeAudios drops the corrupt row, keeps the rest
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticWav(1L)),
+      (2L, "garbage".getBytes),
+      (3L, Multimodal.syntheticWav(3L))).toDF("media_id", "payload")
+    val out = Multimodal.decodeAudios(spark, media).collect()
+      .map(f => f.media_id -> f.n_samples).toMap
+    assert(out == Map(1L -> 33L, 3L -> 35L))
+  }
+
   test("multimodal resize: deterministic, schema-stable, length bounded") {
     val sp = spark
     import sp.implicits._
