@@ -655,16 +655,32 @@ object IndexBuilder {
             PostingRow(part, term, VarByte.count(blob).toLong, maxTf, minDl, blob)
           }
         }
-      }.persist()
+      }
 
+    // NEVER persist() the blob Dataset: the columnar cache builder
+    // unrolls O(posting bytes) of blobs into the heap during the write
+    // (a 5M-doc positional build OOMs a 8 GiB heap; at 10^12 it is
+    // unthinkable — same class as scale bug #5 in BENCH.md). The write
+    // is the only consumer of the merged blobs.
     val mode = if (resume && done.nonEmpty) "append" else "overwrite"
     postings.toDF().write.mode(mode).partitionBy("part")
+      .options(IndexStore.postingsWriteOptions)
       .parquet(IndexStore.postingsPath(root, seg))
     lap("postings_encode_write")
 
-    // per-partition lineage + metrics (north rule): rows, bytes, checksum
+    // per-partition lineage + metrics (north rule): rows, bytes,
+    // checksum — computed from a READ-BACK of the just-written files
+    // (one column-pruned disk scan, zero heap retention) rather than a
+    // cached copy of the blobs; lineage over the DURABLE bytes also
+    // verifies the write. Under resume, restrict to the parts this run
+    // actually wrote (prior parts already have manifest rows).
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val manifestRows = postings.toDF()
+    // readPostingsOrEmpty: an empty corpus writes a footer-less dir
+    val written = IndexStore.readPostingsOrEmpty(spark, root, seg)
+    val newParts =
+      if (done.isEmpty) written
+      else written.filter(!col("part").isin(done.toSeq: _*))
+    val manifestRows = newParts
       .groupBy("part").agg(
         count(lit(1)).as("rows"),
         sum(length(col("blob"))).as("bytes"),
@@ -682,10 +698,8 @@ object IndexBuilder {
     val termCount = termObs.get("terms").asInstanceOf[Long]
     lap("manifest_and_counts")
     val postingRows = manifestRows.map(_.rows).sum // no extra job
-    val report = BuildReport(seg, docCount, termCount, postingRows, wallMs,
+    BuildReport(seg, docCount, termCount, postingRows, wallMs,
       phases.result())
-    postings.unpersist()
-    report
   }
 
   /** FULL build (reference `OpenMode.CREATE`, Indexer.java:199-204): one
@@ -1035,15 +1049,22 @@ object IndexBuilder {
       }
 
     val seg = f"seg-${snap.id + 1}%06d"
-    val persisted = merged.persist()
-    persisted.toDF()
+    // NO persist: caching the merged blob Dataset unrolls O(posting
+    // bytes) into the heap during the write (see the identical fix in
+    // buildSegmentFromIdPages). Later passes read back the WRITTEN
+    // parquet — column-pruned disk scans, zero heap retention.
+    merged.toDF()
       .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
       .write.mode("overwrite").partitionBy("part")
+      .options(IndexStore.postingsWriteOptions)
       .parquet(IndexStore.postingsPath(root, seg))
     lap("postings_blob_merge_write")
+    val written = IndexStore.readPostingsOrEmpty(spark, root, seg)
 
     // term_stats: pure per-segment sums when nothing died (no blob ever
-    // decoded for them); from the merged rows' live counts otherwise
+    // decoded for them); otherwise from the written blobs — df/bounds are
+    // stored per row, live ttf is re-derived by one vb_decode fold (the
+    // written schema is the pinned postings layout, which carries no ttf)
     val termStats =
       if (deadCount == 0)
         snap.segments.map(s =>
@@ -1051,8 +1072,12 @@ object IndexBuilder {
           .reduce(_ unionByName _)
           .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"),
             max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
-      else persisted.toDF()
-        .groupBy("term").agg(sum("df_local").as("df"), sum("ttf").as("ttf"),
+      else written
+        .withColumn("ttf_local",
+          aggregate(vb_decode(col("blob")),
+            lit(0L), (acc, p) => acc + p.getField("tf").cast("long")))
+        .groupBy("term").agg(sum("df_local").as("df"),
+          sum("ttf_local").as("ttf"),
           max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
     val termObs = org.apache.spark.sql.Observation()
     termStats.observe(termObs, count(lit(1)).as("terms"))
@@ -1094,7 +1119,7 @@ object IndexBuilder {
     lap("sidecars")
 
     val wallMs0 = (System.nanoTime() - t0) / 1000000
-    val manifestRows = persisted.toDF()
+    val manifestRows = written
       .groupBy("part").agg(
         count(lit(1)).as("rows"),
         sum(length(col("blob"))).as("bytes"),
@@ -1109,7 +1134,6 @@ object IndexBuilder {
       IndexStore.SegmentConfig(numParts, sc0.saltFanout, blockSize,
         hasPositions = withPos, analyzer = sc0.analyzer))
     val termCount = termObs.get("terms").asInstanceOf[Long]
-    persisted.unpersist()
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
     lap("manifest_and_swap")

@@ -116,6 +116,22 @@ object IndexStore {
       org.apache.spark.sql.types.StructField("part",
         org.apache.spark.sql.types.IntegerType)))
 
+  /** Write options for EVERY postings write (build, rebuild merge via
+    * the build path, compact merge). Posting rows carry multi-MB blobs,
+    * and the read side is Spark's vectorized parquet reader, which
+    * materializes a whole row group of a binary column as ONE contiguous
+    * on-heap vector per task: at the default 128 MB row groups, 32
+    * concurrent scan tasks can demand ~4 GiB of batch vectors and OOM an
+    * 8 GiB heap (observed on a 5M-doc positional index). 16 MB row
+    * groups cap the reader's per-task batch at ~16 MB with no read
+    * amplification for this table — queries are term-pruned and blobs
+    * are decoded whole. Dictionary encoding is disabled: blobs are
+    * unique byte strings (a dictionary only buffers heap to then fall
+    * back) and terms repeat at most a handful of times per part file. */
+  val postingsWriteOptions: Map[String, String] = Map(
+    "parquet.block.size" -> (16L << 20).toString,
+    "parquet.enable.dictionary" -> "false")
+
   /** Collection-stats row from the cnt/sdl/mx metrics observed during a
     * segment's docstore write — the single copy of the (doc_count,
     * sum_dl, avgdl, id_ceiling) layout that built AND compacted segments
