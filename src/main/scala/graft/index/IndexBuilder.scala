@@ -45,6 +45,13 @@ object IndexBuilder {
       saltDf: Long = 10000,       // df ≥ threshold ⇒ head term, gets salted
       saltFanout: Int = 8,        // shards per head term
       maxSaltedTerms: Int = 10000,
+      maxBlobPostings: Int = 1 << 19, // cap per posting-blob ROW: a term
+                                      // larger than this stores as
+                                      // multiple chunk rows, so no blob
+                                      // is ever O(df) (every query path
+                                      // handles multi-row terms — a
+                                      // multi-segment index is that
+                                      // shape already)
       flushEntries: Long = 4L << 20, // RAM posting-buffer flush threshold
                                      // (Lucene ramBufferSize analog,
                                      // ~64 MB of buffer arrays per task)
@@ -196,11 +203,11 @@ object IndexBuilder {
     (Array[Long], Array[Int], Array[Int], Array[Array[Int]])
 
   /** K-way merge of DECODED posting lists with disjoint doc sets but
-    * (possibly) interleaved id ranges → one encoded blob. The shared
-    * engine of both the within-build fragment merge and the
-    * cross-segment [[mergeCompact]]. */
-  private[index] def mergeDecoded(decoded: Array[Decoded], withPos: Boolean,
-                                  blockSize: Int): Array[Byte] = {
+    * (possibly) interleaved id ranges → merged arrays. The shared engine
+    * of both the within-build fragment merge and the cross-segment
+    * [[mergeCompact]]. */
+  private[index] def mergeArrays(decoded: Array[Decoded],
+                                 withPos: Boolean): Decoded = {
     val total = decoded.map(_._1.length).sum
     val ids = new Array[Long](total)
     val tfs = new Array[Int](total)
@@ -226,8 +233,46 @@ object IndexBuilder {
       pos(best) += 1
       filled += 1
     }
-    VarByte.encode(ids, tfs, dls, blockSize, poss)
+    (ids, tfs, dls, poss)
   }
+
+  /** Encode merged posting arrays as ≤`maxPostings`-posting blob CHUNKS:
+    * no blob is ever O(df) — at 10^12 docs a monolithic head-term blob
+    * would be GBs regardless of salting, breaking both the byte[] limit
+    * and the vectorized reader. Every query path already handles
+    * multiple rows per (part, term) (a multi-segment index IS that
+    * shape). Returns (blob, postingCount, ttf) per chunk. */
+  private[index] def encodeChunks(d: Decoded, withPos: Boolean,
+                                  blockSize: Int, maxPostings: Int)
+      : Array[(Array[Byte], Int, Long)] = {
+    val (ids, tfs, dls, poss) = d
+    val n = ids.length
+    if (n == 0) // preserve the legacy empty-blob shape for empty inputs
+      return Array((VarByte.encode(ids, tfs, dls, blockSize, poss), 0, 0L))
+    val out = Array.newBuilder[(Array[Byte], Int, Long)]
+    var a = 0
+    while (a < n) {
+      val b = math.min(a.toLong + maxPostings, n.toLong).toInt
+      var ttf = 0L
+      var i = a
+      while (i < b) { ttf += tfs(i); i += 1 }
+      val blob = VarByte.encode(
+        java.util.Arrays.copyOfRange(ids, a, b),
+        java.util.Arrays.copyOfRange(tfs, a, b),
+        java.util.Arrays.copyOfRange(dls, a, b),
+        blockSize,
+        if (poss == null) null else java.util.Arrays.copyOfRange(poss, a, b))
+      out += ((blob, b - a, ttf))
+      a = b
+    }
+    out.result()
+  }
+
+  /** Single-blob merge (legacy callers / chunking disabled). */
+  private[index] def mergeDecoded(decoded: Array[Decoded], withPos: Boolean,
+                                  blockSize: Int): Array[Byte] =
+    encodeChunks(mergeArrays(decoded, withPos), withPos, blockSize,
+      Int.MaxValue).head._1
 
   private[index] def mergeFragments(frags: Array[Array[Byte]],
                                     blockSize: Int): Array[Byte] = {
@@ -238,6 +283,18 @@ object IndexBuilder {
     require(frags.forall(f => VarByte.hasPositions(f) == withPos),
       "cannot merge positional and non-positional posting fragments")
     mergeDecoded(frags.map(VarByte.decodeWithPositions), withPos, blockSize)
+  }
+
+  /** [[mergeFragments]] with chunked output (blob, count, ttf) rows. */
+  private[index] def mergeFragmentsChunked(frags: Array[Array[Byte]],
+                                           blockSize: Int, maxPostings: Int)
+      : Array[(Array[Byte], Int, Long)] = {
+    val withPos = VarByte.hasPositions(frags(0))
+    require(frags.forall(f => VarByte.hasPositions(f) == withPos),
+      "cannot merge positional and non-positional posting fragments")
+    encodeChunks(
+      mergeArrays(frags.map(VarByte.decodeWithPositions), withPos),
+      withPos, blockSize, maxPostings)
   }
 
   /** Drop postings whose docId is in `dead` (sorted ascending); returns
@@ -635,6 +692,7 @@ object IndexBuilder {
     // MERGES decoded fragments, never concatenates. Single-fragment terms
     // — the Zipf tail, i.e. almost all terms — reuse the fragment bytes
     // as the final blob with zero re-encode.
+    val maxBlob = cfg.maxBlobPostings
     val postings: Dataset[PostingRow] = pending
       .repartition(numParts, col("part"))
       .sortWithinPartitions("part", "term", "min_doc")
@@ -642,17 +700,33 @@ object IndexBuilder {
       .mapPartitions { it =>
         val in = it.buffered
         new Iterator[PostingRow] {
-          def hasNext: Boolean = in.hasNext
+          private var queued: List[PostingRow] = Nil
+          def hasNext: Boolean = queued.nonEmpty || in.hasNext
           def next(): PostingRow = {
+            if (queued.nonEmpty) {
+              val h = queued.head; queued = queued.tail; return h
+            }
             val (part, term, _, first) = in.next()
             var frags: List[Array[Byte]] = first :: Nil
             while (in.hasNext && in.head._1 == part && in.head._2 == term)
               frags = in.next()._4 :: frags
-            val blob =
-              if (frags.tail.isEmpty) first
-              else mergeFragments(frags.reverse.toArray, blockSize)
-            val (maxTf, minDl) = VarByte.termBounds(blob)
-            PostingRow(part, term, VarByte.count(blob).toLong, maxTf, minDl, blob)
+            // single in-cap fragment: reuse its bytes with zero
+            // re-encode (the Zipf tail = almost all terms); anything
+            // else merges and re-chunks to ≤ maxBlob postings per row
+            val rows: Array[PostingRow] =
+              if (frags.tail.isEmpty && VarByte.count(first) <= maxBlob) {
+                val (maxTf, minDl) = VarByte.termBounds(first)
+                Array(PostingRow(part, term, VarByte.count(first).toLong,
+                  maxTf, minDl, first))
+              } else
+                mergeFragmentsChunked(frags.reverse.toArray, blockSize,
+                    maxBlob)
+                  .map { case (blob, cnt, _) =>
+                    val (maxTf, minDl) = VarByte.termBounds(blob)
+                    PostingRow(part, term, cnt.toLong, maxTf, minDl, blob)
+                  }
+            queued = rows.toList.tail
+            rows.head
           }
         }
       }
@@ -980,29 +1054,41 @@ object IndexBuilder {
       .sortWithinPartitions("part", "term")
       .as[(Int, String, Long, Int, Int, Array[Byte])]
 
+    val maxBlob = cfg.maxBlobPostings
     val merged: Dataset[CompactRow] =
       if (deadCount == 0)
         // no dead docs: single-source blobs pass through byte-identical;
-        // only genuinely multi-segment terms decode+merge
+        // only genuinely multi-segment terms decode+merge (re-chunked to
+        // ≤ maxBlob postings per row)
         allPostings.mapPartitions { it =>
           val in = it.buffered
           new Iterator[CompactRow] {
-            def hasNext: Boolean = in.hasNext
+            private var queued: List[CompactRow] = Nil
+            def hasNext: Boolean = queued.nonEmpty || in.hasNext
             def next(): CompactRow = {
+              if (queued.nonEmpty) {
+                val h = queued.head; queued = queued.tail; return h
+              }
               val (part, term, df0, mt0, md0, first) = in.next()
               var frags: List[Array[Byte]] = first :: Nil
-              var df = df0; var mt = mt0; var md = md0
+              var df = df0
               while (in.hasNext && in.head._1 == part && in.head._2 == term) {
                 val r = in.next()
                 frags = r._6 :: frags
                 df += r._3
-                if (r._4 > mt) mt = r._4
-                if (r._5 < md) md = r._5
               }
-              val blob =
-                if (frags.tail.isEmpty) first
-                else mergeFragments(frags.reverse.toArray, blockSize)
-              CompactRow(part, term, df, mt, md, blob, -1L)
+              val rows: Array[CompactRow] =
+                if (frags.tail.isEmpty)
+                  Array(CompactRow(part, term, df, mt0, md0, first, -1L))
+                else
+                  mergeFragmentsChunked(frags.reverse.toArray, blockSize,
+                      maxBlob)
+                    .map { case (blob, cnt, _) =>
+                      val (mt, md) = VarByte.termBounds(blob)
+                      CompactRow(part, term, cnt.toLong, mt, md, blob, -1L)
+                    }
+              queued = rows.toList.tail
+              rows.head
             }
           }
         }
@@ -1012,10 +1098,10 @@ object IndexBuilder {
           val dead = bcDead.value
           val in = it.buffered
           new Iterator[CompactRow] {
-            private var pending: CompactRow = null
+            private var queued: List[CompactRow] = Nil
             def hasNext: Boolean = {
-              while (pending == null && in.hasNext) {
-                val (part, term, _, _, _, first) = in.next()
+              while (queued.isEmpty && in.hasNext) {
+                val (part, term, _, mt0, md0, first) = in.next()
                 var frags: List[Array[Byte]] = first :: Nil
                 while (in.hasNext && in.head._1 == part && in.head._2 == term)
                   frags = in.next()._6 :: frags
@@ -1024,25 +1110,29 @@ object IndexBuilder {
                 val filtered = decoded.map(filterDead(_, dead))
                 val total = filtered.map(_._1.length).sum
                 if (total > 0) { // terms whose docs all died vanish
-                  var ttf = 0L
-                  filtered.foreach { f =>
-                    var i = 0
-                    while (i < f._2.length) { ttf += f._2(i); i += 1 }
-                  }
-                  val blob =
-                    if (frags.tail.isEmpty && (filtered(0) eq decoded(0)))
-                      first // untouched by deletions: reuse bytes
-                    else mergeDecoded(filtered, withPos, blockSize)
-                  val (maxTf, minDl) = VarByte.termBounds(blob)
-                  pending =
-                    CompactRow(part, term, total.toLong, maxTf, minDl, blob, ttf)
+                  queued =
+                    if (frags.tail.isEmpty && (filtered(0) eq decoded(0))) {
+                      // untouched by deletions: reuse bytes
+                      var ttf = 0L
+                      val tfs = filtered(0)._2
+                      var i = 0
+                      while (i < tfs.length) { ttf += tfs(i); i += 1 }
+                      List(CompactRow(part, term, total.toLong, mt0, md0,
+                        first, ttf))
+                    } else
+                      encodeChunks(mergeArrays(filtered, withPos), withPos,
+                          blockSize, maxBlob)
+                        .map { case (blob, cnt, ttf) =>
+                          val (mt, md) = VarByte.termBounds(blob)
+                          CompactRow(part, term, cnt.toLong, mt, md, blob, ttf)
+                        }.toList
                 }
               }
-              pending != null
+              queued.nonEmpty
             }
             def next(): CompactRow = {
               if (!hasNext) throw new NoSuchElementException
-              val r = pending; pending = null; r
+              val r = queued.head; queued = queued.tail; r
             }
           }
         }

@@ -6,6 +6,7 @@ import graft.SparkTestBase
 import graft.analysis.{SynonymDict, TextExtract, Tokenizer}
 import graft.golden.GoldenBM25
 import graft.query.Searcher
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental indexing (SURVEY.md §7 step 5): APPEND segments with
@@ -344,6 +345,46 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
       assert(ids.distinct.length == ids.length)
       assert(s.search("spark", 10).count() > 0)
     } finally s.close()
+  }
+
+  test("chunked posting blobs: a tiny maxBlobPostings build stores head " +
+    "terms as multiple rows per (part, term) and is search-identical — " +
+    "exact, WAND-pruned, and through append + compact") {
+    val tiny = cfg.copy(maxBlobPostings = 8, indexPositions = true)
+    val whole = cfg.copy(indexPositions = true)
+    val rootC = tmpDir("graft-chunk-")
+    val rootW = tmpDir("graft-whole-")
+    for ((c, r) <- Seq((tiny, rootC), (whole, rootW))) {
+      IndexBuilder.buildFull(spark, toDf(batch1), dict, r, c, "b1")
+      IndexBuilder.appendSegment(spark, toDf(batch2), dict, r, c, "b2")
+      IndexBuilder.deleteByPk(spark, r, deletedUrls)
+      IndexBuilder.mergeCompact(spark, r, dict, c)
+    }
+    // head terms really are chunked: > 1 row for some (part, term)
+    val snapC = IndexStore.readLatestSnapshot(spark, rootC).get
+    val multi = spark.read
+      .parquet(IndexStore.postingsPath(rootC, snapC.segments.head))
+      .groupBy("part", "term").count().filter(col("count") > 1).count()
+    assert(multi > 0, "expected multi-row chunked terms at maxBlobPostings=8")
+    val sC = new Searcher(spark, rootC, dict)
+    val sW = new Searcher(spark, rootW, dict)
+    try {
+      def page(s: Searcher, q: String, wand: Boolean) =
+        (if (wand) s.searchWand(q, 10, conjunctive = false, wandMinDf = 0)
+         else s.search(q, 10, conjunctive = false))
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      for (q <- Seq("spark", "index data", "w200", "nike shoes")) {
+        assert(page(sC, q, wand = false) == page(sW, q, wand = false), s"exact '$q'")
+        assert(page(sC, q, wand = true) == page(sW, q, wand = true), s"wand '$q'")
+      }
+      val pC = sC.searchPhrase("big data", 10).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val pW = sW.searchPhrase("big data", 10).select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(pC == pW, "phrase")
+      assert(sC.numDocs == sW.numDocs)
+    } finally { sC.close(); sW.close() }
   }
 
   test("old-format segment: mergeCompact falls back to the rebuild merge " +
