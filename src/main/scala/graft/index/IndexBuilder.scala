@@ -241,28 +241,27 @@ object IndexBuilder {
     * would be GBs regardless of salting, breaking both the byte[] limit
     * and the vectorized reader. Every query path already handles
     * multiple rows per (part, term) (a multi-segment index IS that
-    * shape). Returns (blob, postingCount, ttf) per chunk. */
-  private[index] def encodeChunks(d: Decoded, withPos: Boolean,
-                                  blockSize: Int, maxPostings: Int)
-      : Array[(Array[Byte], Int, Long)] = {
+    * shape). Positions ride along iff the decoded arrays carry them.
+    * Returns (blob, postingCount) per chunk. */
+  private[index] def encodeChunks(d: Decoded, blockSize: Int,
+                                  maxPostings: Int)
+      : Array[(Array[Byte], Int)] = {
+    require(maxPostings > 0, s"maxBlobPostings must be positive: $maxPostings")
     val (ids, tfs, dls, poss) = d
     val n = ids.length
     if (n == 0) // preserve the legacy empty-blob shape for empty inputs
-      return Array((VarByte.encode(ids, tfs, dls, blockSize, poss), 0, 0L))
-    val out = Array.newBuilder[(Array[Byte], Int, Long)]
+      return Array((VarByte.encode(ids, tfs, dls, blockSize, poss), 0))
+    val out = Array.newBuilder[(Array[Byte], Int)]
     var a = 0
     while (a < n) {
       val b = math.min(a.toLong + maxPostings, n.toLong).toInt
-      var ttf = 0L
-      var i = a
-      while (i < b) { ttf += tfs(i); i += 1 }
       val blob = VarByte.encode(
         java.util.Arrays.copyOfRange(ids, a, b),
         java.util.Arrays.copyOfRange(tfs, a, b),
         java.util.Arrays.copyOfRange(dls, a, b),
         blockSize,
         if (poss == null) null else java.util.Arrays.copyOfRange(poss, a, b))
-      out += ((blob, b - a, ttf))
+      out += ((blob, b - a))
       a = b
     }
     out.result()
@@ -271,7 +270,7 @@ object IndexBuilder {
   /** Single-blob merge (legacy callers / chunking disabled). */
   private[index] def mergeDecoded(decoded: Array[Decoded], withPos: Boolean,
                                   blockSize: Int): Array[Byte] =
-    encodeChunks(mergeArrays(decoded, withPos), withPos, blockSize,
+    encodeChunks(mergeArrays(decoded, withPos), blockSize,
       Int.MaxValue).head._1
 
   private[index] def mergeFragments(frags: Array[Array[Byte]],
@@ -285,16 +284,16 @@ object IndexBuilder {
     mergeDecoded(frags.map(VarByte.decodeWithPositions), withPos, blockSize)
   }
 
-  /** [[mergeFragments]] with chunked output (blob, count, ttf) rows. */
+  /** [[mergeFragments]] with chunked output (blob, count) rows. */
   private[index] def mergeFragmentsChunked(frags: Array[Array[Byte]],
                                            blockSize: Int, maxPostings: Int)
-      : Array[(Array[Byte], Int, Long)] = {
+      : Array[(Array[Byte], Int)] = {
     val withPos = VarByte.hasPositions(frags(0))
     require(frags.forall(f => VarByte.hasPositions(f) == withPos),
       "cannot merge positional and non-positional posting fragments")
     encodeChunks(
       mergeArrays(frags.map(VarByte.decodeWithPositions), withPos),
-      withPos, blockSize, maxPostings)
+      blockSize, maxPostings)
   }
 
   /** Drop postings whose docId is in `dead` (sorted ascending); returns
@@ -721,7 +720,7 @@ object IndexBuilder {
               } else
                 mergeFragmentsChunked(frags.reverse.toArray, blockSize,
                     maxBlob)
-                  .map { case (blob, cnt, _) =>
+                  .map { case (blob, cnt) =>
                     val (maxTf, minDl) = VarByte.termBounds(blob)
                     PostingRow(part, term, cnt.toLong, maxTf, minDl, blob)
                   }
@@ -953,8 +952,7 @@ object IndexBuilder {
   // and silently drop the whole compact path to interpreted encoders
   final case class CompactRow(part: Int, term: String,
                                       df_local: Long, max_tf: Int,
-                                      min_dl: Int, blob: Array[Byte],
-                                      ttf: Long)
+                                      min_dl: Int, blob: Array[Byte])
 
   /** POSTING-LEVEL segment merge — compaction that costs O(posting
     * bytes), never a corpus re-analysis (the analog of Lucene forceMerge
@@ -1071,21 +1069,24 @@ object IndexBuilder {
               }
               val (part, term, df0, mt0, md0, first) = in.next()
               var frags: List[Array[Byte]] = first :: Nil
-              var df = df0
-              while (in.hasNext && in.head._1 == part && in.head._2 == term) {
-                val r = in.next()
-                frags = r._6 :: frags
-                df += r._3
-              }
+              while (in.hasNext && in.head._1 == part && in.head._2 == term)
+                frags = in.next()._6 :: frags
+              // single-source blobs pass through byte-identical IF within
+              // the cap — compaction is the one chance to re-chunk an
+              // oversized legacy blob. Multi-blob terms always merge and
+              // re-chunk (a disjoint-range passthrough would need the
+              // blobs' first doc ids, which headers don't carry —
+              // re-encode is O(term bytes), same class as the compaction
+              // itself, so the check isn't worth a partial decode).
               val rows: Array[CompactRow] =
-                if (frags.tail.isEmpty)
-                  Array(CompactRow(part, term, df, mt0, md0, first, -1L))
+                if (frags.tail.isEmpty && VarByte.count(first) <= maxBlob)
+                  Array(CompactRow(part, term, df0, mt0, md0, first))
                 else
                   mergeFragmentsChunked(frags.reverse.toArray, blockSize,
                       maxBlob)
-                    .map { case (blob, cnt, _) =>
+                    .map { case (blob, cnt) =>
                       val (mt, md) = VarByte.termBounds(blob)
-                      CompactRow(part, term, cnt.toLong, mt, md, blob, -1L)
+                      CompactRow(part, term, cnt.toLong, mt, md, blob)
                     }
               queued = rows.toList.tail
               rows.head
@@ -1111,20 +1112,17 @@ object IndexBuilder {
                 val total = filtered.map(_._1.length).sum
                 if (total > 0) { // terms whose docs all died vanish
                   queued =
-                    if (frags.tail.isEmpty && (filtered(0) eq decoded(0))) {
-                      // untouched by deletions: reuse bytes
-                      var ttf = 0L
-                      val tfs = filtered(0)._2
-                      var i = 0
-                      while (i < tfs.length) { ttf += tfs(i); i += 1 }
+                    if (frags.tail.isEmpty && (filtered(0) eq decoded(0)) &&
+                        total <= maxBlob)
+                      // untouched by deletions and within cap: reuse bytes
                       List(CompactRow(part, term, total.toLong, mt0, md0,
-                        first, ttf))
-                    } else
-                      encodeChunks(mergeArrays(filtered, withPos), withPos,
+                        first))
+                    else
+                      encodeChunks(mergeArrays(filtered, withPos),
                           blockSize, maxBlob)
-                        .map { case (blob, cnt, ttf) =>
+                        .map { case (blob, cnt) =>
                           val (mt, md) = VarByte.termBounds(blob)
-                          CompactRow(part, term, cnt.toLong, mt, md, blob, ttf)
+                          CompactRow(part, term, cnt.toLong, mt, md, blob)
                         }.toList
                 }
               }

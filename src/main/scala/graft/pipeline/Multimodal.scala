@@ -150,6 +150,10 @@ object Multimodal {
         val next = buf.position() + len + (len & 1) // chunks are word-aligned
         id match {
           case "fmt " =>
+            // a fmt chunk shorter than the 16 PCM-format bytes would let
+            // the reads below spill into the NEXT chunk and parse garbage
+            // as rate/channels/bits — reject instead of misdecoding
+            if (len < 16) return None
             pcm = buf.getShort == 1
             channels = buf.getShort.toInt
             rate = buf.getInt
