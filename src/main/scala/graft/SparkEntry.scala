@@ -470,6 +470,55 @@ object SparkEntry {
           col("event_type"), col("n"), round(col("sum_value"), 4).as("sum_value"))
         .orderBy("ws", "event_type")),
 
+    // ---- event-time sessionization THROUGH the streaming engine: runs
+    //      the real mapGroupsWithState path (MemoryStream → watermark →
+    //      flatMapGroupsWithState → memory sink), flushed by far-future
+    //      sentinel batches (the spec's watermark/timeout protocol); the
+    //      oracle replays the session semantics as SQL gaps-and-islands.
+    //      The driver-side feed is the MemoryStream harness contract —
+    //      production uses readStream sources (StreamIndexer) ----
+    "q_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.EventAggregates
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val gapMs = 86400000L // 24h sessions over the 30-day events table
+      val ev = t(s, dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventAggregates.Event].collect()
+      val in = MemoryStream[EventAggregates.Event]
+      val sessions = EventAggregates.sessionize(s, in.toDS(), gapMs = gapMs)
+      val sink = "q_sessionize_sink"
+      if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .start()
+      try {
+        val maxTs = ev.map(_.ts.getTime).max
+        in.addData(ev.toSeq: _*)
+        q.processAllAvailable()
+        // sentinel batches: first advances the watermark past every
+        // real session's last+gap, second fires the event-time timeouts
+        val flushTs = maxTs + gapMs + 3600000L
+        in.addData(EventAggregates.Event(-1L,
+          new java.sql.Timestamp(flushTs), -1L, "flush", 0.0))
+        q.processAllAvailable()
+        in.addData(EventAggregates.Event(-2L,
+          new java.sql.Timestamp(flushTs + 3600000L), -1L, "flush", 0.0))
+        q.processAllAvailable()
+        // ms, not µs: the state buffer is Timestamp.getTime-granular
+        val rows = s.table(sink).filter(col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            unix_millis(col("first_ts")).as("session_start"),
+            unix_millis(col("last_ts")).as("session_end"),
+            round(col("total_value"), 4).as("total_value"))
+          .as[(Long, Long, Long, Long, Double)].collect().toSeq
+        rows.toDF("user_id", "n_events", "session_start", "session_end",
+            "total_value")
+          .orderBy("user_id", "session_start")
+      } finally q.stop()
+    }),
+
     // ---- joins / windows (SURVEY.md §2.6/§2.9) ----
     "q_topk_per_group" -> ((s, dir) =>
       TextOps.topNPerGroup(t(s, dir, "orders"), Seq("o_custkey"),
@@ -887,6 +936,32 @@ object SparkEntry {
       """SELECT CAST(epoch_us(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) AS ws,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // gaps-and-islands twin of the streaming sessionizer: a session
+    // breaks where the per-user event-time gap exceeds 24h. MILLISECOND
+    // granularity throughout — the engine's state buffer holds
+    // Timestamp.getTime, so both the gap test and the emitted bounds
+    // truncate µs to ms; the lag/sum ordering (ms, value) mirrors the
+    // engine's in-state sort
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, value FROM events),
+        |o AS (
+        |  SELECT user_id, tms, value,
+        |    lag(tms) OVER (PARTITION BY user_id ORDER BY tms, value) AS pms
+        |  FROM e),
+        |m AS (
+        |  SELECT *, CASE WHEN pms IS NULL
+        |      OR tms - pms > 86400000 THEN 1 ELSE 0 END AS brk FROM o),
+        |g AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY tms, value ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(tms) AS BIGINT) AS session_start,
+        |  CAST(max(tms) AS BIGINT) AS session_end,
+        |  round(sum(value), 4) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_topk_per_group" ->
       """WITH r AS (
