@@ -273,6 +273,32 @@ object IndexBuilder {
     encodeChunks(mergeArrays(decoded, withPos), blockSize,
       Int.MaxValue).head._1
 
+  /** Group a sorted iterator into contiguous runs (same `sameRun` as the
+    * run's first element) and flat-map each run through `emit` — the one
+    * copy of the buffered-iterator/queued-rows state shared by the
+    * build's fragment merge and both compact paths (an emit may return
+    * several chunk rows, or none when every posting of a term died). */
+  private[index] def runGrouped[T, R](it: Iterator[T])(
+      sameRun: (T, T) => Boolean)(emit: Vector[T] => Seq[R]): Iterator[R] =
+    new Iterator[R] {
+      private val in = it.buffered
+      private var queued: List[R] = Nil
+      def hasNext: Boolean = {
+        while (queued.isEmpty && in.hasNext) {
+          val first = in.next()
+          val buf = Vector.newBuilder[T]
+          buf += first
+          while (in.hasNext && sameRun(first, in.head)) buf += in.next()
+          queued = emit(buf.result()).toList
+        }
+        queued.nonEmpty
+      }
+      def next(): R = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = queued.head; queued = queued.tail; r
+      }
+    }
+
   private[index] def mergeFragments(frags: Array[Array[Byte]],
                                     blockSize: Int): Array[Byte] = {
     val withPos = VarByte.hasPositions(frags(0))
@@ -697,36 +723,21 @@ object IndexBuilder {
       .sortWithinPartitions("part", "term", "min_doc")
       .as[(Int, String, Long, Array[Byte])]
       .mapPartitions { it =>
-        val in = it.buffered
-        new Iterator[PostingRow] {
-          private var queued: List[PostingRow] = Nil
-          def hasNext: Boolean = queued.nonEmpty || in.hasNext
-          def next(): PostingRow = {
-            if (queued.nonEmpty) {
-              val h = queued.head; queued = queued.tail; return h
-            }
-            val (part, term, _, first) = in.next()
-            var frags: List[Array[Byte]] = first :: Nil
-            while (in.hasNext && in.head._1 == part && in.head._2 == term)
-              frags = in.next()._4 :: frags
-            // single in-cap fragment: reuse its bytes with zero
-            // re-encode (the Zipf tail = almost all terms); anything
-            // else merges and re-chunks to ≤ maxBlob postings per row
-            val rows: Array[PostingRow] =
-              if (frags.tail.isEmpty && VarByte.count(first) <= maxBlob) {
-                val (maxTf, minDl) = VarByte.termBounds(first)
-                Array(PostingRow(part, term, VarByte.count(first).toLong,
-                  maxTf, minDl, first))
-              } else
-                mergeFragmentsChunked(frags.reverse.toArray, blockSize,
-                    maxBlob)
-                  .map { case (blob, cnt) =>
-                    val (maxTf, minDl) = VarByte.termBounds(blob)
-                    PostingRow(part, term, cnt.toLong, maxTf, minDl, blob)
-                  }
-            queued = rows.toList.tail
-            rows.head
-          }
+        runGrouped(it)((a, b) => a._1 == b._1 && a._2 == b._2) { run =>
+          val (part, term, _, first) = run.head
+          // single in-cap fragment: reuse its bytes with zero re-encode
+          // (the Zipf tail = almost all terms); anything else merges and
+          // re-chunks to ≤ maxBlob postings per row
+          if (run.size == 1 && VarByte.count(first) <= maxBlob) {
+            val (maxTf, minDl) = VarByte.termBounds(first)
+            Seq(PostingRow(part, term, VarByte.count(first).toLong,
+              maxTf, minDl, first))
+          } else
+            mergeFragmentsChunked(run.map(_._4).toArray, blockSize, maxBlob)
+              .toSeq.map { case (blob, cnt) =>
+                val (maxTf, minDl) = VarByte.termBounds(blob)
+                PostingRow(part, term, cnt.toLong, maxTf, minDl, blob)
+              }
         }
       }
 
@@ -1059,79 +1070,47 @@ object IndexBuilder {
         // only genuinely multi-segment terms decode+merge (re-chunked to
         // ≤ maxBlob postings per row)
         allPostings.mapPartitions { it =>
-          val in = it.buffered
-          new Iterator[CompactRow] {
-            private var queued: List[CompactRow] = Nil
-            def hasNext: Boolean = queued.nonEmpty || in.hasNext
-            def next(): CompactRow = {
-              if (queued.nonEmpty) {
-                val h = queued.head; queued = queued.tail; return h
-              }
-              val (part, term, df0, mt0, md0, first) = in.next()
-              var frags: List[Array[Byte]] = first :: Nil
-              while (in.hasNext && in.head._1 == part && in.head._2 == term)
-                frags = in.next()._6 :: frags
-              // single-source blobs pass through byte-identical IF within
-              // the cap — compaction is the one chance to re-chunk an
-              // oversized legacy blob. Multi-blob terms always merge and
-              // re-chunk (a disjoint-range passthrough would need the
-              // blobs' first doc ids, which headers don't carry —
-              // re-encode is O(term bytes), same class as the compaction
-              // itself, so the check isn't worth a partial decode).
-              val rows: Array[CompactRow] =
-                if (frags.tail.isEmpty && VarByte.count(first) <= maxBlob)
-                  Array(CompactRow(part, term, df0, mt0, md0, first))
-                else
-                  mergeFragmentsChunked(frags.reverse.toArray, blockSize,
-                      maxBlob)
-                    .map { case (blob, cnt) =>
-                      val (mt, md) = VarByte.termBounds(blob)
-                      CompactRow(part, term, cnt.toLong, mt, md, blob)
-                    }
-              queued = rows.toList.tail
-              rows.head
-            }
+          runGrouped(it)((a, b) => a._1 == b._1 && a._2 == b._2) { run =>
+            val (part, term, df0, mt0, md0, first) = run.head
+            // single-source blobs pass through byte-identical IF within
+            // the cap — compaction is the one chance to re-chunk an
+            // oversized legacy blob. Multi-blob terms always merge and
+            // re-chunk (a disjoint-range passthrough would need the
+            // blobs' first doc ids, which headers don't carry —
+            // re-encode is O(term bytes), same class as the compaction
+            // itself, so the check isn't worth a partial decode).
+            if (run.size == 1 && VarByte.count(first) <= maxBlob)
+              Seq(CompactRow(part, term, df0, mt0, md0, first))
+            else
+              mergeFragmentsChunked(run.map(_._6).toArray, blockSize,
+                  maxBlob)
+                .toSeq.map { case (blob, cnt) =>
+                  val (mt, md) = VarByte.termBounds(blob)
+                  CompactRow(part, term, cnt.toLong, mt, md, blob)
+                }
           }
         }
       else {
         val bcDead = spark.sparkContext.broadcast(deadSorted)
         allPostings.mapPartitions { it =>
           val dead = bcDead.value
-          val in = it.buffered
-          new Iterator[CompactRow] {
-            private var queued: List[CompactRow] = Nil
-            def hasNext: Boolean = {
-              while (queued.isEmpty && in.hasNext) {
-                val (part, term, _, mt0, md0, first) = in.next()
-                var frags: List[Array[Byte]] = first :: Nil
-                while (in.hasNext && in.head._1 == part && in.head._2 == term)
-                  frags = in.next()._6 :: frags
-                val decoded =
-                  frags.reverse.toArray.map(VarByte.decodeWithPositions)
-                val filtered = decoded.map(filterDead(_, dead))
-                val total = filtered.map(_._1.length).sum
-                if (total > 0) { // terms whose docs all died vanish
-                  queued =
-                    if (frags.tail.isEmpty && (filtered(0) eq decoded(0)) &&
-                        total <= maxBlob)
-                      // untouched by deletions and within cap: reuse bytes
-                      List(CompactRow(part, term, total.toLong, mt0, md0,
-                        first))
-                    else
-                      encodeChunks(mergeArrays(filtered, withPos),
-                          blockSize, maxBlob)
-                        .map { case (blob, cnt) =>
-                          val (mt, md) = VarByte.termBounds(blob)
-                          CompactRow(part, term, cnt.toLong, mt, md, blob)
-                        }.toList
+          runGrouped(it)((a, b) => a._1 == b._1 && a._2 == b._2) { run =>
+            val (part, term, _, mt0, md0, first) = run.head
+            val decoded = run.map(r => VarByte.decodeWithPositions(r._6)).toArray
+            val filtered = decoded.map(filterDead(_, dead))
+            val total = filtered.map(_._1.length).sum
+            if (total == 0) Seq.empty // terms whose docs all died vanish
+            else if (run.size == 1 && (filtered(0) eq decoded(0)) &&
+                total <= maxBlob)
+              // untouched by deletions and within cap: reuse bytes
+              Seq(CompactRow(part, term, total.toLong, mt0, md0, first))
+            else
+              encodeChunks(mergeArrays(filtered, withPos), blockSize,
+                  maxBlob)
+                .toSeq.map { case (blob, cnt) =>
+                  val (mt, md) = VarByte.termBounds(blob)
+                  CompactRow(part, term, cnt.toLong, mt, md, blob)
                 }
-              }
-              queued.nonEmpty
-            }
-            def next(): CompactRow = {
-              if (!hasNext) throw new NoSuchElementException
-              val r = queued.head; queued = queued.tail; r
-            }
           }
         }
       }
