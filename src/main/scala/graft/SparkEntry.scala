@@ -238,6 +238,12 @@ object SparkEntry {
       TextOps.phraseTopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 10)),
 
+    // sloppy phrase: ordered per-gap proximity (gap ≤ 1 + slop) — the
+    // Searcher.searchPhrase(slop) contract, pinned by the golden model
+    "q_phrase_slop" -> ((s, dir) =>
+      TextOps.phraseTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 10, slop = 1)),
+
     "q_bm25_page2" -> ((s, dir) =>
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 20).offset(10).limit(10)),
@@ -481,11 +487,12 @@ object SparkEntry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       import graft.streaming.EventAggregates
       import s.implicits._
+      import scala.jdk.CollectionConverters._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val gapMs = 86400000L // 24h sessions over the 30-day events table
-      val ev = t(s, dir, "events")
+      val evDs = t(s, dir, "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
-        .as[EventAggregates.Event].collect()
+        .as[EventAggregates.Event]
       val in = MemoryStream[EventAggregates.Event]
       val sessions = EventAggregates.sessionize(s, in.toDS(), gapMs = gapMs)
       val sink = "q_sessionize_sink"
@@ -494,9 +501,20 @@ object SparkEntry {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
       try {
-        val maxTs = ev.map(_.ts.getTime).max
-        in.addData(ev.toSeq: _*)
-        q.processAllAvailable()
+        val maxTs = evDs // table ts is TIMESTAMP_NTZ — cast before unix_millis
+          .agg(max(unix_millis(col("ts").cast("timestamp")))).head().getLong(0)
+        // BOUNDED feed: the table streams through the driver one
+        // ts-ordered chunk at a time — toLocalIterator holds a single
+        // partition, and processAllAvailable between chunks lets the
+        // MemoryStream commit + purge processed blocks, so driver
+        // memory stays O(chunk) instead of O(table). Feeding in ts
+        // order keeps the watermark monotone across chunks, so no
+        // event is ever late relative to an earlier chunk's watermark.
+        evDs.orderBy("ts").toLocalIterator().asScala
+          .grouped(50000).foreach { chunk =>
+            in.addData(chunk: _*)
+            q.processAllAvailable()
+          }
         // sentinel batches: first advances the watermark past every
         // real session's last+gap, second fires the event-time timeouts
         val flushTs = maxTs + gapMs + 3600000L
@@ -739,6 +757,15 @@ object SparkEntry {
              "len(list_filter(range(1, length(string_split(upper(text), ' '))), " +
                "i -> string_split(upper(text), ' ')[i] = 'SPARK' AND " +
                "string_split(upper(text), ' ')[i + 1] = 'JOIN')) > 0")}
+         |SELECT doc_id, score FROM scored WHERE matched = 2
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_phrase_slop" ->
+      s"""${bm25Cte("('JOIN'), ('SPARK')",
+             "len(list_filter(range(1, length(string_split(upper(text), ' '))), " +
+               "i -> string_split(upper(text), ' ')[i] = 'SPARK' AND " +
+               "(string_split(upper(text), ' ')[i + 1] = 'JOIN' OR " +
+               "string_split(upper(text), ' ')[i + 2] = 'JOIN'))) > 0")}
          |SELECT doc_id, score FROM scored WHERE matched = 2
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 

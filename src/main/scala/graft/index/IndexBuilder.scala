@@ -913,8 +913,11 @@ object IndexBuilder {
         case Some(tombs) =>
           // size-gated like the Searcher's deadDocs: a mass-deletion
           // tombstone table must anti-join via shuffle, not broadcast
+          // (count from the write-time sidecar — no job)
+          val n = IndexStore.tombstoneCount(spark, root, snap.tombstones)
+            .getOrElse(tombs.count())
           val side =
-            if (tombs.count() <= maxBroadcastTombstones) broadcast(tombs)
+            if (n <= maxBroadcastTombstones) broadcast(tombs)
             else tombs
           all.join(side, Seq("url"), "left_anti")
       }
@@ -1037,9 +1040,11 @@ object IndexBuilder {
         case Some(tombs) =>
           // url rows are wider than dead ids — gate at the same 2M-row
           // threshold the Searcher and rebuild merge use for this table,
-          // not the 4M id gate
+          // not the 4M id gate (count from the write-time sidecar)
+          val n = IndexStore.tombstoneCount(spark, root, snap.tombstones)
+            .getOrElse(tombs.count())
           val side =
-            if (tombs.count() <= 2000000L) broadcast(tombs)
+            if (n <= 2000000L) broadcast(tombs)
             else tombs
           allDocs.join(side, Seq("url"), "left_semi").select("doc_id")
       }

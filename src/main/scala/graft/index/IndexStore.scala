@@ -267,9 +267,35 @@ object IndexStore {
   // still readable.
 
   def writeTombstonesDf(spark: SparkSession, root: String, name: String,
-                        urls: org.apache.spark.sql.DataFrame): Unit =
-    urls.toDF("url").write.mode("overwrite")
+                        urls: org.apache.spark.sql.DataFrame): Unit = {
+    // observe the row count during the write and store it as a sidecar:
+    // every later consumer (Searcher.deadDocs, merge, mergeCompact) needs
+    // the count only for its broadcast-vs-shuffle size gate, and reading
+    // it back here saves them a count() job per lifecycle op
+    val obs = org.apache.spark.sql.Observation()
+    urls.toDF("url")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .write.mode("overwrite")
       .parquet(s"$root/tombstones/$name")
+    writeString(fs(spark, root), new Path(s"$root/tombstones/$name.count"),
+      obs.get("cnt").asInstanceOf[Long].toString)
+  }
+
+  /** Total row count across the named tombstone batches WITHOUT a Spark
+    * job, from the `.count` sidecars written alongside each batch; None
+    * when any batch lacks one (legacy layouts) — callers then fall back
+    * to a count() action on the unioned frame. */
+  def tombstoneCount(spark: SparkSession, root: String,
+                     names: Seq[String]): Option[Long] = {
+    if (names.isEmpty) return Some(0L)
+    val f = fs(spark, root)
+    val counts = names.map { n =>
+      val p = new Path(s"$root/tombstones/$n.count")
+      if (f.exists(p)) readString(f, p).trim.toLongOption else None
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
 
   /** Union of the named tombstone batches as a 1-column (`url`) frame;
     * None when there are none. Each batch is a parquet dir (current) or a

@@ -66,15 +66,26 @@ object TextOps {
     * [[graft.query.Searcher.searchPhrase]] (positional postings), same
     * contract, SQL-replayable for the oracle. */
   def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
-                 phrase: Seq[String], k: Int): DataFrame = {
+                 phrase: Seq[String], k: Int, slop: Int = 0): DataFrame = {
     val terms = phrase.map(graft.analysis.Tokenizer.foldCase)
     val m = terms.size
     val toks = qube_tokenize(col(textCol))
-    // slice-compare (truncated slices never equal the literal), guarded
-    // so sequence() stays ascending even for short docs
+    // ordered within-slop alignment: positions p_0 < … < p_{m-1} with
+    // tokens(p_j) = terms(j) and every gap p_j − p_{j−1} ≤ 1 + slop
+    // (per-gap proximity; slop = 0 is exact adjacency — NOT Lucene's
+    // total-edit-distance slop, the contract is pinned by the golden
+    // model). Nested exists over candidate positions; try_element_at
+    // keeps out-of-range probes null-safe under ANSI; guarded so
+    // sequence() stays ascending even for short docs.
+    def from(j: Int, prev: Column): Column =
+      if (j == m) lit(true)
+      else exists(sequence(prev + lit(1), prev + lit(1 + slop)),
+        i => coalesce(try_element_at(toks, i) === lit(terms(j)), lit(false))
+          && from(j + 1, i))
     val cond = when(size(toks) >= m,
       exists(sequence(lit(1), size(toks) - (m - 1)),
-        i => slice(toks, i, lit(m)) === typedLit(terms))).otherwise(lit(false))
+        i => try_element_at(toks, i) === lit(terms.head) && from(1, i)))
+      .otherwise(lit(false))
     bm25TopK(docs, idCol, textCol, terms.distinct, k, conjunctive = true,
       filter = Some(cond))
   }

@@ -162,9 +162,13 @@ final class Searcher(
           // same size gate as the deadDocs broadcast below: after a mass
           // deletion the tombstone table is O(corpus) and force-
           // broadcasting it would OOM the driver — fall back to a
-          // shuffle semi-join (the count is a parquet metadata read)
+          // shuffle semi-join. The count comes from the write-time
+          // sidecar (zero jobs); only legacy batches pay a count()
+          val n = IndexStore
+            .tombstoneCount(spark, root, snapshot.tombstones)
+            .getOrElse(tombs.count())
           val side =
-            if (tombs.count() <= maxBroadcastDeadDocs) broadcast(tombs)
+            if (n <= maxBroadcastDeadDocs) broadcast(tombs)
             else tombs
           docstore.join(side, Seq("url"), "left_semi").select("doc_id")
       }
@@ -512,7 +516,9 @@ final class Searcher(
     * no UDF. Requires an index built with `indexPositions = true`. */
   def searchPhrase(phrase: String, k: Int, start: Int = 0,
                    filter: Option[Column] = None,
-                   notQuery: Option[String] = None): DataFrame = {
+                   notQuery: Option[String] = None,
+                   slop: Int = 0): DataFrame = {
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     require(positionsIndexed,
       "phrase queries need an index built with indexPositions = true")
     val ordered = analyzePhrase(phrase)
@@ -554,10 +560,17 @@ final class Searcher(
     val posMap = map_from_arrays(
       transform(col("es"), e => e("term")),
       transform(col("es"), e => e("positions")))
-    val phraseCond = exists(try_element_at(posMap, lit(ordered.head)),
-      p => ordered.tail.zipWithIndex.map { case (t, j) =>
-        array_contains(try_element_at(posMap, lit(t)), p + (j + 1))
-      }.foldLeft(lit(true))(_ && _))
+    // ordered within-slop alignment over the positional postings:
+    // ∃ p_0 < … < p_{m-1}: p_j ∈ positions(term_j) ∧ p_j − p_{j−1} ≤
+    // 1 + slop (slop = 0 ⇒ exact adjacency) — the same per-gap
+    // proximity contract as the golden model and TextOps.phraseTopK
+    val phraseCond = {
+      def from(j: Int, prev: Column): Column =
+        if (j == ordered.length) lit(true)
+        else exists(try_element_at(posMap, lit(ordered(j))),
+          p => p > prev && p <= prev + lit(1 + slop) && from(j + 1, p))
+      exists(try_element_at(posMap, lit(ordered.head)), p => from(1, p))
+    }
     val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
     val perTerm = byDoc.where(phraseCond)
       .select(col("doc_id"), explode(col("es")).as("e"))

@@ -97,22 +97,28 @@ object GoldenBM25 {
     def analyzePhrase(phrase: String, dict: SynonymDict): Seq[String] =
       dict.expand(Tokenizer.tokenize(phrase).toIndexedSeq)
 
-    /** DocIds whose expanded token stream contains the terms at
-      * consecutive positions: ∃p ∀j tokens(p+j) == terms(j). */
-    def phraseMatches(orderedTerms: Seq[String]): Seq[Long] =
+    /** DocIds with an ordered within-slop alignment: positions
+      * p_0 < … < p_{m-1} with tokens(p_j) == terms(j) and every gap
+      * p_j − p_{j−1} ≤ 1 + slop. Per-gap proximity — slop = 0 is exact
+      * adjacency (∃p ∀j tokens(p+j) == terms(j)); deliberately NOT
+      * Lucene's total-edit-distance slop (this model IS the contract). */
+    def phraseMatches(orderedTerms: Seq[String], slop: Int = 0): Seq[Long] =
       if (orderedTerms.isEmpty) Seq.empty
       else docs.filter { d =>
-        val m = orderedTerms.size
-        (0 to d.tokens.size - m).exists(p =>
-          orderedTerms.indices.forall(j => d.tokens(p + j) == orderedTerms(j)))
+        def from(j: Int, prev: Int): Boolean =
+          j == orderedTerms.size ||
+            ((prev + 1) to math.min(prev + 1 + slop, d.tokens.size - 1))
+              .exists(p => d.tokens(p) == orderedTerms(j) && from(j + 1, p))
+        d.tokens.indices.exists(p0 =>
+          d.tokens(p0) == orderedTerms.head && from(1, p0))
       }.map(_.docId)
 
     /** Phrase top-k: phrase-matching docs scored as conjunctive BM25
       * over the DISTINCT phrase terms (term-ordered fold — the same
       * shared determinism contract as every other scoring path). */
     def phraseTopK(orderedTerms: Seq[String], k: Int,
-                   start: Int = 0): Seq[Hit] = {
-      val matched = phraseMatches(orderedTerms).toSet
+                   start: Int = 0, slop: Int = 0): Seq[Hit] = {
+      val matched = phraseMatches(orderedTerms, slop).toSet
       topK(orderedTerms.distinct, k, start, conjunctive = true,
         filter = d => matched.contains(d.docId))
     }

@@ -72,6 +72,42 @@ class PhraseSpec extends AnyFunSuite with SparkTestBase {
     assert(engineSet == phraseSet)
   }
 
+  test("sloppy phrase is rank- and score-identical to golden for " +
+    "slop ∈ {0,1,2}, and slop strictly widens a skip-one pair") {
+    // token pairs/triples lifted from docs at gaps 1 and 2: (t3,t5)
+    // needs slop ≥ 1, (t2,t4,t6) needs slop ≥ 1 on both gaps
+    val sampled = goldenDocs.filter(_.tokens.size >= 10).take(6).flatMap { d =>
+      Seq(d.tokens.slice(3, 5), Seq(d.tokens(3), d.tokens(5)),
+        Seq(d.tokens(2), d.tokens(4), d.tokens(6)))
+    }.map(_.mkString(" ")).distinct
+    val failures = for {
+      ph <- sampled ++ Seq("spark index", "spark spark")
+      slop <- 0 to 2
+      e = searcher.searchPhrase(ph, K, slop = slop)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      g = golden.phraseTopK(golden.analyzePhrase(ph, dict), K, slop = slop)
+        .map(h => (h.docId, h.score))
+      if e != g
+    } yield s"'$ph' slop=$slop: engine=${e.take(3)} golden=${g.take(3)}"
+    assert(failures.isEmpty, failures.mkString("\n"))
+    // monotone widening: every slop-0 match stays a slop-2 match, and at
+    // least one skip-one pair matches at slop 1 but not at slop 0
+    // pick a doc whose skip-one pair re-analyzes to itself, so engine
+    // analysis and the raw golden token pair agree exactly
+    val d = goldenDocs.filter(_.tokens.size >= 10).find { dd =>
+      val pair = Seq(dd.tokens(3), dd.tokens(5))
+      golden.analyzePhrase(pair.mkString(" "), dict) == pair
+    }.get
+    val skipOne = Seq(d.tokens(3), d.tokens(5))
+    val m0 = golden.phraseMatches(skipOne, 0).toSet
+    val m1 = golden.phraseMatches(skipOne, 1).toSet
+    assert(m0.subsetOf(m1) && m1.contains(d.docId))
+    val e1 = searcher.searchPhrase(skipOne.mkString(" "), NDocs, slop = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(e1 == m1)
+  }
+
   test("phrase pagination and single-term degenerate case match golden") {
     val d = goldenDocs.filter(_.tokens.size >= 4).head
     val one = d.tokens(1)
