@@ -419,6 +419,48 @@ object SparkEntry {
       }
     }),
 
+    // the coordinated fielded LIFECYCLE through the real engine: base
+    // build on 2/3 of the corpus, APPEND the rest (ids continue above
+    // the ceiling in every field), coordinated DELETE by PK (tombstones
+    // fanned to both field roots), posting-level mergeCompact (original
+    // ids kept, alignment preserved), then the same cross-field search
+    // as q_fielded over the surviving corpus
+    "q_fielded_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def pagesOf(d: DataFrame) = d.select(
+        format_string("doc://%s/%06d", col("source"), col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val fields = Seq(
+        graft.index.FieldedIndex.FieldSpec("body", col("text")),
+        graft.index.FieldedIndex.FieldSpec("src", col("url"),
+          analyzer = graft.analysis.Tokenizer.Keyword))
+      val root = java.nio.file.Files.createTempDirectory("graft-flda-").toString
+      val cfg = IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4)
+      graft.index.FieldedIndex.buildFull(s,
+        pagesOf(docs.filter(col("doc_id") % 3 =!= 0)), fields, root, cfg,
+        "battery-fielded-base")
+      graft.index.FieldedIndex.append(s,
+        pagesOf(docs.filter(col("doc_id") % 3 === 0)), fields, root, cfg,
+        "battery-fielded-append")
+      graft.index.FieldedIndex.deleteByPk(s, root, fields,
+        docs.filter(col("doc_id") % 10 === 7).select(
+          format_string("doc://%s/%06d", col("source"), col("doc_id"))
+            .as("url")))
+      graft.index.FieldedIndex.mergeCompact(s, root, fields, cfg)
+      val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
+      materialized(
+        fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10,
+            roundScoresTo = Some(4))
+          .join(fsr.searcher("body").docstore.select("doc_id", "url"),
+            Seq("doc_id"))
+          .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
+            .as("doc_id"), col("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)) {
+        fsr.close(); deleteRec(root)
+      }
+    }),
+
     // dynamic JSON subfields THROUGH the index: json sidecar keyed by
     // the engine's doc_ids; BM25 top-k filtered by a nested numeric
     // field (META.CHARS — reference addJson dynamic fields). Output ids
@@ -939,6 +981,50 @@ object SparkEntry {
          |  WHERE d.source = 'src3')
          |SELECT doc_id, score FROM total
          |ORDER BY score DESC, source, doc_id LIMIT 10""".stripMargin,
+
+    // q_fielded's twin over the POST-LIFECYCLE corpus: docs with
+    // doc_id % 10 = 7 were deleted, so every statistic (n, avgdl, df)
+    // re-derives over the survivors. Engine doc_id order after the
+    // lifecycle is (appended?, url): base docs keep their ids, appended
+    // docs continue above the ceiling — hence the (doc_id % 3 = 0)
+    // tiebreak component (false < true in DuckDB)
+    "q_fielded_append" ->
+      """WITH corpus AS (
+        |  SELECT * FROM documents WHERE doc_id % 10 <> 7
+        |), toks0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term0 FROM corpus
+        |), toks AS (
+        |  SELECT doc_id, upper(term0) AS term FROM toks0 WHERE term0 <> ''
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT d.doc_id,
+        |    (SELECT count(*) FROM toks f WHERE f.doc_id = d.doc_id) AS dl
+        |  FROM corpus d
+        |), stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), dfq AS (
+        |  SELECT count(*) AS df FROM tf WHERE term = 'SPARK'
+        |), body AS (
+        |  SELECT tf.doc_id,
+        |    ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sb
+        |  FROM tf JOIN dl USING (doc_id), stats s, dfq
+        |  WHERE tf.term = 'SPARK'
+        |), sdf AS (
+        |  SELECT count(*) AS df FROM corpus WHERE source = 'src3'
+        |), total AS (
+        |  SELECT b.doc_id, d.source,
+        |    round(b.sb
+        |      + ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5))
+        |        * (1 * (1.2 + 1.0))
+        |        / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)), 4) AS score
+        |  FROM body b JOIN corpus d USING (doc_id), stats s, sdf
+        |  WHERE d.source = 'src3')
+        |SELECT doc_id, score FROM total
+        |ORDER BY score DESC, (doc_id % 3 = 0), source, doc_id
+        |LIMIT 10""".stripMargin,
 
     "q_json_field_filter" ->
       s"""${bm25Cte("('SPARK')", "n_chars > 300")}

@@ -797,21 +797,14 @@ object IndexBuilder {
     report
   }
 
-  /** APPEND build (reference `CREATE_OR_APPEND` + PK upsert, S1/S4): adds
-    * a delta segment whose doc_ids start after the current maxDoc and
-    * advances the snapshot. Latest-wins vs older segments is applied at
-    * query time by [[graft.query.Searcher]] (like Lucene's liveDocs) and
-    * made physical by [[merge]]. */
-  def appendSegment(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
-                    root: String, cfg: IndexConfig = IndexConfig(),
-                    inputSnapshot: String = ""): BuildReport = {
-    val snap = IndexStore.readLatestSnapshot(spark, root)
-      .getOrElse(sys.error(s"no snapshot at $root — run buildFull first"))
-    // next base = max id_ceiling across segments (stats rows, no docstore
-    // scan). NOT Σ doc_count: a compacted segment keeps original ids with
-    // gaps, so its ceiling exceeds its live count. Legacy segments
-    // without the column fall back to a column-pruned max(doc_id) scan.
-    val nextBase = snap.segments.map { s =>
+  /** Next APPEND doc_id base for a root: max `id_ceiling` across the
+    * snapshot's segments (stats rows — no docstore scan). NOT Σ
+    * doc_count: a compacted segment keeps original ids with gaps, so its
+    * ceiling exceeds its live count. Legacy segments without the column
+    * fall back to a column-pruned max(doc_id) scan. */
+  def nextAppendBase(spark: SparkSession, root: String,
+                     snap: IndexStore.Snapshot): Long =
+    snap.segments.map { s =>
       val st = spark.read.parquet(IndexStore.statsPath(root, s))
       if (st.columns.contains("id_ceiling"))
         st.agg(max("id_ceiling")).head() match {
@@ -824,6 +817,18 @@ object IndexBuilder {
           case r => r.getLong(0) + 1L
         }
     }.max
+
+  /** APPEND build (reference `CREATE_OR_APPEND` + PK upsert, S1/S4): adds
+    * a delta segment whose doc_ids start after the current maxDoc and
+    * advances the snapshot. Latest-wins vs older segments is applied at
+    * query time by [[graft.query.Searcher]] (like Lucene's liveDocs) and
+    * made physical by [[merge]]. */
+  def appendSegment(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
+                    root: String, cfg: IndexConfig = IndexConfig(),
+                    inputSnapshot: String = ""): BuildReport = {
+    val snap = IndexStore.readLatestSnapshot(spark, root)
+      .getOrElse(sys.error(s"no snapshot at $root — run buildFull first"))
+    val nextBase = nextAppendBase(spark, root, snap)
     val seg = f"seg-${snap.id + 1}%06d"
     val report = buildSegment(spark, pages, dict, root, seg, nextBase, cfg, inputSnapshot)
     IndexStore.writeSnapshot(spark, root,

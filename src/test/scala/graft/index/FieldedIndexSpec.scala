@@ -97,6 +97,124 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.nonEmpty)
   }
 
+  test("coordinated append + delete + compact: cross-field doc_id " +
+    "alignment holds at every step and searchMulti ≡ a from-scratch " +
+    "fielded rebuild of the logical corpus") {
+    import spark.implicits._
+    val cfg = IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2)
+    def mkFields = Seq(
+      FieldedIndex.FieldSpec("text", col("text"), html = col("html")),
+      FieldedIndex.FieldSpec("url", col("url"),
+        analyzer = Tokenizer.Keyword))
+    val r = tmpDir("graft-fldlc-")
+    val base = WebtextGen.df(spark, 11L, 200)
+    FieldedIndex.buildFull(spark, base, mkFields, r, cfg)
+
+    def storeOf(f: String): Set[(Long, String)] = {
+      val fr = FieldedIndex.fieldRoot(r, f)
+      val snap = IndexStore.readLatestSnapshot(spark, fr).get
+      snap.segments.map(s =>
+          spark.read.parquet(IndexStore.docstorePath(fr, s)))
+        .reduce(_ unionByName _).select("doc_id", "url").collect()
+        .map(x => (x.getLong(0), x.getString(1))).toSet
+    }
+
+    // append = fresh urls + upserts of existing urls with a newer ts
+    val upsertUrls = WebtextGen.pages(11L, 200)
+      .filter(_.text != null).map(_.url).sorted.take(30)
+    val upserts = base.filter(col("url").isin(upsertUrls: _*))
+      .withColumn("warc_ts", expr("warc_ts + INTERVAL 1 DAY"))
+      .withColumn("text",
+        concat(lit("freshly updated spark text. "), col("text")))
+    val extra = WebtextGen.df(spark, 12L, 120)
+      .withColumn("url", concat(lit("x-"), col("url")))
+    val batch = extra.unionByName(upserts)
+    FieldedIndex.append(spark, batch, mkFields, r, cfg)
+    assert(storeOf("text") == storeOf("url"), "alignment after append")
+
+    // coordinated delete: some base urls (incl. an upserted one), some
+    // appended urls — tombstones must fan to every field root
+    val delUrls = (WebtextGen.pages(11L, 200).map(_.url).sorted
+      .slice(30, 45) :+ upsertUrls.head) ++
+      WebtextGen.pages(12L, 120).map("x-" + _.url).sorted.take(10)
+    FieldedIndex.deleteByPk(spark, r, mkFields, delUrls.toDF("url"))
+    for (f <- Seq("text", "url")) {
+      val fr = FieldedIndex.fieldRoot(r, f)
+      val snap = IndexStore.readLatestSnapshot(spark, fr).get
+      assert(snap.tombstones.size == 1, s"$f tombstone batch")
+      assert(IndexStore.tombstoneCount(spark, fr, snap.tombstones)
+        .contains(delUrls.distinct.size.toLong), s"$f tombstone count sidecar")
+    }
+
+    FieldedIndex.mergeCompact(spark, r, mkFields, cfg)
+    val compacted = storeOf("text")
+    assert(compacted == storeOf("url"), "alignment after compact")
+    assert(compacted.map(_._1).size == compacted.size, "unique ids")
+
+    // from-scratch fielded rebuild over the logical corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy(col("warc_ts").desc)
+    val live = base.unionByName(batch)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(!col("url").isin(delUrls: _*))
+    val r2 = tmpDir("graft-fldlc2-")
+    FieldedIndex.buildFull(spark, live, mkFields, r2, cfg)
+
+    // url-keyed compare (doc_ids differ by design: compact keeps gappy
+    // originals, the rebuild is dense — scores must still be identical)
+    def multi(rt: String): Seq[(String, Double)] = {
+      val fsr = new FieldedIndex.FieldedSearcher(spark, rt, mkFields)
+      try fsr.searchMulti(Map("text" -> "spark", "url" -> "example"), 100000)
+        .join(fsr.searcher("text").docstore.select("doc_id", "url"),
+          Seq("doc_id"))
+        .select("url", "score").collect()
+        .map(x => (x.getString(0), x.getDouble(1)))
+        .sortBy { case (u, s) => (-s, u) }.toSeq
+      finally fsr.close()
+    }
+    val got = multi(r)
+    val want = multi(r2)
+    assert(got.nonEmpty, "lifecycle query must match something")
+    assert(got == want, s"compacted lifecycle ≠ rebuild: " +
+      s"got=${got.take(3)} want=${want.take(3)} sizes ${got.size}/${want.size}")
+    // an upserted surviving doc serves the UPDATED text
+    val fr = FieldedIndex.fieldRoot(r, "text")
+    val snap = IndexStore.readLatestSnapshot(spark, fr).get
+    val fresh = snap.segments.map(s =>
+        spark.read.parquet(IndexStore.docstorePath(fr, s)))
+      .reduce(_ unionByName _)
+      .filter(col("text").startsWith("freshly updated spark text. ")).count()
+    assert(fresh == upsertUrls.count(!delUrls.contains(_)).toLong)
+
+    // append AFTER compact: ids above the ceiling, alignment holds
+    val extra2 = WebtextGen.df(spark, 13L, 40)
+      .withColumn("url", concat(lit("y-"), col("url")))
+    FieldedIndex.append(spark, extra2, mkFields, r, cfg)
+    val after = storeOf("text")
+    assert(after == storeOf("url"), "alignment after append-after-compact")
+    assert(after.map(_._1).size == after.size,
+      "doc_id collision after append-after-compact")
+  }
+
+  test("lockstep guard: a field root advanced on its own fails loudly") {
+    import spark.implicits._
+    val cfg = IndexBuilder.IndexConfig(numParts = 2, rangeParts = 2)
+    val mkFields = Seq(
+      FieldedIndex.FieldSpec("a", col("text")),
+      FieldedIndex.FieldSpec("b", col("url"), analyzer = Tokenizer.Keyword))
+    val r = tmpDir("graft-fldlock-")
+    FieldedIndex.buildFull(spark, WebtextGen.df(spark, 21L, 50), mkFields,
+      r, cfg)
+    // advance ONE field root by hand (uncoordinated delete)
+    IndexBuilder.deleteByPk(spark, FieldedIndex.fieldRoot(r, "a"),
+      Seq("https://nosuch.example/x"))
+    val e = intercept[IllegalArgumentException](
+      FieldedIndex.append(spark, WebtextGen.df(spark, 22L, 10), mkFields,
+        r, cfg))
+    assert(e.getMessage.contains("lockstep"))
+  }
+
   test("dedup tie with complementary null fields is deterministic: " +
     "(null, x) and (x, null) get distinct tie keys, same winner either " +
     "input order") {
