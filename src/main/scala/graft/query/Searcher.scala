@@ -62,9 +62,38 @@ final class Searcher(
     snapshot.segments.map(s => spark.read.parquet(path(s)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** Row store (S8): doc_id, url, warc_ts, lang, text, dl. */
-  val docstore: DataFrame =
-    unionSegs(IndexStore.docstorePath(root, _)).persist(StorageLevel.MEMORY_AND_DISK)
+  /** Row store (S8): doc_id, url, warc_ts, lang, text, dl — UNCACHED
+    * (parquet-backed; column pruning keeps narrow reads cheap). The
+    * `text` column is O(corpus bytes) — the same class as posting blobs
+    * under the no-blob-persist invariant — so it is never cached: page
+    * fetches read it from parquet for ≤ k ids ([[fetchByIds]]). */
+  val docstore: DataFrame = unionSegs(IndexStore.docstorePath(root, _))
+
+  /** The cached per-query hot set (doc_id, url, warc_ts, lang, dl):
+    * liveDocs derivation, filter clauses, and rank-time metadata all
+    * come from here — O(rows × ~100B) instead of O(corpus text). */
+  private val narrowCols = Seq("doc_id", "url", "warc_ts", "lang", "dl")
+  private val narrowSet = narrowCols.toSet
+  private val docstoreNarrow: DataFrame =
+    docstore.select(narrowCols.map(col): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Build a plan against the narrow cached frame if the caller's
+    * filter/sort expressions resolve on it (forcing analysis via
+    * .schema); None routes the caller to the parquet-backed full
+    * docstore (e.g. a predicate over text). */
+  private def onNarrow(build: DataFrame => DataFrame): Option[DataFrame] =
+    try { val out = build(docstoreNarrow); out.schema; Some(out) }
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Stored-field rows for an explicit id set: a `doc_id IN (...)`
+    * literal against the docstore parquet. doc_ids are assigned in url
+    * sort order, so docstore row groups carry tight doc_id ranges and
+    * the scan prunes to ~|ids| row groups — the text column is read for
+    * the page, never the corpus. */
+  private def fetchByIds(ids: Array[Long]): DataFrame =
+    if (ids.isEmpty) docstore.limit(0)
+    else docstore.filter(col("doc_id").isin(ids: _*))
 
   /** Postings table — schema pinned in [[IndexStore.postingsSchema]]
     * (S7's create-empty-index case has no footers to infer from). */
@@ -153,7 +182,7 @@ final class Searcher(
       .orderBy(col("warc_ts").desc, col("doc_id").desc)
     val superseded =
       if (snapshot.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
-      else docstore.withColumn("__rn", row_number().over(w))
+      else docstoreNarrow.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > 1).select("doc_id")
     val deleted =
       IndexStore.readTombstonesDf(spark, root, snapshot.tombstones) match {
@@ -170,7 +199,7 @@ final class Searcher(
           val side =
             if (n <= maxBroadcastDeadDocs) broadcast(tombs)
             else tombs
-          docstore.join(side, Seq("url"), "left_semi").select("doc_id")
+          docstoreNarrow.join(side, Seq("url"), "left_semi").select("doc_id")
       }
     superseded.union(deleted).distinct().persist(StorageLevel.MEMORY_AND_DISK)
   }
@@ -232,7 +261,10 @@ final class Searcher(
                                         filter: Option[Column]): DataFrame = {
     val filtered = filter match {
       case Some(f) =>
-        rows.join(docstore.where(f).select("doc_id"), Seq("doc_id"), "left_semi")
+        // narrow-column predicates (lang/url/ts/dl) hit the cache; a
+        // text predicate pushes into the parquet scan instead
+        val src = onNarrow(_.where(f)).getOrElse(docstore.where(f))
+        rows.join(src.select("doc_id"), Seq("doc_id"), "left_semi")
       case None => rows
     }
     if (!hasDeadDocs) filtered
@@ -316,20 +348,38 @@ final class Searcher(
     val topk = score(query, conjunctive, filter, notQuery, minShouldMatch)
       .orderBy(col("score").desc, col("doc_id").asc)
       .offset(start).limit(k)
-    topk.join(docstore, Seq("doc_id"))
-      .select("doc_id", "score", "url", "warc_ts", "lang", "text")
-      .orderBy(col("score").desc, col("doc_id").asc)
+    fetchPage(topk)
   }
 
   // ---- block-max WAND top-k (north-star fast path) -------------------
 
-  private def fetchPage(topk: DataFrame): DataFrame =
-    topk.join(docstore, Seq("doc_id"))
-      .select("doc_id", "score", "url", "warc_ts", "lang", "text")
-      .orderBy(col("score").desc, col("doc_id").asc)
+  /** Fetch-after-rank (S8): the page is ≤ k rows, so run the scoring
+    * DAG in ONE collect, then serve the stored fields through the
+    * document LRU ([[docCached]] — the reference's doc cache,
+    * Searcher.java:703-720): cache misses are fetched in one
+    * row-group-pruned [[fetchByIds]] scan, warm pages add ZERO jobs.
+    * The text column is therefore read for at most ~k row groups per
+    * query, never for the corpus — a cached-docstore page join would
+    * stream the whole O(corpus-bytes) text cache through the join. The
+    * result is a driver-local relation, so the caller's action is
+    * free. */
+  private def fetchPage(topk: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = topk.select("doc_id", "score").collect()
+    if (rows.isEmpty) return emptyPage
+    val scoreOf = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val page = docCached(rows.map(_.getLong(0)).toSeq).map { d =>
+      org.apache.spark.sql.Row(d.getLong(0), scoreOf(d.getLong(0)),
+        d.getAs[String]("url"), d.getAs[java.sql.Timestamp]("warc_ts"),
+        d.getAs[String]("lang"), d.getAs[String]("text"))
+    }.sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    spark.createDataFrame(page.asJava, emptyPage.schema)
+  }
 
   private def emptyPage: DataFrame =
-    fetchPage(emptyMatches.select("doc_id", "score"))
+    spark.emptyDataset[(Long, Double, String, java.sql.Timestamp, String,
+        String)]
+      .toDF("doc_id", "score", "url", "warc_ts", "lang", "text")
 
   private def termBlobs(term: String) =
     postingsForTerms(Seq(term)).select("blob").as[Array[Byte]]
@@ -596,11 +646,9 @@ final class Searcher(
     val scored = score(query, conjunctive, filter).localCheckpoint(true)
     val m = scored.agg(count(lit(1)), max("score")).head()
     val meta = Meta(m.getLong(0), if (m.isNullAt(1)) 0.0 else m.getDouble(1))
-    val page = scored.orderBy(col("score").desc, col("doc_id").asc)
-      .offset(start).limit(k)
-      .join(docstore, Seq("doc_id"))
-      .select("doc_id", "score", "url", "warc_ts", "lang", "text")
-      .orderBy(col("score").desc, col("doc_id").asc)
+    val page = fetchPage(
+      scored.orderBy(col("score").desc, col("doc_id").asc)
+        .offset(start).limit(k))
     (page, meta)
   }
 
@@ -611,9 +659,19 @@ final class Searcher(
                         start: Int = 0, conjunctive: Boolean = true,
                         filter: Option[Column] = None): DataFrame = {
     val matches = score(query, conjunctive, filter).select("doc_id")
-    matches.join(docstore, Seq("doc_id"))
-      .orderBy(sortCols :+ col("doc_id").asc: _*)
-      .offset(start).limit(k)
+    onNarrow(d => matches.join(d, Seq("doc_id"))
+      .orderBy(sortCols :+ col("doc_id").asc: _*)) match {
+      case Some(rankedAll) =>
+        // rank on the narrow cache (no text through the top-k heap),
+        // then fetch stored fields for the ≤ k page rows only
+        val ids = rankedAll.offset(start).limit(k)
+          .select("doc_id").as[Long].collect()
+        fetchByIds(ids).orderBy(sortCols :+ col("doc_id").asc: _*)
+      case None => // sort references text — rank over the parquet frame
+        matches.join(docstore, Seq("doc_id"))
+          .orderBy(sortCols :+ col("doc_id").asc: _*)
+          .offset(start).limit(k)
+    }
   }
 
   /** Full match set in docID order, no scores (Q7, TOPDOCSONLY). */
@@ -674,8 +732,9 @@ final class Searcher(
                       conjunctive: Boolean = true,
                       filter: Option[Column] = None): DataFrame = {
     val f = facetsOrFail.where(col("dim") === dim).select("doc_id", "label")
+    val vsrc = if (narrowSet.contains(valueCol)) docstoreNarrow else docstore
     Facets.facetMath(matchSet(query, conjunctive, filter),
-      f.join(docstore.select(col("doc_id"), col(valueCol)), Seq("doc_id")),
+      f.join(vsrc.select(col("doc_id"), col(valueCol)), Seq("doc_id")),
       valueCol)
   }
 
@@ -739,9 +798,17 @@ final class Searcher(
     val ordOut =
       if (descending) col("sort_value").desc_nulls_last
       else col("sort_value").asc_nulls_last
-    matchSet(query, conjunctive).join(vals, Seq("doc_id"))
+    import scala.jdk.CollectionConverters._
+    val ranked = matchSet(query, conjunctive).join(vals, Seq("doc_id"))
       .orderBy(ord, col("doc_id").asc).limit(k)
-      .join(docstore, Seq("doc_id"))
+      .select("doc_id", "__v").collect() // ≤ k rows, one job
+    val pageDf = spark.createDataFrame(ranked.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("__v",
+          org.apache.spark.sql.types.DoubleType, nullable = true))))
+    pageDf.join(fetchByIds(ranked.map(_.getLong(0))), Seq("doc_id"))
       .select(col("doc_id"), col("__v").as("sort_value"), col("url"),
         col("lang"), col("text"))
       .orderBy(ordOut, col("doc_id").asc)
@@ -812,7 +879,7 @@ final class Searcher(
   }
 
   override def close(): Unit = {
-    docstore.unpersist()
+    docstoreNarrow.unpersist()
     termStats.unpersist()
     deadDocs.unpersist()
   }
