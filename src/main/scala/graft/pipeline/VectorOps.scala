@@ -125,18 +125,38 @@ object VectorOps {
     * with Lloyd's iterations where each step is ONE distributed
     * aggregation (`groupBy(nearest centroid).avg`) — no data leaves the
     * executors, only k×dim centroid sums. Deterministic: seeded init from
-    * the first k distinct rows by id. At 100 TB the train step runs on a
-    * sample; assignment is a map-only pass. */
+    * the first k distinct rows by id.
+    *
+    * TRAIN-ON-SAMPLE is the API default, not a caller convention: the
+    * quantizer trains on the first `maxTrainRows` rows by id (a
+    * deterministic, oracle-replayable prefix — ORDER BY id LIMIT n), so
+    * at 100 TB the Lloyd iterations aggregate a bounded frame while
+    * assignment ([[ivfTopK]]) stays a map-only pass over everything.
+    * Coarse-quantizer quality needs only a representative sample, not
+    * the corpus (recall-vs-exact verified on the sample path in
+    * PipelineExtrasSpec). */
   def trainIvfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                         k: Int, iters: Int = 5,
-                        seed: Long = 42L): Array[Array[Double]] = {
-    val first = embeddings.orderBy(col(idCol)).limit(k)
+                        seed: Long = 42L,
+                        maxTrainRows: Int = 200000): Array[Array[Double]] = {
+    require(maxTrainRows >= k, s"maxTrainRows=$maxTrainRows < k=$k")
+    val train = embeddings.orderBy(col(idCol)).limit(maxTrainRows)
+      .select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      trainLloyd(train, idCol, vecCol, k, iters)
+    } finally { train.unpersist(); () }
+  }
+
+  private def trainLloyd(train: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int): Array[Array[Double]] = {
+    val first = train.orderBy(col(idCol)).limit(k)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     var centroids = first
     var it = 0
     while (it < iters) {
-      val assigned = embeddings
+      val assigned = train
         .withColumn("c", nearestCentroid(col(vecCol), centroids))
         .select(col("c"), toDouble(col(vecCol)).as("v"))
       val sums = assigned.groupBy("c")

@@ -35,6 +35,15 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     val all = VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, cents,
       nprobe = 4).collect().map(_.getLong(0)).toSet
     assert(all == exact)
+    // TRAIN-ON-SAMPLE (the 100-TB API default): centroids trained on
+    // half the corpus must not cost recall — the quantizer needs a
+    // representative sample, not the corpus
+    val sampled = VectorOps.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, iters = 6, maxTrainRows = 150)
+    val ivfS = VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, sampled,
+      nprobe = 2).collect().map(_.getLong(0)).toSet
+    val recallS = (exact intersect ivfS).size.toDouble / exact.size
+    assert(recallS >= 0.9, s"sample-path recall=$recallS")
   }
 
   test("bucketed cosine near-dup: subset of exact pairs, high recall on " +
