@@ -257,18 +257,14 @@ object FieldedIndex {
                     conjunctive: Boolean = true): DataFrame =
       searchers(field).searchWand(query, k, start, conjunctive)
 
-    /** Cross-field AND: docs matching EVERY per-field query; score =
-      * Σ per-field BM25 scores, summed in field-name order (the fixed
-      * fold that keeps doubles deterministic). Output:
-      * (doc_id, score_<field>..., score). `roundScoresTo` rounds the
-      * total BEFORE ranking — the oracle-parity knob for callers whose
-      * reference ranking is over rounded scores (a raw-double rank with a
-      * rounding-boundary tie at the k-th cutoff would otherwise pick a
-      * different page than the rounded rank). */
-    def searchMulti(queries: Map[String, String], k: Int,
-                    start: Int = 0,
+    /** The full cross-field scored match set (no limit): doc_id,
+      * per-field scores, and `score` = Σ per-field BM25 summed in
+      * field-name order (the fixed fold that keeps doubles
+      * deterministic). `roundScoresTo` rounds the total BEFORE any
+      * downstream ranking. */
+    def scoredMulti(queries: Map[String, String],
                     roundScoresTo: Option[Int] = None): DataFrame = {
-      require(queries.nonEmpty, "searchMulti needs at least one field query")
+      require(queries.nonEmpty, "scoredMulti needs at least one field query")
       val ordered = queries.toSeq.sortBy(_._1)
       val perField = ordered.map { case (f, q) =>
         searchers(f).score(q)
@@ -279,9 +275,82 @@ object FieldedIndex {
         .reduce(_ + _)
       val total = roundScoresTo.fold(total0)(d => round(total0, d))
       joined.withColumn("score", total)
+    }
+
+    /** Cross-field AND top-k: docs matching EVERY per-field query,
+      * ranked by the summed score ([[scoredMulti]]); `roundScoresTo` is
+      * the oracle-parity knob for callers whose reference ranking is
+      * over rounded scores (a raw-double rank with a rounding-boundary
+      * tie at the k-th cutoff would otherwise pick a different page
+      * than the rounded rank). */
+    def searchMulti(queries: Map[String, String], k: Int,
+                    start: Int = 0,
+                    roundScoresTo: Option[Int] = None): DataFrame =
+      scoredMulti(queries, roundScoresTo)
         .orderBy(col("score").desc, col("doc_id").asc)
         .offset(start).limit(k)
+
+    /** Cross-field AND match docset (Q8 analog for fielded queries). */
+    def matchSetMulti(queries: Map[String, String]): DataFrame =
+      scoredMulti(queries).select("doc_id")
+
+    /** Sidecars (facets / dynamic JSON fields) are keyed by doc_id, and
+      * doc_ids are ALIGNED across field roots — so any root's sidecar
+      * serves the whole fielded deployment. Default: the first field by
+      * name (deterministic); override when only one root carries the
+      * sidecar. */
+    private def sidecarSearcher(pick: Option[String]): Searcher =
+      searchers(pick.getOrElse(searchers.keySet.min))
+
+    /** Flat facet counts over a cross-field match set — the fielded
+      * deployment keeps the single-index facet surface (reference
+      * facetSearch over BooleanQuery matches, Searcher.java:1086-1283,
+      * :734-736). */
+    def facetSearch(queries: Map[String, String], offset: Int = 0,
+                    limit: Int = 10, minCount: Long = 1,
+                    facetField: Option[String] = None): DataFrame = {
+      val sr = sidecarSearcher(facetField)
+      graft.query.Facets.flatCounts(matchSetMulti(queries),
+        sr.facetsTable.getOrElse(sys.error(
+          s"field root '${facetField.getOrElse(searchers.keySet.min)}' has " +
+            "no facets sidecar — rebuild with buildFacets = true")),
+        offset, limit, minCount)
     }
+
+    /** Hierarchical facet tree over a cross-field match set. */
+    def facetSearchHier(queries: Map[String, String], topN: Int = 10,
+                        facetField: Option[String] = None): DataFrame = {
+      val sr = sidecarSearcher(facetField)
+      graft.query.Facets.hierarchicalCounts(matchSetMulti(queries),
+        sr.facetsTable.getOrElse(sys.error("no facets sidecar")), topN)
+    }
+
+    /** Facet math (per-label count/sum/min/max/avg + `*_total`) over a
+      * cross-field match set; label dim from the sidecar, numeric values
+      * from the picked field root's docstore column. */
+    def facetMathSearch(queries: Map[String, String], dim: String,
+                        valueCol: String,
+                        facetField: Option[String] = None): DataFrame = {
+      val sr = sidecarSearcher(facetField)
+      val f = sr.facetsTable.getOrElse(sys.error("no facets sidecar"))
+        .where(col("dim") === dim).select("doc_id", "label")
+      graft.query.Facets.facetMath(matchSetMulti(queries),
+        f.join(sr.docstore.select(col("doc_id"), col(valueCol)),
+          Seq("doc_id")), valueCol)
+    }
+
+    /** Cross-field top-k restricted to docs whose dynamic JSON field
+      * matches (the sidecar written by IndexBuilder.buildJsonSidecar on
+      * any one field root — doc_id alignment makes it serve all). */
+    def searchJsonFiltered(queries: Map[String, String], k: Int,
+                           key: String, pred: Column, start: Int = 0,
+                           roundScoresTo: Option[Int] = None,
+                           jsonField: Option[String] = None): DataFrame =
+      scoredMulti(queries, roundScoresTo)
+        .join(sidecarSearcher(jsonField).docsWithJsonField(key, pred),
+          Seq("doc_id"), "left_semi")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .offset(start).limit(k)
 
     override def close(): Unit = searchers.values.foreach(_.close())
   }

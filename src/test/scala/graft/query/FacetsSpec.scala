@@ -98,6 +98,76 @@ class FacetsSpec extends AnyFunSuite with SparkTestBase {
     } finally s2.close()
   }
 
+  test("fielded deployment keeps the full serving surface: facets, facet " +
+    "math and JSON-filtered search over a cross-field match set") {
+    import graft.analysis.Tokenizer
+    import graft.index.{FieldedIndex, IndexBuilder, WebtextGen}
+    val root = tmpDir("graft-fldfacet-")
+    val fields = Seq(
+      FieldedIndex.FieldSpec("body", col("text"), html = col("html")),
+      FieldedIndex.FieldSpec("path", col("url"),
+        analyzer = Tokenizer.Keyword))
+    FieldedIndex.buildFull(spark, WebtextGen.df(spark, 31L, 300), fields,
+      root, IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2,
+        buildFacets = true))
+    // dynamic JSON sidecar on ONE root (body's): doc_id alignment makes
+    // it serve the whole fielded deployment
+    graft.index.IndexBuilder.buildJsonSidecar(spark,
+      FieldedIndex.fieldRoot(root, "body"),
+      WebtextGen.df(spark, 31L, 300).select(col("url"),
+        format_string("""{"meta": {"len": %d}}""",
+          length(coalesce(col("text"), lit("")))).as("json")))
+    val fsr = new FieldedIndex.FieldedSearcher(spark, root, fields)
+    try {
+      val qs = Map("body" -> "spark", "path" -> "example")
+      // expectation from the raw pages: body tokens ∋ SPARK AND url
+      // keyword tokens ∋ EXAMPLE
+      val pages = WebtextGen.pages(31L, 300).map { p =>
+        val text = if (p.text != null) p.text
+          else graft.analysis.TextExtract.extractText(p.html)
+        (p, graft.analysis.Tokenizer.tokenize(text).toSet,
+          graft.analysis.Tokenizer.tokenize(p.url, Tokenizer.Keyword).toSet)
+      }
+      val matched = pages.filter(x =>
+        x._2.contains("SPARK") && x._3.contains("EXAMPLE"))
+      val expectLang = matched.groupBy(_._1.lang)
+        .view.mapValues(_.size.toLong).toMap
+      def langCounts(facetField: Option[String]) =
+        fsr.facetSearch(qs, limit = 1000, facetField = facetField)
+          .where(col("dim") === "lang")
+          .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+      assert(langCounts(None) == expectLang)
+      // either root's sidecar serves (doc_id alignment)
+      assert(langCounts(Some("path")) == expectLang)
+      // facet math: per-lang doc counts agree (values from body's dl)
+      val math = fsr.facetMathSearch(qs, "lang", "dl")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      expectLang.foreach { case (l, n) => assert(math(l) == n, s"lang=$l") }
+      assert(math("*_total") == matched.size.toLong)
+      // hierarchy: site tld rollup over the cross-field match set
+      val hier = fsr.facetSearchHier(qs, topN = 1000)
+        .where(col("dim") === "site" && col("depth") === 1)
+        .collect().map(r => (r.getSeq[String](1).head, r.getLong(3))).toMap
+      val host = (u: String) =>
+        u.replaceFirst("^[a-zA-Z]+://", "").takeWhile(_ != '/')
+      val expectTld = matched.groupBy(x => host(x._1.url).split('.').last)
+        .view.mapValues(_.size.toLong).toMap
+      assert(hier == expectTld)
+      // JSON-filtered cross-field search: raw text length > 200 via the
+      // META.LEN dynamic field (html-only pages have len 0)
+      val got = fsr.searchJsonFiltered(qs, 100000, "META.LEN",
+          col("num_val") > 200.0)
+        .join(fsr.searcher("body").docstore.select("doc_id", "url"),
+          Seq("doc_id"))
+        .select("url").collect().map(_.getString(0)).toSet
+      val expectJson = matched.filter(x =>
+        x._1.text != null && x._1.text.length > 200).map(_._1.url).toSet
+      assert(got == expectJson)
+      assert(got.nonEmpty && got.size < matched.size,
+        "JSON filter should restrict the match set non-trivially")
+    } finally fsr.close()
+  }
+
   test("config-driven facet dims: custom FacetSpec set with multi-value " +
     "and custom-hierarchy dims, plus the sentinel rule (Indexer.java:" +
     "157-172,319-325)") {
