@@ -110,10 +110,14 @@ object Main {
       case "merge" =>
         // posting-level compaction by default (O(posting bytes)); falls
         // back to the rebuild merge on mixed-layout segments or huge
-        // dead sets; --rebuild forces the rebuild path
+        // dead sets; --rebuild forces the rebuild path; --tier-fanin N
+        // runs tiered passes (N smallest first) for many-segment backlogs
         val rep =
           if (opt.contains("rebuild"))
             IndexBuilder.merge(spark, opt("index"), dictOf(opt), cfgOf(opt))
+          else if (opt.contains("tier-fanin"))
+            IndexBuilder.mergeCompactTiered(spark, opt("index"), dictOf(opt),
+              cfgOf(opt), tierFanin = opt("tier-fanin").toInt).last
           else
             IndexBuilder.mergeCompact(spark, opt("index"), dictOf(opt), cfgOf(opt))
         println(s"""{"segment":"${rep.segment}","docs":${rep.docCount},""" +

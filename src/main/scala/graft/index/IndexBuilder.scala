@@ -999,6 +999,68 @@ object IndexBuilder {
   def mergeCompact(spark: SparkSession, root: String, dict: SynonymDict,
                    cfg: IndexConfig = IndexConfig(),
                    maxBroadcastDeadIds: Long = 4000000L): BuildReport = {
+    val snap = IndexStore.readLatestSnapshot(spark, root)
+      .getOrElse(sys.error(s"no snapshot at $root"))
+    mergeCompactImpl(spark, root, snap, snap.segments,
+      clearTombstones = true, cfg, maxBroadcastDeadIds)
+      .getOrElse(merge(spark, root, dict, cfg))
+  }
+
+  /** Tiered compaction for MANY segments (the Lucene TieredMergePolicy
+    * shape behind the reference's background merging): while more than
+    * `tierFanin` segments exist, compact the `tierFanin` smallest (by
+    * stats doc_count — no docstore scan) into one, then finish with a
+    * full [[mergeCompact]] that applies tombstones and collapses to a
+    * single segment. Each pass shuffles only its tier's posting bytes,
+    * so a 100-segment streaming backlog costs O(bytes × log_fanin n)
+    * instead of one n-way shuffle whose task count and open-file fanout
+    * scale with every segment at once. Tombstones stay in the snapshot
+    * until the final pass: each tier pass already drops its segments'
+    * dead rows (the dead set is computed GLOBALLY — superseded versions
+    * and tombstoned urls are filtered wherever they sit), and keeping
+    * the batch until the end makes re-application a harmless no-op. */
+  def mergeCompactTiered(spark: SparkSession, root: String,
+                         dict: SynonymDict,
+                         cfg: IndexConfig = IndexConfig(),
+                         tierFanin: Int = 10,
+                         maxBroadcastDeadIds: Long = 4000000L)
+      : Seq[BuildReport] = {
+    require(tierFanin >= 2, s"tierFanin must be >= 2, got $tierFanin")
+    val out = Seq.newBuilder[BuildReport]
+    var snap = IndexStore.readLatestSnapshot(spark, root)
+      .getOrElse(sys.error(s"no snapshot at $root"))
+    var ok = true
+    while (ok && snap.segments.size > tierFanin) {
+      val sizes = snap.segments.map { s =>
+        val c = spark.read.parquet(IndexStore.statsPath(root, s))
+          .agg(sum("doc_count")).head()
+        s -> (if (c.isNullAt(0)) 0L else c.getLong(0))
+      }
+      val tier = sizes.sortBy { case (s, n) => (n, s) }
+        .take(tierFanin).map(_._1)
+      mergeCompactImpl(spark, root, snap, tier, clearTombstones = false,
+        cfg, maxBroadcastDeadIds) match {
+        case Some(r) => out += r
+        case None => ok = false // mixed layouts ⇒ one rebuild collapses all
+      }
+      snap = IndexStore.readLatestSnapshot(spark, root).get
+    }
+    out += (if (ok) mergeCompact(spark, root, dict, cfg, maxBroadcastDeadIds)
+            else merge(spark, root, dict, cfg))
+    out.result()
+  }
+
+  /** Posting-level compaction of `targets` (a subset of, or all of, the
+    * snapshot's segments) into one fresh segment. Returns None when the
+    * caller must fall back to the rebuild [[merge]] (mixed layouts /
+    * old format / dead set past the broadcast gate — invariant 14). */
+  private def mergeCompactImpl(spark: SparkSession, root: String,
+                               snap: IndexStore.Snapshot,
+                               targets: Seq[String],
+                               clearTombstones: Boolean,
+                               cfg: IndexConfig,
+                               maxBroadcastDeadIds: Long)
+      : Option[BuildReport] = {
     import spark.implicits._
     val t0 = System.nanoTime()
     val phases = Seq.newBuilder[(String, Long)]
@@ -1008,9 +1070,7 @@ object IndexBuilder {
       phases += name -> (now - tPrev) / 1000000
       tPrev = now
     }
-    val snap = IndexStore.readLatestSnapshot(spark, root)
-      .getOrElse(sys.error(s"no snapshot at $root"))
-    val stored = snap.segments.flatMap(s =>
+    val stored = targets.flatMap(s =>
       IndexStore.readSegmentConfig(spark, root, s))
     // formatVersion is part of the gate: an old-format segment's blobs
     // can neither be decoded (dead-doc filtering would crash mid-job) nor
@@ -1018,18 +1078,24 @@ object IndexBuilder {
     // current-format, silencing the Searcher's loud version check). The
     // rebuild merge re-encodes from the docstore, so it handles any
     // version — fall back, never error (invariant 14).
-    val uniform = stored.size == snap.segments.size &&
+    val uniform = stored.size == targets.size &&
       stored.forall(_.formatVersion == graft.codec.VarByte.FormatVersion) &&
       stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
         .distinct.size == 1
-    if (!uniform) return merge(spark, root, dict, cfg)
+    if (!uniform) return None
     val sc0 = stored.head
     val (numParts, withPos, blockSize) =
       (sc0.numParts, sc0.hasPositions, cfg.blockSize)
 
-    val docstores = snap.segments.map(s =>
-      spark.read.parquet(IndexStore.docstorePath(root, s)))
-    val allDocs = docstores.reduce(_ unionByName _)
+    // the dead set is GLOBAL (window over every segment's docstore +
+    // all tombstones): a subset compact must drop a target row
+    // superseded by a newer version living OUTSIDE the subset
+    val allDocs = snap.segments.map(s =>
+        spark.read.parquet(IndexStore.docstorePath(root, s)))
+      .reduce(_ unionByName _)
+    val targetDocs = targets.map(s =>
+        spark.read.parquet(IndexStore.docstorePath(root, s)))
+      .reduce(_ unionByName _)
 
     // dead = superseded by a newer version of the same url + tombstoned
     // (exactly the Searcher's liveDocs rule)
@@ -1060,12 +1126,12 @@ object IndexBuilder {
     // pass over the docstore-union window)
     val fetchCap = math.min(maxBroadcastDeadIds + 1L, Int.MaxValue.toLong).toInt
     val deadSorted: Array[Long] = deadDf.limit(fetchCap).as[Long].collect()
-    if (deadSorted.length >= fetchCap) return merge(spark, root, dict, cfg)
+    if (deadSorted.length >= fetchCap) return None
     java.util.Arrays.sort(deadSorted)
     val deadCount: Long = deadSorted.length.toLong
     lap("dead_scan")
 
-    val allPostings = snap.segments
+    val allPostings = targets
       .map(IndexStore.readPostingsOrEmpty(spark, root, _))
       .reduce(_ unionByName _)
       .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
@@ -1144,7 +1210,7 @@ object IndexBuilder {
     // written schema is the pinned postings layout, which carries no ttf)
     val termStats =
       if (deadCount == 0)
-        snap.segments.map(s =>
+        targets.map(s =>
             spark.read.parquet(IndexStore.termStatsPath(root, s)))
           .reduce(_ unionByName _)
           .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"),
@@ -1166,8 +1232,8 @@ object IndexBuilder {
     // dead set already passed the gate); stats observed during the write
     val deadIdsDf = spark.createDataset(deadSorted.toSeq).toDF("doc_id")
     val liveDocs =
-      if (deadCount == 0) allDocs
-      else allDocs.join(broadcast(deadIdsDf), Seq("doc_id"), "left_anti")
+      if (deadCount == 0) targetDocs
+      else targetDocs.join(broadcast(deadIdsDf), Seq("doc_id"), "left_anti")
     val docObs = org.apache.spark.sql.Observation()
     liveDocs
       .observe(docObs, count(lit(1)).as("cnt"),
@@ -1181,10 +1247,10 @@ object IndexBuilder {
     // sidecars ride along unchanged (ids are stable) minus dead rows
     def carrySidecar(pathOf: (String, String) => String): Unit = {
       val f = IndexStore.fs(spark, root)
-      val present = snap.segments.forall(s =>
+      val present = targets.forall(s =>
         f.exists(new org.apache.hadoop.fs.Path(pathOf(root, s))))
       if (!present) return
-      val old = snap.segments.map(s => spark.read.parquet(pathOf(root, s)))
+      val old = targets.map(s => spark.read.parquet(pathOf(root, s)))
         .reduce(_ unionByName _)
       val live =
         if (deadCount == 0) old
@@ -1204,17 +1270,19 @@ object IndexBuilder {
           col("df_local").cast("string")))).as("cks"))
       .collect().map { r =>
         IndexStore.ManifestRow(r.getInt(0), r.getLong(1), r.getLong(2),
-          r.getLong(3), s"compact-of-${snap.segments.mkString("+")}", wallMs0)
+          r.getLong(3), s"compact-of-${targets.mkString("+")}", wallMs0)
       }.toSeq
     IndexStore.appendManifest(spark, root, seg, manifestRows)
     IndexStore.writeSegmentConfig(spark, root, seg,
       IndexStore.SegmentConfig(numParts, sc0.saltFanout, blockSize,
         hasPositions = withPos, analyzer = sc0.analyzer))
     val termCount = termObs.get("terms").asInstanceOf[Long]
+    val remaining = snap.segments.filterNot(targets.contains)
     IndexStore.writeSnapshot(spark, root,
-      IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
+      IndexStore.Snapshot(snap.id + 1, remaining :+ seg,
+        if (clearTombstones) Seq.empty else snap.tombstones))
     lap("manifest_and_swap")
-    BuildReport(seg, docCount, termCount, manifestRows.map(_.rows).sum,
-      (System.nanoTime() - t0) / 1000000, phases.result())
+    Some(BuildReport(seg, docCount, termCount, manifestRows.map(_.rows).sum,
+      (System.nanoTime() - t0) / 1000000, phases.result()))
   }
 }

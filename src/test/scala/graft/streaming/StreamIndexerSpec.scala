@@ -91,6 +91,52 @@ class StreamIndexerSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close()
   }
 
+  test("tiered compaction collapses 21 micro-batch segments with a " +
+    "bounded fan-in per pass, ending rank-identical to a fresh build of " +
+    "the live corpus") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("graft-tiered-")
+    // 21 micro-batches: one fresh url each + an upsert of m/u every batch
+    (0 until 21).foreach { b =>
+      val df = Seq(
+        page(s"https://m/$b", b * 10, s"spark doc number$b common"),
+        page("https://m/u", b * 10 + 1, s"upserted version$b spark"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      StreamIndexer.indexBatch(spark, df, dict, root, cfg, b.toLong)
+    }
+    IndexBuilder.deleteByPk(spark, root, Seq("https://m/3", "https://m/7"))
+    assert(IndexStore.readLatestSnapshot(spark, root).get.segments.size == 21)
+
+    val reps = IndexBuilder.mergeCompactTiered(spark, root, dict, cfg,
+      tierFanin = 4)
+    // 21 → 18 → 15 → 12 → 9 → 6 → 3 tier passes, then the final full pass
+    assert(reps.size == 7, s"passes=${reps.map(_.segment)}")
+    val snap = IndexStore.readLatestSnapshot(spark, root).get
+    assert(snap.segments.size == 1 && snap.tombstones.isEmpty)
+
+    // twin: ONE fresh build over the logical live corpus — same urls,
+    // same stats, so scores must be bit-identical
+    val live = (0 until 21).filterNot(b => b == 3 || b == 7)
+      .map(b => page(s"https://m/$b", b * 10, s"spark doc number$b common")) :+
+      page("https://m/u", 201, "upserted version20 spark")
+    val root2 = tmpDir("graft-tieredtwin-")
+    IndexBuilder.buildFull(spark,
+      live.toDF("url", "warc_ts", "html", "text", "lang"), dict, root2, cfg)
+    def view(rt: String): (Long, Set[(String, String, Double)]) = {
+      val s = new Searcher(spark, rt, dict)
+      try (s.numDocs, s.search("spark", 100).select("url", "text", "score")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet)
+      finally s.close()
+    }
+    val (nA, vA) = view(root)
+    val (nB, vB) = view(root2)
+    assert(nA == 20L && nA == nB)
+    assert(vA.nonEmpty && vA == vB)
+    assert(vA.exists(_._2 == "upserted version20 spark"))
+  }
+
   test("batch re-delivery is idempotent (exactly-once append)") {
     val sp = spark
     import sp.implicits._
