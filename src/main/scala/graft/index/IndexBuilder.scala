@@ -1029,7 +1029,13 @@ object IndexBuilder {
     val out = Seq.newBuilder[BuildReport]
     var snap = IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root"))
+    // ONE dead scan for the whole schedule: liveness is invariant across
+    // passes (a pass drops dead rows; it neither creates nor revives
+    // deads), so every pass — including the final one — reuses this set.
+    // Ids whose rows were dropped by an earlier pass match nothing.
     var ok = true
+    val dead0 = globalDeadIds(spark, root, snap, maxBroadcastDeadIds)
+    if (dead0.isEmpty) ok = false // past the broadcast gate ⇒ rebuild
     while (ok && snap.segments.size > tierFanin) {
       val sizes = snap.segments.map { s =>
         val c = spark.read.parquet(IndexStore.statsPath(root, s))
@@ -1039,14 +1045,18 @@ object IndexBuilder {
       val tier = sizes.sortBy { case (s, n) => (n, s) }
         .take(tierFanin).map(_._1)
       mergeCompactImpl(spark, root, snap, tier, clearTombstones = false,
-        cfg, maxBroadcastDeadIds) match {
+        cfg, maxBroadcastDeadIds, precomputedDead = dead0) match {
         case Some(r) => out += r
         case None => ok = false // mixed layouts ⇒ one rebuild collapses all
       }
       snap = IndexStore.readLatestSnapshot(spark, root).get
     }
-    out += (if (ok) mergeCompact(spark, root, dict, cfg, maxBroadcastDeadIds)
-            else merge(spark, root, dict, cfg))
+    out += (if (ok)
+      mergeCompactImpl(spark, root, snap, snap.segments,
+        clearTombstones = true, cfg, maxBroadcastDeadIds,
+        precomputedDead = dead0)
+        .getOrElse(merge(spark, root, dict, cfg))
+    else merge(spark, root, dict, cfg))
     out.result()
   }
 
@@ -1054,12 +1064,55 @@ object IndexBuilder {
     * snapshot's segments) into one fresh segment. Returns None when the
     * caller must fall back to the rebuild [[merge]] (mixed layouts /
     * old format / dead set past the broadcast gate — invariant 14). */
+  /** The GLOBAL dead-id set (superseded versions + tombstoned urls over
+    * every segment — exactly the Searcher's liveDocs rule), sorted;
+    * None when it exceeds the broadcast gate. One action: fetch at most
+    * gate+1 ids. Invariant across compaction passes (dropping dead rows
+    * neither creates nor revives deads), so [[mergeCompactTiered]]
+    * computes it ONCE and reuses it for every pass. */
+  private def globalDeadIds(spark: SparkSession, root: String,
+                            snap: IndexStore.Snapshot,
+                            maxBroadcastDeadIds: Long)
+      : Option[Array[Long]] = {
+    import spark.implicits._
+    val allDocs = snap.segments.map(s =>
+        spark.read.parquet(IndexStore.docstorePath(root, s)))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, col("doc_id").desc)
+    val superseded =
+      if (snap.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
+      else allDocs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1).select("doc_id")
+    val tombstoned =
+      IndexStore.readTombstonesDf(spark, root, snap.tombstones) match {
+        case None => spark.emptyDataset[Long].toDF("doc_id")
+        case Some(tombs) =>
+          // url rows are wider than dead ids — gate at the same 2M-row
+          // threshold the Searcher and rebuild merge use for this table,
+          // not the 4M id gate (count from the write-time sidecar)
+          val n = IndexStore.tombstoneCount(spark, root, snap.tombstones)
+            .getOrElse(tombs.count())
+          val side =
+            if (n <= 2000000L) broadcast(tombs)
+            else tombs
+          allDocs.join(side, Seq("url"), "left_semi").select("doc_id")
+      }
+    val deadDf = superseded.union(tombstoned).distinct()
+    val fetchCap =
+      math.min(maxBroadcastDeadIds + 1L, Int.MaxValue.toLong).toInt
+    val deadSorted: Array[Long] = deadDf.limit(fetchCap).as[Long].collect()
+    if (deadSorted.length >= fetchCap) None
+    else { java.util.Arrays.sort(deadSorted); Some(deadSorted) }
+  }
+
   private def mergeCompactImpl(spark: SparkSession, root: String,
                                snap: IndexStore.Snapshot,
                                targets: Seq[String],
                                clearTombstones: Boolean,
                                cfg: IndexConfig,
-                               maxBroadcastDeadIds: Long)
+                               maxBroadcastDeadIds: Long,
+                               precomputedDead: Option[Array[Long]] = None)
       : Option[BuildReport] = {
     import spark.implicits._
     val t0 = System.nanoTime()
@@ -1087,47 +1140,22 @@ object IndexBuilder {
     val (numParts, withPos, blockSize) =
       (sc0.numParts, sc0.hasPositions, cfg.blockSize)
 
-    // the dead set is GLOBAL (window over every segment's docstore +
-    // all tombstones): a subset compact must drop a target row
-    // superseded by a newer version living OUTSIDE the subset
-    val allDocs = snap.segments.map(s =>
-        spark.read.parquet(IndexStore.docstorePath(root, s)))
-      .reduce(_ unionByName _)
     val targetDocs = targets.map(s =>
         spark.read.parquet(IndexStore.docstorePath(root, s)))
       .reduce(_ unionByName _)
 
-    // dead = superseded by a newer version of the same url + tombstoned
-    // (exactly the Searcher's liveDocs rule)
-    val w = Window.partitionBy("url")
-      .orderBy(col("warc_ts").desc, col("doc_id").desc)
-    val superseded =
-      if (snap.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
-      else allDocs.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1).select("doc_id")
-    val tombstoned =
-      IndexStore.readTombstonesDf(spark, root, snap.tombstones) match {
-        case None => spark.emptyDataset[Long].toDF("doc_id")
-        case Some(tombs) =>
-          // url rows are wider than dead ids — gate at the same 2M-row
-          // threshold the Searcher and rebuild merge use for this table,
-          // not the 4M id gate (count from the write-time sidecar)
-          val n = IndexStore.tombstoneCount(spark, root, snap.tombstones)
-            .getOrElse(tombs.count())
-          val side =
-            if (n <= 2000000L) broadcast(tombs)
-            else tombs
-          allDocs.join(side, Seq("url"), "left_semi").select("doc_id")
-      }
-    val deadDf = superseded.union(tombstoned).distinct()
-    // ONE action for gate + collect: fetch at most gate+1 ids — if that
-    // overflows the gate, the rebuild's shuffle anti-joins are the
-    // scale-safe plan; otherwise we already hold the array (no second
-    // pass over the docstore-union window)
-    val fetchCap = math.min(maxBroadcastDeadIds + 1L, Int.MaxValue.toLong).toInt
-    val deadSorted: Array[Long] = deadDf.limit(fetchCap).as[Long].collect()
-    if (deadSorted.length >= fetchCap) return None
-    java.util.Arrays.sort(deadSorted)
+    // the dead set is GLOBAL (window over every segment's docstore +
+    // all tombstones): a subset compact must drop a target row
+    // superseded by a newer version living OUTSIDE the subset. The
+    // tiered driver precomputes it once for all its passes.
+    val deadSorted: Array[Long] = precomputedDead match {
+      case Some(d) => d
+      case None =>
+        globalDeadIds(spark, root, snap, maxBroadcastDeadIds) match {
+          case Some(d) => d
+          case None => return None // past the gate: rebuild is the plan
+        }
+    }
     val deadCount: Long = deadSorted.length.toLong
     lap("dead_scan")
 
