@@ -745,6 +745,21 @@ object SparkEntry {
       Multimodal.decodeAudios(s, media).toDF()
         .select("media_id", "sample_rate", "n_samples", "abs_sum", "max_abs")
         .orderBy("media_id")
+    }),
+
+    // REAL video decode: deterministic motion-PNG AVIs (2 + id%3
+    // frames) per doc, container-walked (RIFF/AVI) and frame-decoded
+    // back through javax.imageio at stride 2. The oracle replays the
+    // per-frame pixel formula in pure SQL — a match proves BOTH the AVI
+    // chunk walk and the frame decode are real
+    "q_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select("doc_id").as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticAvi(id))))
+        .toDF("media_id", "payload")
+      Multimodal.decodeVideoFrames(s, media, stride = 2).toDF()
+        .select("media_id", "frame_idx", "width", "height", "px_sum")
+        .orderBy("media_id", "frame_idx")
     })
   )
 
@@ -1425,6 +1440,22 @@ object SparkEntry {
         |FROM documents,
         |  (SELECT unnest(generate_series(0, 63)) AS i) g
         |WHERE g.i < 32 + doc_id % 32
-        |GROUP BY doc_id ORDER BY media_id""".stripMargin
+        |GROUP BY doc_id ORDER BY media_id""".stripMargin,
+
+    // replays syntheticAvi's per-frame pixel formula pixel(x,y,f) =
+    // (id*31 + f*17 + x*7 + y*13) % 256 for the stride-2-sampled frames
+    // f ∈ {0, 2} ∩ [0, 2 + id%3)
+    "q_video_frames" ->
+      """SELECT doc_id AS media_id, CAST(f.f AS INT) AS frame_idx,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(sum((doc_id * 31 + f.f * 17 + g.x * 7 + g.y * 13) % 256)
+        |    AS BIGINT) AS px_sum
+        |FROM documents,
+        |  (SELECT unnest(generate_series(0, 3)) AS f) f,
+        |  (SELECT x.x, y.y
+        |   FROM (SELECT unnest(generate_series(0, 7)) AS x) x,
+        |        (SELECT unnest(generate_series(0, 7)) AS y) y) g
+        |WHERE f.f % 2 = 0 AND f.f < 2 + doc_id % 3
+        |GROUP BY doc_id, f.f ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   * exact generator formula). AUDIO decode is REAL for WAV/PCM16:
   * [[decodeWav]] walks the RIFF container directly (raw samples need no
   * codec library) with [[syntheticWav]] as its oracle-replayable
-  * generator. VIDEO (and compressed-audio codecs) remain a STUB
+  * generator. VIDEO decode is REAL for MJPEG / motion-PNG AVIs:
+  * [[decodeAviFrames]] walks the AVI RIFF container and decodes every
+  * sampled frame through javax.imageio ([[syntheticAvi]] is the
+  * oracle-replayable generator). Only inter-frame video codecs
+  * (H.264/VP9/HEVC) and compressed audio (MP3/AAC) remain a STUB
   * ([[decodeImageStub]] / [[sampleFrames]]) — those codecs are not in
   * this container — with the batch plumbing (schema, per-partition
   * decoder amortization, per-row purity) real and tested.
@@ -195,8 +199,133 @@ object Multimodal {
       })
   }
 
-  /** STUB decoder for VIDEO (and compressed-audio) payloads — those
-    * codecs are not in this container. Deterministic byte-derived fake:
+  // ---- REAL video decode (AVI container walk — the same RIFF
+  // discipline as WAV; MJPEG/motion-PNG frame payloads decode through
+  // javax.imageio, base JDK, no codec library) -------------------------
+
+  /** Deterministic motion-PNG AVI: 2 + id mod 3 frames of w×h grayscale,
+    * pixel(x, y, f) = (id·31 + f·17 + x·7 + y·13) mod 256. PNG frames
+    * (lossless) keep the decode oracle-checkable by formula replay; real
+    * MJPEG files with JPEG frames walk the identical container path
+    * (covered in tests with dimension assertions — JPEG is lossy). */
+  def syntheticAvi(id: Long, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val nFrames = (2 + id % 3).toInt
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    buildAvi(frames, w, h)
+  }
+
+  /** Assemble a minimal standards-shaped AVI (RIFF → LIST hdrl(avih) →
+    * LIST movi('00dc' frames, word-aligned)) around already-encoded
+    * frame payloads. */
+  def buildAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    def chunk(tag: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(tag.getBytes("US-ASCII")).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(listType: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ body)
+    val avih = java.nio.ByteBuffer.allocate(56)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    avih.putInt(33333).putInt(0).putInt(0).putInt(0) // µs/frame, bps, pad, flags
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0) // total, init, streams, buf
+      .putInt(w).putInt(h) // dwWidth, dwHeight; 16 reserved bytes stay 0
+    val hdrl = list("hdrl", chunk("avih", avih.array()))
+    val movi = list("movi",
+      frames.iterator.flatMap(f => chunk("00dc", f)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  final case class VideoFrame(frame_idx: Int, width: Int, height: Int,
+                              px_sum: Long)
+
+  /** REAL video decode: RIFF/AVI chunk walk + per-frame image decode
+    * (javax.imageio) for every `stride`-th '..dc'/'..db' frame chunk —
+    * covers MJPEG and motion-PNG AVIs with zero codec dependencies.
+    * Inter-frame compressed codecs (H.264/VP9/HEVC) are NOT decodable
+    * in this container; such files yield no decodable frames ⇒ None.
+    * Malformed/truncated payloads degrade to None, never a task
+    * failure. Undecodable individual frames are skipped (a corrupt
+    * frame in a long video must not drop the video). */
+  def decodeAviFrames(payload: Array[Byte],
+                      stride: Int = 1): Option[Vector[VideoFrame]] =
+    try {
+      require(stride >= 1, s"stride must be >= 1, got $stride")
+      val buf = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      if (tag() != "RIFF") return None
+      buf.getInt
+      if (tag() != "AVI ") return None
+      val out = Vector.newBuilder[VideoFrame]
+      var idx = 0
+      def walk(end: Int): Unit =
+        while (buf.position() + 8 <= end) {
+          val id = tag()
+          val len = buf.getInt
+          if (len < 0 || buf.position() + len > buf.limit())
+            throw new IllegalArgumentException("truncated chunk")
+          val next = buf.position() + len + (len & 1)
+          if (id == "LIST" && len >= 4) {
+            tag() // list type; frames live under 'movi' but any nesting walks
+            walk(math.min(next, end))
+          } else if ((id.endsWith("dc") || id.endsWith("db")) && len > 0) {
+            if (idx % stride == 0) {
+              val bytes = new Array[Byte](len)
+              buf.get(bytes)
+              decodeImage(bytes).foreach { case (fw, fh, s) =>
+                out += VideoFrame(idx, fw, fh, s)
+              }
+            }
+            idx += 1
+          }
+          buf.position(math.min(next, buf.limit()))
+        }
+      walk(buf.limit())
+      val frames = out.result()
+      if (frames.isEmpty) None else Some(frames)
+    } catch { case _: Exception => None }
+
+  final case class VideoFrameRow(media_id: Long, frame_idx: Int, width: Int,
+                                 height: Int, px_sum: Long)
+
+  /** Real video keyframe sampling over a media table: one input row →
+    * one row per sampled decoded frame (the shape of training-data frame
+    * extraction). Per-partition batched, shuffle-free; undecodable
+    * payloads drop. */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+                        stride: Int = 1): Dataset[VideoFrameRow] = {
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        decodeAviFrames(p, stride).getOrElse(Vector.empty).map(f =>
+          VideoFrameRow(id, f.frame_idx, f.width, f.height, f.px_sum))
+      })
+  }
+
+  /** STUB decoder for payloads in codecs this container cannot decode
+    * (inter-frame video: H.264/VP9/HEVC; compressed audio: MP3/AAC).
+    * Deterministic byte-derived fake:
     * "dimensions" from the payload length, "mean" over the bytes, crc
     * over the head. The point under test is the batch plumbing, not the
     * samples. */

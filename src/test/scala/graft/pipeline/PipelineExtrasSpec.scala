@@ -205,6 +205,75 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     assert(out == Map(1L -> 33L, 3L -> 35L))
   }
 
+  test("real video decode: motion-PNG AVI round-trip recovers the exact " +
+    "per-frame generator pixels; real-JPEG MJPEG walks the same " +
+    "container; malformed/cross-codec payloads degrade to None") {
+    def expectedSum(id: Long, f: Int): Long =
+      (for (y <- 0 until 8; x <- 0 until 8)
+        yield (id * 31 + f * 17 + x * 7 + y * 13) % 256).sum
+    // lossless round-trip at stride 1: every frame, exact pixels
+    for (id <- Seq(0L, 1L, 7L, 255L, 1000000L)) {
+      val Some(frames) = Multimodal.decodeAviFrames(Multimodal.syntheticAvi(id))
+      val n = (2 + id % 3).toInt
+      assert(frames.map(_.frame_idx) == (0 until n).toVector, s"id=$id")
+      frames.foreach { fr =>
+        assert(fr.width == 8 && fr.height == 8 &&
+          fr.px_sum == expectedSum(id, fr.frame_idx), s"id=$id f=${fr.frame_idx}")
+      }
+    }
+    // stride sampling picks exactly every stride-th frame index
+    val Some(sampled) = Multimodal.decodeAviFrames(
+      Multimodal.syntheticAvi(2L), stride = 2) // 4 frames → 0, 2
+    assert(sampled.map(_.frame_idx) == Vector(0, 2))
+    // REAL MJPEG: JPEG frames through the identical container walk
+    // (JPEG is lossy — assert dimensions + frame count, not pixel sums)
+    val jpegFrames = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(16, 12,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.setRGB(x, y, (f * 40 + x) << 16)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val Some(mjpeg) = Multimodal.decodeAviFrames(
+      Multimodal.buildAvi(jpegFrames, 16, 12))
+    assert(mjpeg.size == 3 &&
+      mjpeg.forall(f => f.width == 16 && f.height == 12))
+    // malformed containers degrade, never task failures
+    assert(Multimodal.decodeAviFrames("not an avi".getBytes).isEmpty)
+    assert(Multimodal.decodeAviFrames(Array.emptyByteArray).isEmpty)
+    val ok = Multimodal.syntheticAvi(5L)
+    assert(Multimodal.decodeAviFrames(ok.take(10)).isEmpty)
+    assert(Multimodal.decodeAviFrames(ok.take(200)).isEmpty) // mid-movi cut
+    // cross-codec: a WAV is RIFF but not AVI; a bare PNG is not RIFF
+    assert(Multimodal.decodeAviFrames(Multimodal.syntheticWav(1L)).isEmpty)
+    assert(Multimodal.decodeAviFrames(Multimodal.syntheticPng(1L)).isEmpty)
+    // a corrupt FRAME inside a valid AVI skips that frame, keeps the rest
+    val mixed = Multimodal.buildAvi(
+      Seq(jpegFrames.head, "corrupt frame bytes".getBytes, jpegFrames.last),
+      16, 12)
+    val Some(kept) = Multimodal.decodeAviFrames(mixed)
+    assert(kept.map(_.frame_idx) == Vector(0, 2))
+    // an AVI whose every frame is an undecodable codec payload (the
+    // H.264 shape) yields None — the honest can't-decode signal
+    assert(Multimodal.decodeAviFrames(
+      Multimodal.buildAvi(Seq("h264 nal soup".getBytes), 8, 8)).isEmpty)
+    // distributed: one row per sampled frame, corrupt payloads drop
+    val sp = spark
+    import sp.implicits._
+    val media = Seq(
+      (1L, Multimodal.syntheticAvi(1L)),
+      (2L, "garbage".getBytes),
+      (3L, Multimodal.syntheticAvi(3L))).toDF("media_id", "payload")
+    val out = Multimodal.decodeVideoFrames(spark, media).collect()
+    assert(out.map(_.media_id).toSet == Set(1L, 3L))
+    // id=1 → 2 + 1%3 = 3 frames; id=3 → 2 + 0 = 2 frames
+    assert(out.filter(_.media_id == 1L).map(_.frame_idx).sorted.toSeq ==
+      (0 until 3) && out.filter(_.media_id == 3L).length == 2)
+    out.foreach(r => assert(r.px_sum == expectedSum(r.media_id, r.frame_idx)))
+  }
+
   test("multimodal resize: deterministic, schema-stable, length bounded") {
     val sp = spark
     import sp.implicits._
