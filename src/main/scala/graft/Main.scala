@@ -50,7 +50,8 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: <gen|build|append|delete|merge|search|stream> --key value ...")
+    require(args.nonEmpty, "usage: <gen|build|append|delete|merge|search|" +
+      "facets|snapshots|stream> --key value ...")
     val cmd = args.head
     val opt = parseArgs(args.tail)
     val spark = SparkSession.builder()
@@ -125,17 +126,31 @@ object Main {
           rep.phases.map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}}")
 
       case "search" =>
-        val s = new Searcher(spark, opt("index"), dictOf(opt))
+        // --snapshot N = time travel (Iceberg snapshot-read analog)
+        val s = new Searcher(spark, opt("index"), dictOf(opt),
+          snapshotId = opt.get("snapshot").map(_.toLong))
         try {
           val k = opt.getOrElse("k", "10").toInt
           val start = opt.getOrElse("start", "0").toInt
           val page =
             if (opt.contains("phrase"))
-              s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"))
+              s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"),
+                slop = opt.getOrElse("slop", "0").toInt)
             else s.searchWand(opt("query"), k, start = start,
               conjunctive = !opt.contains("or"), notQuery = opt.get("not"))
           page.show(truncate = false)
         } finally s.close()
+
+      case "snapshots" =>
+        // list retained snapshots; --expire-keep N deletes older ones +
+        // orphaned segment dirs / tombstone batches
+        opt.get("expire-keep").map(_.toInt).foreach { keep =>
+          val (sn, sg) =
+            graft.index.IndexStore.expireSnapshots(spark, opt("index"), keep)
+          println(s"""{"expired_snapshots":$sn,"deleted_segments":$sg}""")
+        }
+        println(graft.index.IndexStore.listSnapshots(spark, opt("index"))
+          .mkString("[", ",", "]"))
 
       case "facets" =>
         val s = new Searcher(spark, opt("index"), dictOf(opt))

@@ -243,18 +243,80 @@ object IndexStore {
   private val segsRe = """"segments":\[([^\]]*)\]""".r
   private val tombsRe = """"tombstones":\[([^\]]*)\]""".r
 
-  def readLatestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
-    val f = fs(spark, root)
-    val latest = new Path(s"$root/snapshots/LATEST")
-    if (!f.exists(latest)) return None
-    val name = readString(f, latest).trim
-    val body = readString(f, new Path(s"$root/snapshots/$name"))
+  private def parseSnapshot(body: String): Snapshot = {
     val id = idRe.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
     def parseList(s: String): Seq[String] =
       s.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
     val segs = segsRe.findFirstMatchIn(body).map(m => parseList(m.group(1))).getOrElse(Seq.empty)
     val tombs = tombsRe.findFirstMatchIn(body).map(m => parseList(m.group(1))).getOrElse(Seq.empty)
-    Some(Snapshot(id, segs, tombs))
+    Snapshot(id, segs, tombs)
+  }
+
+  def readLatestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
+    val f = fs(spark, root)
+    val latest = new Path(s"$root/snapshots/LATEST")
+    if (!f.exists(latest)) return None
+    val name = readString(f, latest).trim
+    Some(parseSnapshot(readString(f, new Path(s"$root/snapshots/$name"))))
+  }
+
+  /** TIME TRAVEL (the Iceberg snapshot-read analog): read a specific
+    * snapshot by id. Snapshot files are retained — only the LATEST
+    * pointer moves — so any still-unexpired snapshot serves exactly the
+    * view it committed (its own segment list AND its own tombstone
+    * list). None when that snapshot was never written or was expired. */
+  def readSnapshotAt(spark: SparkSession, root: String,
+                     id: Long): Option[Snapshot] = {
+    val f = fs(spark, root)
+    val p = new Path(s"$root/snapshots/snap-$id.json")
+    if (!f.exists(p)) None else Some(parseSnapshot(readString(f, p)))
+  }
+
+  /** All retained snapshot ids, ascending. */
+  def listSnapshots(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val dir = new Path(s"$root/snapshots")
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("snap-") && n.endsWith(".json") =>
+        n.stripPrefix("snap-").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** The Iceberg `expire_snapshots` analog: keep the newest `keep`
+    * snapshots (the latest always survives), delete older snapshot
+    * files plus every segment dir and tombstone batch no retained
+    * snapshot references (orphan cleanup). Time travel to an expired
+    * snapshot then fails loudly instead of reading half-deleted state.
+    * Returns (snapshots deleted, segment dirs deleted). */
+  def expireSnapshots(spark: SparkSession, root: String,
+                      keep: Int = 1): (Int, Int) = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val f = fs(spark, root)
+    val ids = listSnapshots(spark, root)
+    if (ids.size <= keep) return (0, 0)
+    val (expire, retain) = ids.splitAt(ids.size - keep)
+    val retained = retain.flatMap(readSnapshotAt(spark, root, _))
+    val liveSegs = retained.flatMap(_.segments).toSet
+    val liveTombs = retained.flatMap(_.tombstones).toSet
+    var segsDeleted = 0
+    val segDir = new Path(s"$root/segments")
+    if (f.exists(segDir))
+      f.listStatus(segDir).foreach { st =>
+        if (!liveSegs.contains(st.getPath.getName)) {
+          f.delete(st.getPath, true); segsDeleted += 1
+        }
+      }
+    val tombDir = new Path(s"$root/tombstones")
+    if (f.exists(tombDir))
+      f.listStatus(tombDir).foreach { st =>
+        val n = st.getPath.getName
+        val base = n.stripSuffix(".count").stripSuffix(".txt")
+        if (!liveTombs.contains(base)) f.delete(st.getPath, true)
+      }
+    expire.foreach(id =>
+      f.delete(new Path(s"$root/snapshots/snap-$id.json"), false))
+    (expire.size, segsDeleted)
   }
 
   // --- tombstones (delete-by-PK, S5) ---

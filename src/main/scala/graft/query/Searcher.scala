@@ -46,13 +46,23 @@ final class Searcher(
     /** Above this many dead docs the liveDocs anti-join falls back to a
       * shuffle: after heavy pre-merge upsert churn the dead set is
       * O(corpus), and a forced broadcast of it would OOM the driver. */
-    maxBroadcastDeadDocs: Long = 2000000L) extends AutoCloseable {
+    maxBroadcastDeadDocs: Long = 2000000L,
+    /** TIME TRAVEL (Iceberg snapshot-read analog): open the index at a
+      * specific snapshot id instead of LATEST — the searcher then serves
+      * exactly that snapshot's segment + tombstone view (the reference
+      * keeps superseded readers open across hot-swaps the same way,
+      * Searcher.java:527-583). Fails loudly on an expired/unknown id. */
+    snapshotId: Option[Long] = None) extends AutoCloseable {
 
   import spark.implicits._
 
-  val snapshot: IndexStore.Snapshot =
-    IndexStore.readLatestSnapshot(spark, root)
+  val snapshot: IndexStore.Snapshot = snapshotId match {
+    case Some(id) => IndexStore.readSnapshotAt(spark, root, id)
+      .getOrElse(sys.error(s"no snapshot $id at $root — expired or never " +
+        s"written (retained: ${IndexStore.listSnapshots(spark, root)})"))
+    case None => IndexStore.readLatestSnapshot(spark, root)
       .getOrElse(sys.error(s"no snapshot at $root"))
+  }
 
   // allowMissingColumns: a legacy segment's stats lack `id_ceiling` while
   // a round-3 append's carry it — a strict unionByName would make a valid

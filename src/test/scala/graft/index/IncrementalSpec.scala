@@ -405,4 +405,48 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     val s = new Searcher(spark, root, dict)
     try assert(s.search("spark", 10).count() > 0) finally s.close()
   }
+
+  test("snapshot time travel serves each snapshot's exact committed " +
+    "view; expire_snapshots deletes orphan segments and expired ids " +
+    "fail loudly") {
+    val root = tmpDir("graft-tt-")
+    val c = IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2)
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 51L, 120),
+      dict, root, c) // snap 0
+    val extra = WebtextGen.df(spark, 52L, 60)
+      .withColumn("url", org.apache.spark.sql.functions
+        .concat(org.apache.spark.sql.functions.lit("x-"), col("url")))
+    IndexBuilder.appendSegment(spark, extra, dict, root, c) // snap 1
+    val victim = WebtextGen.pages(51L, 120).map(_.url).min
+    IndexBuilder.deleteByPk(spark, root, Seq(victim)) // snap 2
+    IndexBuilder.mergeCompact(spark, root, dict, c) // snap 3
+    assert(IndexStore.listSnapshots(spark, root) == Seq(0L, 1L, 2L, 3L))
+
+    val s0 = new Searcher(spark, root, dict, snapshotId = Some(0L))
+    val s2 = new Searcher(spark, root, dict, snapshotId = Some(2L))
+    val sL = new Searcher(spark, root, dict)
+    try {
+      // snap 0: original corpus only — no appended docs, no tombstones
+      assert(s0.docCount == 120L && s0.numDocs == 120L)
+      assert(s0.docstore.filter(col("url") === victim).count() == 1)
+      // snap 2: append + delete visible, pre-compaction
+      assert(s2.numDocs == 179L && s2.snapshot.tombstones.nonEmpty)
+      // latest (post-compact): same logical view as snap 2
+      assert(sL.numDocs == 179L && sL.snapshot.segments.size == 1)
+    } finally { s0.close(); s2.close(); sL.close() }
+
+    // expire all but the latest: seg-000000 + seg-000001 become orphans
+    val (snapsDel, segsDel) = IndexStore.expireSnapshots(spark, root, 1)
+    assert(snapsDel == 3 && segsDel == 2, s"($snapsDel, $segsDel)")
+    assert(IndexStore.listSnapshots(spark, root) == Seq(3L))
+    val e = intercept[RuntimeException](
+      new Searcher(spark, root, dict, snapshotId = Some(0L)))
+    assert(e.getMessage.contains("expired") ||
+      e.getMessage.contains("no snapshot"))
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.numDocs == 179L)
+      assert(s.search("spark", 10).count() > 0)
+    } finally s.close()
+  }
 }
