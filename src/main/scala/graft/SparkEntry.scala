@@ -673,8 +673,11 @@ object SparkEntry {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0)
         .select("embedding").head().getSeq[Float](0)
+      // maxTrainRows pinned EXPLICITLY: the oracle replays Lloyd over
+      // the same ORDER BY vec_id LIMIT 200000 prefix, so the train-set
+      // contract stays two-sided at any table size (invariant 9)
       val cents = VectorOps.trainIvfCentroids(emb, "vec_id", "embedding",
-        k = 4, iters = 3)
+        k = 4, iters = 3, maxTrainRows = 200000)
       VectorOps.ivfTopK(emb, "vec_id", "embedding", q, 10, cents, nprobe = 2)
     }),
 
@@ -1333,23 +1336,31 @@ object SparkEntry {
         val (prev, d, a, nn, cur) = (s"c${n - 1}", s"d$n", s"a$n", s"n$n", s"c$n")
         s"""$d AS (
            |  SELECT ev.vec_id, c.c, sum((ev.x - c.m) * (ev.x - c.m)) AS d
-           |  FROM ev JOIN $prev c USING (i) GROUP BY 1, 2),
+           |  FROM evt ev JOIN $prev c USING (i) GROUP BY 1, 2),
            |$a AS (
            |  SELECT vec_id, c FROM (
            |    SELECT vec_id, c, row_number() OVER (
            |      PARTITION BY vec_id ORDER BY d, c) AS rn FROM $d) WHERE rn = 1),
            |$nn AS (
            |  SELECT a.c, ev.i, sum(ev.x) / count(*) AS m
-           |  FROM ev JOIN $a a USING (vec_id) GROUP BY 1, 2),
+           |  FROM evt ev JOIN $a a USING (vec_id) GROUP BY 1, 2),
            |$cur AS (
            |  SELECT o.c, o.i, coalesce(n.m, o.m) AS m
            |  FROM $prev o LEFT JOIN $nn n ON n.c = o.c AND n.i = o.i)""".stripMargin
       }
+      // Lloyd TRAINS on evt — the same deterministic ORDER BY vec_id
+      // LIMIT 200000 prefix the engine's trainIvfCentroids(maxTrainRows)
+      // aggregates (oracle-portability invariant: both sides in
+      // lockstep at ANY table size); final assignment + probe stay over
+      // the full ev, exactly like ivfTopK's map-only assignment
       s"""WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
          |ev AS (
          |  SELECT vec_id, i.i AS i, CAST(embedding[i.i] AS DOUBLE) AS x
          |  FROM embeddings, idx i),
-         |c0 AS (SELECT vec_id AS c, i, x AS m FROM ev WHERE vec_id < 4),
+         |evt AS (
+         |  SELECT * FROM ev WHERE vec_id IN (
+         |    SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200000)),
+         |c0 AS (SELECT vec_id AS c, i, x AS m FROM evt WHERE vec_id < 4),
          |${step(1)},
          |${step(2)},
          |${step(3)},

@@ -223,14 +223,13 @@ object FieldedIndex {
       : Map[String, IndexBuilder.BuildReport] = {
     require(fields.nonEmpty, "fielded compact needs at least one field")
     val snaps = snapshotsInLockstep(spark, root, fields)
+    // the SAME gate mergeCompactImpl applies per root — shared helper so
+    // the all-fields decision can never diverge from the per-root one
     val uniformAll = fields.forall { f =>
       val fr = fieldRoot(root, f.name)
       val stored = snaps(f.name).segments.flatMap(s =>
         IndexStore.readSegmentConfig(spark, fr, s))
-      stored.size == snaps(f.name).segments.size &&
-        stored.forall(_.formatVersion == graft.codec.VarByte.FormatVersion) &&
-        stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
-          .distinct.size == 1
+      IndexBuilder.layoutUniform(stored, snaps(f.name).segments.size)
     }
     fields.map { f =>
       val fr = fieldRoot(root, f.name)

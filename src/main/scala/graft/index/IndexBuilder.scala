@@ -1036,17 +1036,25 @@ object IndexBuilder {
     var ok = true
     val dead0 = globalDeadIds(spark, root, snap, maxBroadcastDeadIds)
     if (dead0.isEmpty) ok = false // past the broadcast gate ⇒ rebuild
+    // segment sizes read ONCE, then maintained from each pass's
+    // BuildReport — re-reading per pass would issue O(segments × passes)
+    // tiny driver jobs just for tier selection
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    if (ok) snap.segments.foreach { s =>
+      val c = spark.read.parquet(IndexStore.statsPath(root, s))
+        .agg(sum("doc_count")).head()
+      sizes(s) = if (c.isNullAt(0)) 0L else c.getLong(0)
+    }
     while (ok && snap.segments.size > tierFanin) {
-      val sizes = snap.segments.map { s =>
-        val c = spark.read.parquet(IndexStore.statsPath(root, s))
-          .agg(sum("doc_count")).head()
-        s -> (if (c.isNullAt(0)) 0L else c.getLong(0))
-      }
-      val tier = sizes.sortBy { case (s, n) => (n, s) }
+      val tier = snap.segments.map(s => s -> sizes.getOrElse(s, 0L))
+        .sortBy { case (s, n) => (n, s) }
         .take(tierFanin).map(_._1)
       mergeCompactImpl(spark, root, snap, tier, clearTombstones = false,
         cfg, maxBroadcastDeadIds, precomputedDead = dead0) match {
-        case Some(r) => out += r
+        case Some(r) =>
+          out += r
+          tier.foreach(sizes.remove)
+          sizes(r.segment) = r.docCount
         case None => ok = false // mixed layouts ⇒ one rebuild collapses all
       }
       snap = IndexStore.readLatestSnapshot(spark, root).get
@@ -1059,6 +1067,23 @@ object IndexBuilder {
     else merge(spark, root, dict, cfg))
     out.result()
   }
+
+  /** THE compaction layout gate — one definition shared by
+    * [[mergeCompactImpl]] and [[FieldedIndex.mergeCompact]] (whose
+    * all-fields path decision must agree with the per-root one, or one
+    * field could keep gappy original doc_ids while another re-assigns
+    * dense ones). formatVersion is part of it: an old-format segment's
+    * blobs can neither be decoded (dead-doc filtering would crash
+    * mid-job) nor passed through (the new segment's config would
+    * re-stamp them as current-format, silencing the Searcher's loud
+    * version check). The rebuild merge re-encodes from the docstore, so
+    * it handles any layout — fall back, never error (invariant 14). */
+  private[index] def layoutUniform(stored: Seq[IndexStore.SegmentConfig],
+                                   nSegments: Int): Boolean =
+    stored.size == nSegments &&
+      stored.forall(_.formatVersion == graft.codec.VarByte.FormatVersion) &&
+      stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
+        .distinct.size == 1
 
   /** Posting-level compaction of `targets` (a subset of, or all of, the
     * snapshot's segments) into one fresh segment. Returns None when the
@@ -1125,17 +1150,7 @@ object IndexBuilder {
     }
     val stored = targets.flatMap(s =>
       IndexStore.readSegmentConfig(spark, root, s))
-    // formatVersion is part of the gate: an old-format segment's blobs
-    // can neither be decoded (dead-doc filtering would crash mid-job) nor
-    // passed through (the new segment's config would re-stamp them as
-    // current-format, silencing the Searcher's loud version check). The
-    // rebuild merge re-encodes from the docstore, so it handles any
-    // version — fall back, never error (invariant 14).
-    val uniform = stored.size == targets.size &&
-      stored.forall(_.formatVersion == graft.codec.VarByte.FormatVersion) &&
-      stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
-        .distinct.size == 1
-    if (!uniform) return None
+    if (!layoutUniform(stored, targets.size)) return None
     val sc0 = stored.head
     val (numParts, withPos, blockSize) =
       (sc0.numParts, sc0.hasPositions, cfg.blockSize)
@@ -1148,7 +1163,7 @@ object IndexBuilder {
     // all tombstones): a subset compact must drop a target row
     // superseded by a newer version living OUTSIDE the subset. The
     // tiered driver precomputes it once for all its passes.
-    val deadSorted: Array[Long] = precomputedDead match {
+    val deadGlobal: Array[Long] = precomputedDead match {
       case Some(d) => d
       case None =>
         globalDeadIds(spark, root, snap, maxBroadcastDeadIds) match {
@@ -1156,6 +1171,23 @@ object IndexBuilder {
           case None => return None // past the gate: rebuild is the plan
         }
     }
+    // restrict the global dead set to ids that can live in the TARGETS:
+    // a tier whose segments contain no dead docs must keep the
+    // byte-identical blob passthrough + per-segment stats-sum fast
+    // paths — branching on the GLOBAL count would force the decode path
+    // on every pass of a schedule with a single tombstone anywhere. One
+    // column-pruned min/max over the target docstores is far cheaper
+    // than decoding a tier's every blob.
+    val deadSorted: Array[Long] =
+      if (deadGlobal.isEmpty || targets == snap.segments) deadGlobal
+      else {
+        val r = targetDocs.agg(min("doc_id"), max("doc_id")).head()
+        if (r.isNullAt(0)) Array.empty[Long]
+        else {
+          val (lo, hi) = (r.getLong(0), r.getLong(1))
+          deadGlobal.filter(id => id >= lo && id <= hi)
+        }
+      }
     val deadCount: Long = deadSorted.length.toLong
     lap("dead_scan")
 

@@ -299,6 +299,12 @@ object IndexStore {
     val retained = retain.flatMap(readSnapshotAt(spark, root, _))
     val liveSegs = retained.flatMap(_.segments).toSet
     val liveTombs = retained.flatMap(_.tombstones).toSet
+    // POINTER BEFORE DATA: delete the expired snapshot JSONs first so a
+    // crash mid-expire can never leave a readable snap-N.json pointing
+    // at already-deleted segment dirs (a time-travel open would then
+    // fail mid-query instead of loudly at construction)
+    expire.foreach(id =>
+      f.delete(new Path(s"$root/snapshots/snap-$id.json"), false))
     var segsDeleted = 0
     val segDir = new Path(s"$root/segments")
     if (f.exists(segDir))
@@ -314,8 +320,6 @@ object IndexStore {
         val base = n.stripSuffix(".count").stripSuffix(".txt")
         if (!liveTombs.contains(base)) f.delete(st.getPath, true)
       }
-    expire.foreach(id =>
-      f.delete(new Path(s"$root/snapshots/snap-$id.json"), false))
     (expire.size, segsDeleted)
   }
 

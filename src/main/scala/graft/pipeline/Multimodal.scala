@@ -283,7 +283,11 @@ object Multimodal {
         while (buf.position() + 8 <= end) {
           val id = tag()
           val len = buf.getInt
-          if (len < 0 || buf.position() + len > buf.limit())
+          // subtraction, not addition: `position + len` overflows Int for
+          // a crafted ~2GB size field, which would skip this guard and
+          // attempt the allocation (OutOfMemoryError is an Error — it
+          // would escape the Exception catch and fail the task)
+          if (len < 0 || len > buf.limit() - buf.position())
             throw new IllegalArgumentException("truncated chunk")
           val next = buf.position() + len + (len & 1)
           if (id == "LIST" && len >= 4) {
