@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -158,5 +159,50 @@ class EventAggregatesSpec extends AnyFunSuite with SparkTestBase {
       assert(s.head.getAs[Timestamp]("first_ts").getTime == T0 + 10000)
       assert(s.head.getAs[Timestamp]("last_ts").getTime == T0 + 18000)
     } finally q.stop()
+  }
+
+  test("sessionization over a FILE-SOURCE stream: the production path — " +
+    "fully distributed ingest (readStream.parquet), no driver-side feed " +
+    "at any point — emits the same sessions as the MemoryStream harness") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evsrc-").toString
+    val sink = "sessions_filesrc"
+    // first file: two users, a >5s gap inside user 7's events
+    Seq(
+      EventAggregates.Event(1, new Timestamp(T0), 7L, "click", 1.0),
+      EventAggregates.Event(2, new Timestamp(T0 + 1500), 7L, "buy", 2.0),
+      EventAggregates.Event(3, new Timestamp(T0 + 30000), 7L, "view", 9.0),
+      EventAggregates.Event(4, new Timestamp(T0 + 1000), 9L, "click", 3.0))
+      .toDS().coalesce(1).write.parquet(s"$dir/batch0")
+    val stream = spark.readStream
+      .schema(Seq.empty[EventAggregates.Event].toDS().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*") // glob: each batch dir arrives as its own file(s)
+    val sessions = EventAggregates.sessionize(spark,
+      stream.as[EventAggregates.Event], gapMs = 5000, watermark = "1 second")
+    val q = sessions.writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // later files advance the watermark past every session's last+gap
+      // and give the event-time timeout a batch to fire in — written to
+      // the SAME glob, picked up by the running query, no driver feed
+      Seq(EventAggregates.Event(8, new Timestamp(T0 + 120000), -1L, "flush", 0.0))
+        .toDS().coalesce(1).write.parquet(s"$dir/batch1")
+      q.processAllAvailable()
+      Seq(EventAggregates.Event(9, new Timestamp(T0 + 121000), -1L, "flush", 0.0))
+        .toDS().coalesce(1).write.parquet(s"$dir/batch2")
+      q.processAllAvailable()
+      val got = spark.table(sink).filter(col("user_id") >= 0)
+        .select("user_id", "n_events", "total_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // user 7 splits on the 5s gap: (2 events, 3.0) + (1 event, 9.0);
+      // user 9 has one singleton session
+      assert(got == Set((7L, 2L, 3.0), (7L, 1L, 9.0), (9L, 1L, 3.0)))
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
