@@ -66,10 +66,24 @@ object Multimodal {
     * failure (one corrupt image in 10^12 can't kill a job). */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Long)] =
     try {
-      val img = javax.imageio.ImageIO.read(
+      val img0 = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
+      if (img0 == null) None
       else {
+        // palette-indexed formats (GIF, 8-bit BMP): raster band 0 is the
+        // palette INDEX, not the pixel — resolve through the palette
+        // (drawImage copies palette entries verbatim, no colorspace
+        // math) so px_sum means the same thing in every format
+        val img =
+          if (img0.getType == java.awt.image.BufferedImage.TYPE_BYTE_INDEXED ||
+            img0.getType == java.awt.image.BufferedImage.TYPE_BYTE_BINARY) {
+            val c = new java.awt.image.BufferedImage(img0.getWidth,
+              img0.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = c.createGraphics()
+            g.drawImage(img0, 0, 0, null)
+            g.dispose()
+            c
+          } else img0
         val raster = img.getRaster
         var sum = 0L
         var y = 0

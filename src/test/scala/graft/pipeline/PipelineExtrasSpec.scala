@@ -153,6 +153,18 @@ class PipelineExtrasSpec extends AnyFunSuite with SparkTestBase {
     val Some((w2, h2, _)) = Multimodal.decodeImage(
       Multimodal.syntheticPng(3L, w = 5, h = 11))
     assert(w2 == 5 && h2 == 11)
+    // every base-JDK lossless format decodes through the same path with
+    // identical pixels (BMP and GIF writers ship with javax.imageio)
+    for (fmt <- Seq("bmp", "gif")) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(9L)))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      val Some((wf, hf, sumF)) = Multimodal.decodeImage(bos.toByteArray)
+      val expected9 = (for (y <- 0 until 8; x <- 0 until 8)
+        yield (9L * 31 + x * 7 + y * 13) % 256).sum
+      assert(wf == 8 && hf == 8 && sumF == expected9, s"fmt=$fmt")
+    }
     // corrupt media degrades to a dropped row, never a task failure
     assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
