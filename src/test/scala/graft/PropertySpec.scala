@@ -166,6 +166,24 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
             .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
           assert(e == g, s"phrase trial=$trial '$ph'")
         }
+        // sloppy phrases: sampled adjacents at slop 1-2 (must stay
+        // golden-identical as the match set widens) plus skip-one pairs
+        // that REQUIRE slop ≥ 1 to match their source doc
+        val gappedPool = docs.filter(_.tokens.size >= 5)
+        val gapped = (1 to 4).map { _ =>
+          val d = gappedPool(rnd.nextInt(gappedPool.size))
+          val p = rnd.nextInt(d.tokens.size - 3)
+          Seq(d.tokens(p), d.tokens(p + 2)).mkString(" ")
+        }
+        for (ph <- sampled.take(3) ++ gapped; slop <- 0 to 2) {
+          val g = golden.phraseTopK(
+            golden.analyzePhrase(ph, SynonymDict.empty), 10, slop = slop)
+            .map(h => (h.docId, h.score))
+          val e = s.searchPhrase(ph, 10, slop = slop)
+            .select("doc_id", "score")
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          assert(e == g, s"sloppy phrase trial=$trial '$ph' slop=$slop")
+        }
         // MUST_NOT: exact and WAND-entry paths vs golden set difference
         for ((q, not) <- Seq(("alpha", "beta"), ("gamma delta", "alpha"),
           ("iota", "zzznope"))) {
