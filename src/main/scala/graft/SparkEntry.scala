@@ -543,17 +543,19 @@ object SparkEntry {
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .start()
       try {
-        val maxTs = evDs // table ts is TIMESTAMP_NTZ — cast before unix_millis
-          .agg(max(unix_millis(col("ts").cast("timestamp")))).head().getLong(0)
         // BOUNDED feed: the table streams through the driver one
         // ts-ordered chunk at a time — toLocalIterator holds a single
         // partition, and processAllAvailable between chunks lets the
         // MemoryStream commit + purge processed blocks, so driver
         // memory stays O(chunk) instead of O(table). Feeding in ts
         // order keeps the watermark monotone across chunks, so no
-        // event is ever late relative to an earlier chunk's watermark.
+        // event is ever late relative to an earlier chunk's watermark —
+        // and makes maxTs the LAST chunk's last element (no extra
+        // full-table agg job for the flush sentinels).
+        var maxTs = Long.MinValue
         evDs.orderBy("ts").toLocalIterator().asScala
           .grouped(50000).foreach { chunk =>
+            maxTs = math.max(maxTs, chunk.last.ts.getTime)
             in.addData(chunk: _*)
             q.processAllAvailable()
           }
