@@ -418,8 +418,13 @@ object IndexBuilder {
     * (url, warc_ts) ties — the single-field build passes `text`; the
     * fielded build passes the field texts concatenated in field-name
     * order, so all fields agree on one winner row. */
-  def assignDocIdsDf(spark: SparkSession, df: DataFrame, baseDocId: Long,
+  def assignDocIdsDf(spark: SparkSession, df0: DataFrame, baseDocId: Long,
                      rangeParts: Int, tieCol: String): DataFrame = {
+    // normalize warc_ts to session-tz TIMESTAMP: tables written by other
+    // engines (e.g. a plain parquet COPY) carry TIMESTAMP_NTZ, whose
+    // rows surface as LocalDateTime and would ClassCastException the
+    // sort-key extraction below (no-op cast for already-TIMESTAMP input)
+    val df = df0.withColumn("warc_ts", col("warc_ts").cast("timestamp"))
     val schema = df.schema
     val urlIdx = schema.fieldIndex("url")
     val tsIdx = schema.fieldIndex("warc_ts")
@@ -497,8 +502,9 @@ object IndexBuilder {
     import spark.implicits._
     val t0 = System.nanoTime()
     val raw = pages
-      .select(col("url"), col("warc_ts"), col("html"), col("text"), col("lang"))
-      .as[RawPage]
+      .select(col("url"), col("warc_ts").cast("timestamp").as("warc_ts"),
+        col("html"), col("text"), col("lang"))
+      .as[RawPage] // cast: NTZ inputs must not break the encoder
     // latest-wins dedup is fused into the id-assignment sort (one shuffle)
     val idPages = assignDocIds(spark, raw, baseDocId, cfg.rangeParts)
     val assignMs = (System.nanoTime() - t0) / 1000000

@@ -109,6 +109,18 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close()
   }
 
+  test("TIMESTAMP_NTZ input builds cleanly (tables written by other " +
+    "engines carry NTZ; warc_ts is normalized at the id-assignment seam)") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("graft-ntz-")
+    val pages = WebtextGen.df(spark, Seed, 50)
+      .withColumn("warc_ts", col("warc_ts").cast("timestamp_ntz"))
+    val rep = IndexBuilder.buildFull(spark, pages, dict, root, cfg, "ntz")
+    assert(rep.docCount == 50)
+    val s = new graft.query.Searcher(spark, root)
+    try assert(s.search("spark", 5).count() > 0) finally s.close()
+  }
+
   test("salting splits head terms across multiple posting partitions") {
     val root = tmpDir("graft-salt-")
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, root, cfg, "x")
