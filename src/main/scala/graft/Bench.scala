@@ -111,6 +111,15 @@ object Bench {
     val perQ = qs.map(q => q.name -> time(runQ(q)))
     results += "bm25_top10_avg_sec" -> perQ.map(_._2).sum / perQ.size
     results += "bm25_top10_max_sec" -> perQ.map(_._2).max
+    // batched serving: the unfiltered conjunctive queries in ONE plan —
+    // per-query latency is job-count-bound, so the amortized batch wall
+    // is the cluster-serving-tier number (one stage, not N round-trips)
+    val batchQs = qs.filter(q => q.conjunctive && q.filterLang.isEmpty)
+      .map(q => q.name -> q.query).toMap
+    searcher.searchBatch(batchQs, 10).collect() // warm
+    results += "bm25_batch_queries" -> batchQs.size.toDouble
+    results += "bm25_batch_total_sec" ->
+      time(searcher.searchBatch(batchQs, 10).collect())
     searcher.close()
 
     // ---- operator battery at the driver's SF dir ----

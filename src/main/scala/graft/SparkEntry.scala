@@ -491,6 +491,34 @@ object SparkEntry {
       }
     }),
 
+    // BATCHED serving through the real index: N queries in ONE plan —
+    // one term_stats probe, one posting scan over the union of terms,
+    // one per-(query, doc) fold, one window rank. Rank on 4dp-rounded
+    // scores to mirror the oracle's rounded rank
+    "q_search_batch" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(
+        format_string("doc://%06d", col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val root = java.nio.file.Files.createTempDirectory("graft-batch-").toString
+      IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        "battery-batch-index")
+      val sr = new Searcher(s, root, SynonymDict.empty)
+      materialized(
+        sr.searchBatch(Map(
+            "q1" -> "spark join", "q2" -> "vector",
+            "q3" -> "fast query", "q0" -> "zzznotaword fast"),
+            10, roundScoresTo = Some(4))
+          .join(sr.docstore.select("doc_id", "url"), Seq("doc_id"))
+          .select(col("query_id"),
+            expr("cast(substring(url, 7) as bigint)").as("doc_id"),
+            col("score"))
+          .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)) {
+        sr.close(); deleteRec(root)
+      }
+    }),
+
     "q_date_roundtrip" -> ((s, dir) =>
       t(s, dir, "events").select(col("event_id"),
           date_format(col("ts"), "yyyyMMddHHmmss").as("ts_str"),
@@ -1050,6 +1078,41 @@ object SparkEntry {
       s"""${bm25Cte("('SPARK')", "n_chars > 300")}
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // each query's BM25 replayed independently over shared tf/dl/stats
+    // CTEs, unioned by qid — rank on the 4dp-rounded score (both sides)
+    "q_search_batch" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT d.doc_id,
+         |    (SELECT count(*) FROM toks f WHERE f.doc_id = d.doc_id) AS dl
+         |  FROM documents d
+         |), stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), q AS (
+         |  SELECT * FROM (VALUES ('q1','SPARK'), ('q1','JOIN'),
+         |    ('q2','VECTOR'), ('q3','FAST'), ('q3','QUERY'),
+         |    ('q0','FAST'), ('q0','ZZZNOTAWORD')) t(qid, term)
+         |), dft AS (
+         |  SELECT term, count(*) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM q) GROUP BY term
+         |), scored AS (
+         |  SELECT q.qid, tf.doc_id, count(*) AS matched,
+         |    round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+         |  FROM q JOIN tf USING (term) JOIN dft d USING (term)
+         |    JOIN dl USING (doc_id), stats s
+         |  GROUP BY q.qid, tf.doc_id
+         |), nq AS (SELECT qid, count(*) AS nt FROM q GROUP BY qid),
+         |r AS (
+         |  SELECT qid, doc_id, score, row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+         |  FROM scored JOIN nq USING (qid) WHERE matched = nt)
+         |SELECT qid AS query_id, doc_id, score FROM r WHERE rn <= 10
+         |ORDER BY query_id, score DESC, doc_id""".stripMargin,
 
     "q_date_roundtrip" ->
       """SELECT event_id, strftime(ts, '%Y%m%d%H%M%S') AS ts_str,

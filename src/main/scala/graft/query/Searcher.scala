@@ -560,6 +560,75 @@ final class Searcher(
     fetchPage(page)
   }
 
+  /** BATCHED top-k: score N queries in ONE declarative plan — ONE
+    * term_stats probe, ONE posting scan over the union of all queries'
+    * terms, one per-(query, doc) fold, one window rank. Per-query
+    * serving latency is job-count-bound (each [[search]] spends 1-4
+    * jobs of fixed scheduler cost); a batch amortizes that across the
+    * whole query set, and at cluster scale it is one stage instead of
+    * N driver round-trips — the shape a 1000-executor serving tier
+    * actually runs. Scores are bit-identical to [[search]] (same
+    * term-ordered fold, same global statistics). Output: (query_id,
+    * doc_id, score), ≤ k rows per query, (score desc, doc_id) within
+    * each query; `roundScoresTo` rounds BEFORE ranking (the same
+    * oracle-parity knob as [[graft.index.FieldedIndex.FieldedSearcher
+    * .searchMulti]]). Filter/NOT/msm clauses stay on the single-query
+    * surface. */
+  def searchBatch(queries: Map[String, String], k: Int,
+                  conjunctive: Boolean = true,
+                  roundScoresTo: Option[Int] = None): DataFrame = {
+    val emptyOut = spark.emptyDataset[(String, Long, Double)]
+      .toDF("query_id", "doc_id", "score")
+    val analyzed = queries.view.mapValues(analyzeQuery).toMap
+    val allTerms = analyzed.values.flatten.toSeq.distinct
+    if (allTerms.isEmpty || docCount == 0) return emptyOut
+    val infos = termIdfs(allTerms).map(i => i.term -> i).toMap // ONE probe
+    // a query with any zero-df term matches nothing under AND
+    // (BooleanQuery MUST) — drop its rows before they reach the scan
+    val qTerm: Seq[(String, String, Double)] = for {
+      (qid, terms) <- analyzed.toSeq
+      if !conjunctive || terms.nonEmpty && terms.forall(infos.contains)
+      t <- terms
+      info <- infos.get(t).toSeq
+    } yield (qid, t, info.idf)
+    if (qTerm.isEmpty) return emptyOut
+    val qtDf = qTerm.toDF("query_id", "term", "idf")
+    val nTermsDf = analyzed.toSeq
+      .map { case (qid, ts) => (qid, ts.size) }.toDF("query_id", "__nt")
+    // one scan over the union of terms; the broadcast (query_id, term,
+    // idf) join fans each posting row to every query using its term
+    val decoded = postingsForTerms(qTerm.map(_._2).distinct)
+      .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
+      .select(col("term"), col("p.doc_id").as("doc_id"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"))
+      .join(broadcast(qtDf), Seq("term"))
+    val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = applyMatchSetRestrictions(decoded, None)
+      .withColumn("contrib", contrib)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).cast("int").as("matched"),
+        sort_array(collect_list(struct(col("term"), col("contrib"))))
+          .as("__parts"))
+      .withColumn("score0",
+        aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
+    val must =
+      if (conjunctive)
+        scored.join(broadcast(nTermsDf), Seq("query_id"))
+          .filter(col("matched") === col("__nt"))
+      else scored
+    val ranked = roundScoresTo.fold(must.withColumn("score", col("score0")))(
+      d => must.withColumn("score", round(col("score0"), d)))
+    // per-query top-k: WindowGroupLimit (Spark 4 rank pushdown) keeps
+    // each query's group at ≤ k rows before the final sort
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    ranked.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("query_id", "doc_id", "score")
+      .orderBy(col("query_id"), col("score").desc, col("doc_id").asc)
+  }
+
   /** Phrase analysis: the index-time chain with ORDER AND DUPLICATES
     * preserved — the position contract is over the expanded stream. */
   def analyzePhrase(phrase: String): Seq[String] =

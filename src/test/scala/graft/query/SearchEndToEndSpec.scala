@@ -191,6 +191,29 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     } finally s2.close()
   }
 
+  test("searchBatch: N queries in one plan are rank- and score-identical " +
+    "to N sequential searches (both AND and OR modes), including a " +
+    "zero-df-term query and an unknown-only query") {
+    def run(conj: Boolean): Unit = {
+      val qs = querySet.filter(q => q.conjunctive == conj && q.filterLang.isEmpty)
+        .take(8).map(q => q.name -> q.query).toMap +
+        ("qz" -> "spark zzznotaword", "qe" -> "zzznotaword")
+      val batch = searcher.searchBatch(qs, K, conjunctive = conj)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+      for ((qid, query) <- qs) {
+        val single = searcher.search(query, K, conjunctive = conj)
+          .select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        assert(batch.getOrElse(qid, Seq.empty) == single,
+          s"batch ≠ sequential for '$qid' ($query) conj=$conj")
+      }
+    }
+    run(conj = true)
+    run(conj = false)
+  }
+
   test("k=0 is a valid (empty) request on every path") {
     assert(searcher.search("spark", 0).isEmpty)
     assert(searcher.searchWand("spark", 0).isEmpty)
