@@ -406,6 +406,86 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     try assert(s.search("spark", 10).count() > 0) finally s.close()
   }
 
+  test("randomized lifecycle fuzz: any interleaving of append / delete / " +
+    "compact / tiered-compact serves exactly the latest-wins-minus-" +
+    "tombstones view of everything ever ingested") {
+    val rnd = new scala.util.Random(424242L)
+    val sp = spark
+    import sp.implicits._
+    val c = IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2)
+    val root = tmpDir("graft-fuzz-")
+    // driver-side oracle model: url → (ts, text) latest-wins; deleted urls
+    val live = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val deleted = scala.collection.mutable.Set.empty[String]
+    var nextUrl = 0
+    val t0 = 1767225600000L
+    var clock = 0L
+
+    def freshBatch(n: Int, upsertFrom: Seq[String]): Seq[(String, Long, String)] = {
+      val fresh = (0 until n).map { _ =>
+        nextUrl += 1; clock += 1
+        (f"https://f/$nextUrl%05d", clock,
+          s"spark doc u$nextUrl tok${rnd.nextInt(20)}")
+      }
+      val ups = upsertFrom.map { u =>
+        clock += 1
+        (u, clock, s"spark upserted v$clock tok${rnd.nextInt(20)}")
+      }
+      fresh ++ ups
+    }
+    def ingest(rows: Seq[(String, Long, String)], full: Boolean): Unit = {
+      val df = rows.map { case (u, t, x) =>
+        (u, new Timestamp(t0 + t * 1000), null: Array[Byte], x, "en")
+      }.toDF("url", "warc_ts", "html", "text", "lang")
+      if (full) IndexBuilder.buildFull(spark, df, dict, root, c)
+      else IndexBuilder.appendSegment(spark, df, dict, root, c)
+      rows.foreach { case (u, t, x) =>
+        if (!deleted.contains(u) && live.get(u).forall(_._1 < t))
+          live(u) = (t, x)
+        // a deleted url re-ingested LATER is live again only if the
+        // tombstone predates... our tombstones kill the url at query
+        // time regardless of ts — model: deleted urls stay dead
+      }
+      live --= deleted
+    }
+
+    ingest(freshBatch(40, Seq.empty), full = true)
+    for (step <- 1 to 10) {
+      rnd.nextInt(4) match {
+        case 0 => // append: fresh + upserts of existing live urls
+          val ups = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(6))
+          ingest(freshBatch(5 + rnd.nextInt(15), ups), full = false)
+        case 1 => // delete a few live (or already-dead) urls
+          val victims = rnd.shuffle((live.keys ++ deleted).toSeq)
+            .take(1 + rnd.nextInt(4))
+          IndexBuilder.deleteByPk(spark, root, victims)
+          deleted ++= victims
+          live --= victims
+        case 2 =>
+          IndexBuilder.mergeCompact(spark, root, dict, c)
+        case _ =>
+          IndexBuilder.mergeCompactTiered(spark, root, dict, c, tierFanin = 2)
+      }
+      // verify every 3rd step and at the end (searcher per check)
+      if (step % 3 == 0 || step == 10) {
+        val s = new graft.query.Searcher(spark, root, dict)
+        try {
+          assert(s.numDocs == live.size.toLong,
+            s"step $step: numDocs ${s.numDocs} != model ${live.size}")
+          // full match set of a universal term: every live doc contains
+          // 'spark' — (url, text) must equal the model exactly
+          val got = s.search("spark", 100000).select("url", "text")
+            .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+          val want = live.map { case (u, (_, x)) => u -> x }.toMap
+          assert(got == want, s"step $step: view diverged " +
+            s"(got ${got.size}, want ${want.size}; " +
+            s"missing=${(want.keySet -- got.keySet).take(3)}, " +
+            s"extra=${(got.keySet -- want.keySet).take(3)})")
+        } finally s.close()
+      }
+    }
+  }
+
   test("snapshot time travel serves each snapshot's exact committed " +
     "view; expire_snapshots deletes orphan segments and expired ids " +
     "fail loudly") {

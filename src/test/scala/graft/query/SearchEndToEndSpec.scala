@@ -214,6 +214,23 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     run(conj = false)
   }
 
+  test("plan guard: the postings scan keeps term pushdown, plan-time " +
+    "partition pruning, and a column-pruned ReadSchema (PLANS.md's " +
+    "load-bearing properties must not silently regress)") {
+    val plan = searcher.score("spark index")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term, ["),
+      "term IN (...) no longer reaches the parquet scan")
+    assert(plan.contains("PartitionFilters: [part"),
+      "plan-time part IN (...) partition pruning is gone")
+    assert(plan.contains("ReadSchema: struct<term:string,blob:binary>"),
+      "postings scan reads more columns than (term, blob)")
+    // scoring must not touch the docstore (norms colocation): the only
+    // FileScan in the score plan is the postings one
+    assert(!plan.contains("docstore"),
+      "score plan references the docstore — dl must come from the blobs")
+  }
+
   test("k=0 is a valid (empty) request on every path") {
     assert(searcher.search("spark", 0).isEmpty)
     assert(searcher.searchWand("spark", 0).isEmpty)
