@@ -141,6 +141,15 @@ object Main {
           page.show(truncate = false)
         } finally s.close()
 
+      case "check" =>
+        // distributed CheckIndex analog: blob headers/order/bounds,
+        // layout bucketing, term_stats/docstore cross-invariants
+        val issues = graft.index.IndexCheck.check(spark, opt("index"))
+        val bad = issues.limit(100).collect()
+        bad.foreach(r => System.err.println(s"[check] $r"))
+        println(s"""{"issues":${if (bad.length < 100) bad.length
+          else issues.count()}}""")
+
       case "snapshots" =>
         // list retained snapshots; --expire-keep N deletes older ones +
         // orphaned segment dirs / tombstone batches

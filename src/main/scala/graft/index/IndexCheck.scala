@@ -1,0 +1,160 @@
+package graft.index
+
+import graft.codec.VarByte
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed index verifier — the Lucene CheckIndex analog behind the
+  * reference's operational story (a 10^12-doc index is only as
+  * trustworthy as the tool that can audit it without a full rebuild).
+  *
+  * Validates, fully distributed (one pass over posting bytes, one over
+  * the sidecar tables, no driver materialization):
+  *
+  *  1. every posting BLOB: header magic/version, strictly-increasing
+  *     doc_ids, `df_local` == decoded posting count, row-level
+  *     (max_tf, min_dl) bounds == the decoded content (WAND's block
+  *     bounds build on these), positions (when indexed): count == tf
+  *     and strictly increasing within each doc;
+  *  2. layout: every row's `part` ∈ {partOf(term, salt) | salt <
+  *     fanout} per the segment's stored config (a mis-bucketed term is
+  *     invisible to the plan-time partition pruning — silent missing
+  *     results);
+  *  3. cross-table: term_stats.df == Σ df_local per term;
+  *     stats.doc_count == docstore row count; stats.id_ceiling > max
+  *     doc_id; every posting doc_id exists in the docstore (orphan
+  *     postings ⇒ ghost hits).
+  *
+  * Returns a frame of issues `(segment, part, term, problem)` — empty ⇔
+  * healthy. CLI: `graft.Main check --index <root>`.
+  */
+object IndexCheck {
+
+  final case class Issue(segment: String, part: Int, term: String,
+                         problem: String)
+
+  def check(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val snap = IndexStore.readLatestSnapshot(spark, root)
+      .getOrElse(sys.error(s"no snapshot at $root"))
+
+    val perSegment = snap.segments.map { seg =>
+      val cfgOpt = IndexStore.readSegmentConfig(spark, root, seg)
+      val postings = IndexStore.readPostingsOrEmpty(spark, root, seg)
+        .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
+        .as[(Int, String, Long, Int, Int, Array[Byte])]
+
+      // 1 + 2: per-blob validation (executor-side, no shuffle)
+      val blobIssues = postings.mapPartitions { it =>
+        it.flatMap { case (part, term, dfLocal, maxTf, minDl, blob) =>
+          val problems = Seq.newBuilder[String]
+          try {
+            val withPos = VarByte.hasPositions(blob)
+            val (ids, tfs, dls, poss) =
+              if (withPos) VarByte.decodeWithPositions(blob)
+              else { val (i, t, d) = VarByte.decode(blob); (i, t, d, null) }
+            if (ids.length.toLong != dfLocal)
+              problems += s"df_local=$dfLocal but blob decodes ${ids.length}"
+            var i = 1
+            while (i < ids.length) {
+              if (ids(i) <= ids(i - 1)) {
+                problems += s"doc_ids not strictly increasing at $i"
+                i = ids.length
+              }
+              i += 1
+            }
+            if (ids.nonEmpty) {
+              if (tfs.max != maxTf)
+                problems += s"max_tf=$maxTf but decoded max is ${tfs.max}"
+              if (dls.min != minDl)
+                problems += s"min_dl=$minDl but decoded min is ${dls.min}"
+            }
+            if (withPos && poss != null) {
+              var j = 0
+              while (j < poss.length) {
+                val p = poss(j)
+                if (p.length != tfs(j))
+                  problems += s"doc ${ids(j)}: ${p.length} positions, tf=${tfs(j)}"
+                var q = 1
+                while (q < p.length) {
+                  if (p(q) <= p(q - 1)) {
+                    problems += s"doc ${ids(j)}: positions not increasing"
+                    q = p.length
+                  }
+                  q += 1
+                }
+                j += 1
+              }
+            }
+          } catch {
+            case e: Exception => problems += s"blob decode failed: ${e.getMessage}"
+          }
+          cfgOpt.foreach { c =>
+            val ok = (0 until c.saltFanout)
+              .exists(s0 => IndexBuilder.partOf(term, s0, c.numParts) == part)
+            if (!ok) problems +=
+              s"part=$part outside partOf(term, salt<${c.saltFanout})"
+          }
+          problems.result().map(p => Issue(seg, part, term, p))
+        }
+      }
+
+      // 3a: term_stats.df vs Σ df_local
+      val fromBlobs = postings.toDF()
+        .groupBy("term").agg(sum("df_local").as("df_blobs"))
+      val stDf = spark.read.parquet(IndexStore.termStatsPath(root, seg))
+        .select(col("term"), col("df"))
+      val dfIssues = stDf.join(fromBlobs, Seq("term"), "full_outer")
+        .filter(not(col("df") <=> col("df_blobs")))
+        .select(col("term"),
+          concat(lit("term_stats.df="), col("df"),
+            lit(" but blobs sum to "), col("df_blobs")).as("problem"))
+        .as[(String, String)]
+        .map { case (t, p) => Issue(seg, -1, Option(t).getOrElse("?"), p) }
+
+      // 3b: docstore count + ceiling vs stats
+      val ds = spark.read.parquet(IndexStore.docstorePath(root, seg))
+      val stats = spark.read.parquet(IndexStore.statsPath(root, seg))
+      val agg = ds.agg(count(lit(1)), max("doc_id")).head()
+      val (nDocs, maxId) = (agg.getLong(0),
+        if (agg.isNullAt(1)) -1L else agg.getLong(1))
+      val srow = stats.agg(sum("doc_count"),
+        if (stats.columns.contains("id_ceiling")) max("id_ceiling")
+        else lit(null).cast("long")).head()
+      val statIssues = Seq.newBuilder[Issue]
+      val statCount = if (srow.isNullAt(0)) 0L else srow.getLong(0)
+      if (statCount != nDocs)
+        statIssues += Issue(seg, -1, "",
+          s"stats.doc_count=$statCount but docstore has $nDocs rows")
+      if (!srow.isNullAt(1) && srow.getLong(1) <= maxId)
+        statIssues += Issue(seg, -1, "",
+          s"id_ceiling=${srow.getLong(1)} <= max doc_id $maxId")
+
+      // 3c: orphan posting doc_ids (ghost hits) — one distributed
+      // anti-join of the exploded posting ids against the docstore.
+      // Decoded with a per-blob try/catch, NOT the vb_decode expression:
+      // the checker must keep auditing past a corrupt blob (which pass 1
+      // already reported), never die on it
+      val orphanIssues = postings
+        .mapPartitions(_.flatMap { case (part, term, _, _, _, blob) =>
+          try VarByte.decode(blob)._1.iterator.map(id => (part, term, id))
+          catch { case _: Exception => Iterator.empty }
+        })
+        .toDF("part", "term", "doc_id")
+        .join(ds.select("doc_id"), Seq("doc_id"), "left_anti")
+        .groupBy("part", "term").agg(count(lit(1)).as("n"),
+          min("doc_id").as("first_id"))
+        .as[(Int, String, Long, Long)]
+        .map { case (part, term, n, first) =>
+          Issue(seg, part, term,
+            s"$n posting doc_id(s) missing from docstore (first: $first)")
+        }
+
+      blobIssues.toDF()
+        .unionByName(dfIssues.toDF())
+        .unionByName(spark.createDataset(statIssues.result()).toDF())
+        .unionByName(orphanIssues.toDF())
+    }
+    perSegment.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.index
+
+import graft.SparkTestBase
+import graft.analysis.SynonymDict
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The distributed CheckIndex analog: a healthy index audits clean, and
+  * every class of corruption it claims to detect is actually detected
+  * (each planted on a fresh index). */
+class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
+
+  private val dict = SynonymDict.empty
+  private val cfg = IndexBuilder.IndexConfig(
+    numParts = 4, rangeParts = 2, saltDf = 50, saltFanout = 2,
+    indexPositions = true)
+
+  private def build(): String = {
+    val root = tmpDir("graft-check-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 33L, 200), dict,
+      root, cfg)
+    root
+  }
+
+  private def rewritePostings(root: String)(f: Seq[Row] => Seq[Row]): Unit = {
+    val p = IndexStore.postingsPath(root, "seg-000000")
+    val df = spark.read.parquet(p)
+      .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
+    val schema = df.schema
+    val rows = f(df.collect().toSeq)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+      .write.mode("overwrite").partitionBy("part")
+      .options(IndexStore.postingsWriteOptions).parquet(p)
+  }
+
+  private def issues(root: String): Seq[String] =
+    IndexCheck.check(spark, root).collect()
+      .map(_.getAs[String]("problem")).toSeq
+
+  test("healthy positional index audits clean") {
+    assert(issues(build()).isEmpty)
+  }
+
+  test("a truncated posting blob is detected") {
+    val root = build()
+    rewritePostings(root) { rows =>
+      val i = rows.indexWhere(_.getAs[Array[Byte]]("blob").length > 16)
+      rows.updated(i, Row.fromSeq(rows(i).toSeq.updated(5,
+        rows(i).getAs[Array[Byte]]("blob").dropRight(3))))
+    }
+    assert(issues(root).exists(_.contains("decode failed")))
+  }
+
+  test("a wrong df_local is detected (blob count AND term_stats sum)") {
+    val root = build()
+    rewritePostings(root) { rows =>
+      rows.updated(0, Row.fromSeq(rows(0).toSeq.updated(2,
+        rows(0).getAs[Long]("df_local") + 1L)))
+    }
+    val got = issues(root)
+    assert(got.exists(_.contains("but blob decodes")))
+    assert(got.exists(_.contains("blobs sum to")))
+  }
+
+  test("a drifted term_stats df is detected") {
+    val root = build()
+    val p = IndexStore.termStatsPath(root, "seg-000000")
+    val st = spark.read.parquet(p)
+    val cols = st.columns
+    val rows = st.collect().toSeq
+    val bumped = rows.updated(0, Row.fromSeq(rows(0).toSeq.updated(
+      cols.indexOf("df"), rows(0).getAs[Long]("df") + 5L)))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(bumped, 2), st.schema)
+      .write.mode("overwrite").parquet(p)
+    assert(issues(root).exists(_.contains("term_stats.df=")))
+  }
+
+  test("an orphaned posting doc_id (missing docstore row) is detected, " +
+    "along with the stats doc_count drift") {
+    val root = build()
+    val p = IndexStore.docstorePath(root, "seg-000000")
+    val ds = spark.read.parquet(p)
+    val victim = ds.agg(min("doc_id")).head().getLong(0)
+    val kept = ds.filter(col("doc_id") =!= victim).collect().toSeq
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(kept, 4), ds.schema)
+      .write.mode("overwrite").parquet(p)
+    val got = issues(root)
+    assert(got.exists(_.contains("missing from docstore")))
+    assert(got.exists(_.contains("stats.doc_count")))
+  }
+}
