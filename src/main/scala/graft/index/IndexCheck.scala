@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * reference's operational story (a 10^12-doc index is only as
   * trustworthy as the tool that can audit it without a full rebuild).
   *
-  * Validates, fully distributed (one pass over posting bytes, one over
-  * the sidecar tables, no driver materialization):
+  * Validates, fully distributed (two decode passes over posting bytes —
+  * blob validation, then orphan-id extraction; cheaper than caching
+  * decoded ids, see the 3c note — plus one pass over the sidecar
+  * tables; no driver materialization):
   *
   *  1. every posting BLOB: header magic/version, strictly-increasing
   *     doc_ids, `df_local` == decoded posting count, row-level
@@ -44,47 +46,78 @@ object IndexCheck {
         .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
         .as[(Int, String, Long, Int, Int, Array[Byte])]
 
-      // 1 + 2: per-blob validation (executor-side, no shuffle)
+      // 1 + 2: per-blob validation (executor-side, no shuffle) via the
+      // block-aware scan — the per-BLOCK headers are what WAND's strict
+      // skips actually read, so they are validated against the decoded
+      // entries of THEIR block, not just the row-level aggregates (a
+      // corrupt block header with intact entries is exactly the silent
+      // missing-top-k failure class this tool exists to catch)
       val blobIssues = postings.mapPartitions { it =>
         it.flatMap { case (part, term, dfLocal, maxTf, minDl, blob) =>
           val problems = Seq.newBuilder[String]
           try {
             val withPos = VarByte.hasPositions(blob)
-            val (ids, tfs, dls, poss) =
-              if (withPos) VarByte.decodeWithPositions(blob)
-              else { val (i, t, d) = VarByte.decode(blob); (i, t, d, null) }
-            if (ids.length.toLong != dfLocal)
-              problems += s"df_local=$dfLocal but blob decodes ${ids.length}"
-            var i = 1
-            while (i < ids.length) {
-              if (ids(i) <= ids(i - 1)) {
-                problems += s"doc_ids not strictly increasing at $i"
-                i = ids.length
+            var total = 0
+            var rowMaxTf = 0
+            var rowMinDl = Int.MaxValue
+            var prevId = Long.MinValue
+            var orderBroken = false
+            var header: VarByte.BlockHeader = null
+            var bMaxTf = 0
+            var bMinDl = Int.MaxValue
+            var bCount = 0
+            var bLast = Long.MinValue
+            def closeBlock(): Unit = if (header != null) {
+              val at = s"block@${header.bodyPos}"
+              if (bCount != header.n)
+                problems += s"$at: header n=${header.n}, decoded $bCount"
+              if (bCount > 0) {
+                if (bMaxTf != header.maxTf) problems +=
+                  s"$at: header maxTf=${header.maxTf}, entries max $bMaxTf (WAND bound)"
+                if (bMinDl != header.minDl) problems +=
+                  s"$at: header minDl=${header.minDl}, entries min $bMinDl (WAND bound)"
+                if (bLast != header.lastDocId) problems +=
+                  s"$at: header lastDocId=${header.lastDocId}, decoded $bLast (skip pointer)"
               }
-              i += 1
             }
-            if (ids.nonEmpty) {
-              if (tfs.max != maxTf)
-                problems += s"max_tf=$maxTf but decoded max is ${tfs.max}"
-              if (dls.min != minDl)
-                problems += s"min_dl=$minDl but decoded min is ${dls.min}"
-            }
-            if (withPos && poss != null) {
-              var j = 0
-              while (j < poss.length) {
-                val p = poss(j)
-                if (p.length != tfs(j))
-                  problems += s"doc ${ids(j)}: ${p.length} positions, tf=${tfs(j)}"
+            VarByte.scanPos(blob, wantPositions = withPos) { h =>
+              closeBlock()
+              header = h
+              bMaxTf = 0; bMinDl = Int.MaxValue; bCount = 0
+              bLast = Long.MinValue
+              true
+            } { (id, tf, dl, ps) =>
+              total += 1; bCount += 1; bLast = id
+              if (!orderBroken && prevId != Long.MinValue && id <= prevId) {
+                problems += s"doc_ids not strictly increasing at #$total"
+                orderBroken = true
+              }
+              prevId = id
+              if (tf > bMaxTf) bMaxTf = tf
+              if (dl < bMinDl) bMinDl = dl
+              if (tf > rowMaxTf) rowMaxTf = tf
+              if (dl < rowMinDl) rowMinDl = dl
+              if (ps != null) {
+                if (ps.length != tf)
+                  problems += s"doc $id: ${ps.length} positions, tf=$tf"
                 var q = 1
-                while (q < p.length) {
-                  if (p(q) <= p(q - 1)) {
-                    problems += s"doc ${ids(j)}: positions not increasing"
-                    q = p.length
+                while (q < ps.length) {
+                  if (ps(q) <= ps(q - 1)) {
+                    problems += s"doc $id: positions not increasing"
+                    q = ps.length
                   }
                   q += 1
                 }
-                j += 1
               }
+            }
+            closeBlock()
+            if (total.toLong != dfLocal)
+              problems += s"df_local=$dfLocal but blob decodes $total"
+            if (total > 0) {
+              if (rowMaxTf != maxTf)
+                problems += s"max_tf=$maxTf but decoded max is $rowMaxTf"
+              if (rowMinDl != minDl)
+                problems += s"min_dl=$minDl but decoded min is $rowMinDl"
             }
           } catch {
             case e: Exception => problems += s"blob decode failed: ${e.getMessage}"
@@ -134,7 +167,11 @@ object IndexCheck {
       // anti-join of the exploded posting ids against the docstore.
       // Decoded with a per-blob try/catch, NOT the vb_decode expression:
       // the checker must keep auditing past a corrupt blob (which pass 1
-      // already reported), never die on it
+      // already reported), never die on it. This IS a second decode of
+      // every blob — deliberately: caching pass 1's decoded ids would
+      // hold ~8 B/posting vs the ~2-4 B/posting the compressed blobs
+      // re-decode from, so at audit scale the re-decode is the cheaper
+      // plan
       val orphanIssues = postings
         .mapPartitions(_.flatMap { case (part, term, _, _, _, blob) =>
           try VarByte.decode(blob)._1.iterator.map(id => (part, term, id))
@@ -155,6 +192,9 @@ object IndexCheck {
         .unionByName(spark.createDataset(statIssues.result()).toDF())
         .unionByName(orphanIssues.toDF())
     }
-    perSegment.reduce(_ unionByName _)
+    // a damaged/segment-less snapshot must audit as "no per-segment
+    // issues", not crash the auditor on an empty reduce
+    perSegment.reduceOption(_ unionByName _)
+      .getOrElse(spark.emptyDataset[Issue].toDF())
   }
 }

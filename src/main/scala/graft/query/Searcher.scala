@@ -250,19 +250,22 @@ final class Searcher(
 
   /** The shared exact score fold over per-(term, doc) rows
     * `(term, doc_id, tf, dl, idf)`: per-term contributions summed in
-    * ascending term order — the bit-identical-determinism contract shared
-    * with the golden model and the WAND rescore phase. */
-  private def foldScores(perTerm: DataFrame): DataFrame = {
+    * ascending term order — the bit-identical-determinism contract
+    * shared with the golden model and the WAND rescore phase. ONE
+    * definition for every exact path (invariant 11): the single-query
+    * paths group by doc_id, [[searchBatch]] by (query_id, doc_id). */
+  private def foldScores(perTerm: DataFrame,
+                         keys: Seq[String] = Seq("doc_id")): DataFrame = {
     val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
     perTerm
       .withColumn("contrib", contrib)
-      .groupBy("doc_id")
+      .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("int").as("matched"),
         sort_array(collect_list(struct(col("term"), col("contrib")))).as("__parts"))
       .withColumn("score",
         aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
-      .select("doc_id", "matched", "score")
+      .select(keys.map(col) :+ col("matched") :+ col("score"): _*)
   }
 
   /** Restrict matches to the non-scoring filter clause (Q1, the predicate
@@ -602,16 +605,9 @@ final class Searcher(
       .select(col("term"), col("p.doc_id").as("doc_id"),
         col("p.tf").as("tf"), col("p.dl").as("dl"))
       .join(broadcast(qtDf), Seq("term"))
-    val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    val scored = applyMatchSetRestrictions(decoded, None)
-      .withColumn("contrib", contrib)
-      .groupBy("query_id", "doc_id")
-      .agg(count(lit(1)).cast("int").as("matched"),
-        sort_array(collect_list(struct(col("term"), col("contrib"))))
-          .as("__parts"))
-      .withColumn("score0",
-        aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
+    val scored = foldScores(applyMatchSetRestrictions(decoded, None),
+        keys = Seq("query_id", "doc_id"))
+      .withColumnRenamed("score", "score0")
     val must =
       if (conjunctive)
         scored.join(broadcast(nTermsDf), Seq("query_id"))

@@ -52,6 +52,38 @@ class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(issues(root).exists(_.contains("decode failed")))
   }
 
+  test("a corrupt per-BLOCK maxTf header with intact entries and intact " +
+    "row bounds is detected — the silent-WAND-underbound failure class") {
+    val root = build()
+    def varintEnd(b: Array[Byte], start: Int): Int = {
+      var i = start
+      while ((b(i) & 0x80) != 0) i += 1
+      i + 1
+    }
+    def firstBlockMaxTfPos(b: Array[Byte]): Int = {
+      var p = 1 // magic byte, then ver, flags, n, blockSize, bn, bodyLen
+      (0 until 6).foreach(_ => p = varintEnd(b, p))
+      p
+    }
+    rewritePostings(root) { rows =>
+      val i = rows.indexWhere { r =>
+        val b = r.getAs[Array[Byte]]("blob")
+        val p = firstBlockMaxTfPos(b)
+        (b(p) & 0x80) == 0 && b(p) > 0 && b(p) < 126
+      }
+      assert(i >= 0, "no row with a single-byte first-block maxTf")
+      val b = rows(i).getAs[Array[Byte]]("blob").clone()
+      val p = firstBlockMaxTfPos(b)
+      b(p) = (b(p) + 1).toByte // bump ONLY the block header's maxTf
+      rows.updated(i, Row.fromSeq(rows(i).toSeq.updated(5, b)))
+    }
+    val got = issues(root)
+    assert(got.exists(_.contains("header maxTf")), got.take(5).mkString("; "))
+    // entries and the parquet row bounds still agree — only the
+    // block-level check can catch this
+    assert(!got.exists(_.contains("but decoded max is")))
+  }
+
   test("a wrong df_local is detected (blob count AND term_stats sum)") {
     val root = build()
     rewritePostings(root) { rows =>
