@@ -197,6 +197,90 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
       "doc_id collision after append-after-compact")
   }
 
+  test("randomized fielded lifecycle fuzz: interleaved append / delete / " +
+    "compact keep cross-field alignment and the searchMulti view equal " +
+    "to a driver-side model at every checkpoint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    val cfg = IndexBuilder.IndexConfig(numParts = 2, rangeParts = 2)
+    def mkFields = Seq(
+      FieldedIndex.FieldSpec("body", col("text")),
+      FieldedIndex.FieldSpec("path", col("url"),
+        analyzer = Tokenizer.Keyword))
+    val r = tmpDir("graft-fldfuzz-")
+    val live = scala.collection.mutable.Map.empty[String, (Long, String)]
+    val deleted = scala.collection.mutable.Set.empty[String]
+    var nextId = 0
+    var clock = 0L
+    val t0 = 1767225600000L
+
+    def batch(n: Int, ups: Seq[String]): Seq[(String, Long, String)] = {
+      val fresh = (0 until n).map { _ =>
+        nextId += 1; clock += 1
+        (f"https://z/$nextId%04d", clock, s"spark body u$nextId")
+      }
+      fresh ++ ups.map { u =>
+        clock += 1; (u, clock, s"spark body updated v$clock")
+      }
+    }
+    def toDf(rows: Seq[(String, Long, String)]) =
+      rows.map { case (u, t, x) =>
+        (u, new java.sql.Timestamp(t0 + t * 1000), null: Array[Byte], x, "en")
+      }.toDF("url", "warc_ts", "html", "text", "lang")
+    def model(rows: Seq[(String, Long, String)]): Unit = {
+      rows.foreach { case (u, t, x) =>
+        if (!deleted.contains(u) && live.get(u).forall(_._1 < t))
+          live(u) = (t, x)
+      }
+      live --= deleted
+    }
+
+    val first = batch(15, Seq.empty)
+    FieldedIndex.buildFull(spark, toDf(first), mkFields, r, cfg)
+    model(first)
+    for (step <- 1 to 6) {
+      rnd.nextInt(3) match {
+        case 0 =>
+          val b = batch(3 + rnd.nextInt(5),
+            rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(3)))
+          FieldedIndex.append(spark, toDf(b), mkFields, r, cfg)
+          model(b)
+        case 1 =>
+          val vs = rnd.shuffle(live.keys.toSeq).take(1 + rnd.nextInt(3))
+          FieldedIndex.deleteByPk(spark, r, mkFields, vs.toDF("url"))
+          deleted ++= vs
+          live --= vs
+        case _ =>
+          FieldedIndex.mergeCompact(spark, r, mkFields, cfg)
+      }
+      if (step % 2 == 0 || step == 6) {
+        // alignment: identical (doc_id, url) sets across field roots
+        def store(f: String): Set[(Long, String)] = {
+          val fr = FieldedIndex.fieldRoot(r, f)
+          val snap = IndexStore.readLatestSnapshot(spark, fr).get
+          snap.segments.map(s =>
+              spark.read.parquet(IndexStore.docstorePath(fr, s)))
+            .reduce(_ unionByName _).select("doc_id", "url").collect()
+            .map(x => (x.getLong(0), x.getString(1))).toSet
+        }
+        assert(store("body") == store("path"), s"step $step alignment")
+        // view: every live doc has SPARK in body and Z in the url path
+        val fsr = new FieldedIndex.FieldedSearcher(spark, r, mkFields)
+        try {
+          val got = fsr.searchMulti(Map("body" -> "spark", "path" -> "z"),
+              100000)
+            .join(fsr.searcher("body").docstore.select("doc_id", "url"),
+              Seq("doc_id"))
+            .select("url").collect().map(_.getString(0)).toSet
+          assert(got == live.keySet.toSet,
+            s"step $step: got ${got.size}, want ${live.size}; " +
+              s"missing=${(live.keySet -- got).take(3)} " +
+              s"extra=${(got -- live.keySet).take(3)}")
+        } finally fsr.close()
+      }
+    }
+  }
+
   test("lockstep guard: a field root advanced on its own fails loudly") {
     import spark.implicits._
     val cfg = IndexBuilder.IndexConfig(numParts = 2, rangeParts = 2)
