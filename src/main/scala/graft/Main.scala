@@ -22,8 +22,10 @@ import org.apache.spark.sql.SparkSession
   * }}}
   *
   * `build`/`append`/`merge` take `--positions` (per-posting token
-  * positions → phrase queries) and `--facets` (build-time facet
-  * sidecar, required by the `facets` command).
+  * positions → phrase queries), `--facets` (build-time facet
+  * sidecar, required by the `facets` command) and `--format-version 3`
+  * (bitpacked posting blocks; `merge --rebuild --format-version 3`
+  * migrates an existing v2 index).
   */
 object Main {
 
@@ -79,7 +81,11 @@ object Main {
       saltDf = opt.getOrElse("salt-df", "10000").toLong,
       saltFanout = opt.getOrElse("salt-fanout", "8").toInt,
       indexPositions = opt.contains("positions"),
-      buildFacets = opt.contains("facets"))
+      buildFacets = opt.contains("facets"),
+      // --format-version 3 = FoR/bitpacked posting blocks (opt-in);
+      // `merge --rebuild --format-version 3` is the v2→v3 migration
+      formatVersion = opt.getOrElse("format-version",
+        graft.codec.VarByte.DefaultFormatVersion.toString).toInt)
 
   def run(spark: SparkSession, cmd: String, opt: Map[String, String]): Unit =
     cmd match {

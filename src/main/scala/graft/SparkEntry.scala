@@ -29,7 +29,8 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft-entry-").toString
     val dict = SynonymDict.parse(Seq("nike:EN,나이키:KO", "big data => bigdata"))
     val cfg = IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
-      saltDf = 200, saltFanout = 4)
+      saltDf = 200, saltFanout = 4,
+      formatVersion = graft.codec.VarByte.FormatV3)
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, 42L, 500), dict, root,
       cfg, "entry(seed=42,n=500)")
     val s = new Searcher(spark, root, dict)
@@ -330,8 +331,12 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-fidx-").toString
       // dims declared through the FacetSpec config (the reference's
       // schema-driven facet fields) rather than the built-in defaults
+      // v3 posting blocks: this entry + q_fielded + q_search_batch prove
+      // the bitpacked format through the DuckDB oracle gate, while
+      // q_fielded_append/q_json_field_filter keep v2 covered
       IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
         IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+          formatVersion = graft.codec.VarByte.FormatV3,
           facetSpecs = Seq(
             IndexBuilder.FacetSpec("lang", col("lang")),
             IndexBuilder.FacetSpec("site",
@@ -402,19 +407,26 @@ object SparkEntry {
           analyzer = graft.analysis.Tokenizer.Keyword))
       val root = java.nio.file.Files.createTempDirectory("graft-fld-").toString
       graft.index.FieldedIndex.buildFull(s, pages, fields, root,
-        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+          formatVersion = graft.codec.VarByte.FormatV3),
         "battery-fielded")
       val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
       materialized(
         // rank on 4dp-rounded scores to mirror the oracle's rounded rank
-        // (TextOps.bm25TopK convention — round BEFORE the limit)
+        // (TextOps.bm25TopK convention — round BEFORE the limit); final
+        // order uses the SAME tiebreak as the oracle (score desc,
+        // source, doc_id) so rounded-score ties at the k-th cutoff page
+        // identically at any corpus scale — structural parity, not a
+        // coincidence of this sf's score distribution
         fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10,
             roundScoresTo = Some(4))
           .join(fsr.searcher("body").docstore.select("doc_id", "url"),
             Seq("doc_id"))
           .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
-            .as("doc_id"), col("score"))
-          .orderBy(col("score").desc, col("doc_id").asc)) {
+            .as("doc_id"), col("score"),
+            expr("regexp_extract(url, '^doc://([^/]+)/', 1)").as("__src"))
+          .orderBy(col("score").desc, col("__src").asc, col("doc_id").asc)
+          .select("doc_id", "score")) {
         fsr.close(); deleteRec(root)
       }
     }),
@@ -450,13 +462,22 @@ object SparkEntry {
       graft.index.FieldedIndex.mergeCompact(s, root, fields, cfg)
       val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
       materialized(
+        // final order mirrors the oracle tiebreak EXACTLY: score desc,
+        // then appended-batch membership (doc_id % 3 = 0, false first —
+        // appended docs sit above the id ceiling, so the engine's
+        // internal doc_id order is (appended?, source, id)), then
+        // source, then id — rounded-score ties at the k-th cutoff page
+        // identically at any corpus scale (ADVICE round-4 parity item)
         fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10,
             roundScoresTo = Some(4))
           .join(fsr.searcher("body").docstore.select("doc_id", "url"),
             Seq("doc_id"))
           .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
-            .as("doc_id"), col("score"))
-          .orderBy(col("score").desc, col("doc_id").asc)) {
+            .as("doc_id"), col("score"),
+            expr("regexp_extract(url, '^doc://([^/]+)/', 1)").as("__src"))
+          .orderBy(col("score").desc, (col("doc_id") % 3 === 0).asc,
+            col("__src").asc, col("doc_id").asc)
+          .select("doc_id", "score")) {
         fsr.close(); deleteRec(root)
       }
     }),
@@ -502,7 +523,8 @@ object SparkEntry {
         lit(null).cast("binary").as("html"), col("text"), col("lang"))
       val root = java.nio.file.Files.createTempDirectory("graft-batch-").toString
       IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
-        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+          formatVersion = graft.codec.VarByte.FormatV3),
         "battery-batch-index")
       val sr = new Searcher(s, root, SynonymDict.empty)
       materialized(

@@ -2,9 +2,22 @@ package graft.codec
 
 import scala.collection.mutable.ArrayBuffer
 
-/** Delta + variable-byte posting-list compression with block headers
-  * (SURVEY.md §2.11, north-rule "delta-encoded + variable-byte-compressed
-  * posting lists").
+/** Delta-compressed posting lists with block headers (SURVEY.md §2.11,
+  * north-rule "delta-encoded + variable-byte-compressed posting lists"),
+  * in two on-disk body formats behind one header layout:
+  *
+  *  - '''v2''' — LEB128 varints per entry (`[docGap][tf][dl]`): compact,
+  *    but the per-byte continuation branch caps decode at ~0.2 GB/s.
+  *  - '''v3''' — FoR/bitpacked block bodies: per block, fixed bit widths
+  *    `[wGap][wTf][wDl]` (one byte each) followed by three LSB-first
+  *    packed sections (gaps, tfs, dls). Decode is one unaligned 64-bit
+  *    load + shift + mask per value ([[BitPack]]) — the packed-ints
+  *    postings design of the Lucene line the reference builds on
+  *    (`/root/reference/LuceneSearchEngine/src/Searcher.java:106`
+  *    version pin; PAPERS.md PForDelta). Position lists stay varint in
+  *    v3 (phrase decode is not the hot path). Every v3 blob ends with
+  *    16 zero pad bytes so the word-wide unpack loops never read out of
+  *    bounds.
   *
   * A posting list is a docId-ascending sequence of (docId, tf, dl[,
   * positions]) where `dl` is the document's BM25 field length and
@@ -18,7 +31,7 @@ import scala.collection.mutable.ArrayBuffer
   * docstore just to fetch lengths. Cost: ~1-2 varint bytes per posting;
   * decision recorded in SURVEY.md §7.
   *
-  * Layout (format v2):
+  * Shared layout (both versions):
   * {{{
   *   [magic 0xA7][version varint][flags varint]   flags bit0 = positions
   *   [count varint][blockSize varint]
@@ -32,22 +45,36 @@ import scala.collection.mutable.ArrayBuffer
   *                           upper-bounds every entry in the block)
   *     [lastDelta varint]    blockLastDocId - prevBlockLastDocId — lets a
   *                           skipper re-base without decoding the body
-  *     body per entry: [docGap varint][tf varint][dl varint]
-  *                     (+ positions: [pos0][posGap]*(tf-1), ascending)
+  *     body: v2 per entry [docGap][tf][dl] varints
+  *           v3 [wGap][wTf][wDl] bytes + 3 packed sections
+  *           (+ positions: [pos0][posGap]*(tf-1) varints, ascending)
   * }}}
-  * All ints unsigned LEB128 (7 bits/byte, high bit = continuation).
   * The block headers make docId skipping (conjunctive probes) and
   * block-max WAND pruning possible without decompressing skipped blocks.
   * The magic+version header makes a blob from any other layout fail
   * loudly instead of silently misparsing into garbage postings; the
-  * segment config carries the same version for an index-level check.
+  * segment config carries the same version for an index-level check
+  * (reader accepts the [[SupportedVersions]] set; a segment's blobs and
+  * its config version always agree — the compaction gate enforces it).
   */
 object VarByte {
 
   val DefaultBlockSize = 128
   val Magic: Byte = 0xA7.toByte
-  val FormatVersion = 2
+  val FormatV2 = 2
+  val FormatV3 = 3
+  /** Version new indexes write unless `IndexConfig.formatVersion` opts
+    * into another — v3 is opt-in this round (rollout posture: readers
+    * everywhere accept both before any writer flips). */
+  val DefaultFormatVersion: Int = FormatV2
+  /** Versions every read path accepts. */
+  val SupportedVersions: Set[Int] = Set(FormatV2, FormatV3)
   val FlagPositions = 1L
+
+  /** Trailing zero bytes on every v3 blob — licenses [[BitPack]]'s
+    * unconditional word-wide reads (it may read up to 15 bytes past the
+    * last packed section). */
+  val V3Pad = 16
 
   @inline private def writeVLong(buf: ArrayBuffer[Byte], v0: Long): Unit = {
     var v = v0
@@ -74,20 +101,25 @@ object VarByte {
     @inline def readVInt(): Int = readVLong().toInt
   }
 
-  /** Validate magic+version, position the reader after them, return the
-    * flags. Every read path starts here — a foreign/stale blob fails
-    * loudly instead of decoding garbage. */
-  private def openReader(blob: Array[Byte]): (Reader, Long) = {
+  /** Validate magic + supported version, position the reader after the
+    * header, return (reader, version, flags). Every read path starts
+    * here — a foreign/stale blob fails loudly instead of decoding
+    * garbage. */
+  private def openReader(blob: Array[Byte]): (Reader, Int, Long) = {
     require(blob.nonEmpty && blob(0) == Magic,
       "posting blob lacks the graft magic byte — built by an " +
         "incompatible (pre-v2) version or not a posting blob at all")
     val r = new Reader(blob, 1)
     val v = r.readVInt()
-    require(v == FormatVersion,
-      s"posting blob format v$v, this build reads v$FormatVersion")
+    require(SupportedVersions.contains(v),
+      s"posting blob format v$v, this build reads " +
+        s"v${SupportedVersions.toSeq.sorted.mkString("/v")}")
     val flags = r.readVLong()
-    (r, flags)
+    (r, v, flags)
   }
+
+  /** The blob's own format version (from its header). */
+  def formatVersionOf(blob: Array[Byte]): Int = openReader(blob)._2
 
   /** One decoded block header; `firstPossibleDocId` = prevBlockLast + 1
     * and `lastDocId` bound the block's docId range without body decode. */
@@ -95,32 +127,59 @@ object VarByte {
                                prevBlockLast: Long, lastDocId: Long,
                                bodyPos: Int)
 
+  /** Positions of one posting as varint deltas ([pos0][gap]*) — shared
+    * by both body formats. */
+  @inline private def writePositions(body: ArrayBuffer[Byte],
+                                     ps: Array[Int], tf: Int): Unit = {
+    require(ps.length == tf, s"positions length ${ps.length} != tf $tf")
+    var pPrev = 0
+    var j = 0
+    while (j < ps.length) {
+      // pos0 >= 0, then strictly ascending (same stance as docIds:
+      // a duplicate position would silently round-trip otherwise)
+      require(if (j == 0) ps(j) >= 0 else ps(j) > pPrev,
+        s"positions must be strictly ascending: ${ps(j)} after $pPrev")
+      writeVLong(body, (ps(j) - pPrev).toLong)
+      pPrev = ps(j)
+      j += 1
+    }
+  }
+
   /** Encode a docId-ascending (docId, tf, dl) list, optionally with
     * per-posting ascending position lists (`positions(i).length` must
     * equal `tfs(i)`). Throws on unsorted or duplicate docIds — the build
     * pipeline guarantees sorted input via sortWithinPartitions
-    * (SURVEY.md §3.1). */
+    * (SURVEY.md §3.1). `version` picks the block body format (v2 varint
+    * or v3 bitpacked); both decode through the same read surface. */
   def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
              blockSize: Int = DefaultBlockSize,
-             positions: Array[Array[Int]] = null): Array[Byte] = {
+             positions: Array[Array[Int]] = null,
+             version: Int = DefaultFormatVersion): Array[Byte] = {
     require(docIds.length == tfs.length && docIds.length == dls.length)
     require(positions == null || positions.length == docIds.length)
+    require(SupportedVersions.contains(version),
+      s"cannot encode format v$version (supported: $SupportedVersions)")
     val n = docIds.length
+    val v3 = version == FormatV3
     val out = new ArrayBuffer[Byte](n * 3 + 16)
     out += Magic
-    writeVLong(out, FormatVersion.toLong)
+    writeVLong(out, version.toLong)
     writeVLong(out, if (positions == null) 0L else FlagPositions)
     writeVLong(out, n.toLong)
     writeVLong(out, blockSize.toLong)
     var i = 0
     var prevBlockLast = 0L
     val body = new ArrayBuffer[Byte](blockSize * 4)
+    val gaps: Array[Long] =
+      if (v3) new Array[Long](math.min(blockSize, math.max(n, 1))) else null
     while (i < n) {
       val bn = math.min(blockSize, n - i)
       body.clear()
       var prev = prevBlockLast
       var maxTf = 0
       var minDl = Int.MaxValue
+      var maxDl = 0
+      var maxGap = 0L
       var first = true
       var k = 0
       while (k < bn) {
@@ -128,30 +187,48 @@ object VarByte {
         val gap = d - prev
         require(gap > 0 || (first && gap == 0 && prevBlockLast == 0 && d == 0),
           s"docIds must be strictly ascending: $d after $prev")
-        writeVLong(body, gap)
-        writeVLong(body, tfs(i + k).toLong)
-        writeVLong(body, dls(i + k).toLong)
-        if (positions != null) {
-          val ps = positions(i + k)
-          require(ps.length == tfs(i + k),
-            s"positions length ${ps.length} != tf ${tfs(i + k)}")
-          var pPrev = 0
-          var j = 0
-          while (j < ps.length) {
-            // pos0 >= 0, then strictly ascending (same stance as docIds:
-            // a duplicate position would silently round-trip otherwise)
-            require(if (j == 0) ps(j) >= 0 else ps(j) > pPrev,
-              s"positions must be strictly ascending: ${ps(j)} after $pPrev")
-            writeVLong(body, (ps(j) - pPrev).toLong)
-            pPrev = ps(j)
-            j += 1
-          }
+        if (v3) {
+          gaps(k) = gap
+          if (gap > maxGap) maxGap = gap
+          if (dls(i + k) > maxDl) maxDl = dls(i + k)
+        } else {
+          writeVLong(body, gap)
+          writeVLong(body, tfs(i + k).toLong)
+          writeVLong(body, dls(i + k).toLong)
+          if (positions != null)
+            writePositions(body, positions(i + k), tfs(i + k))
         }
         if (tfs(i + k) > maxTf) maxTf = tfs(i + k)
         if (dls(i + k) < minDl) minDl = dls(i + k)
         prev = d
         first = false
         k += 1
+      }
+      if (v3) {
+        val wGap = BitPack.width(maxGap)
+        var wTf = 0
+        var wDl = 0
+        var k2 = 0
+        while (k2 < bn) { // widths over the block's actual values
+          val wt = BitPack.width(tfs(i + k2).toLong)
+          val wd = BitPack.width(dls(i + k2).toLong)
+          if (wt > wTf) wTf = wt
+          if (wd > wDl) wDl = wd
+          k2 += 1
+        }
+        body += wGap.toByte
+        body += wTf.toByte
+        body += wDl.toByte
+        body ++= BitPack.pack(gaps, 0, bn, wGap)
+        body ++= BitPack.packInts(tfs, i, bn, wTf)
+        body ++= BitPack.packInts(dls, i, bn, wDl)
+        if (positions != null) {
+          var k3 = 0
+          while (k3 < bn) {
+            writePositions(body, positions(i + k3), tfs(i + k3))
+            k3 += 1
+          }
+        }
       }
       writeVLong(out, bn.toLong)
       writeVLong(out, body.length.toLong)
@@ -162,12 +239,13 @@ object VarByte {
       prevBlockLast = prev
       i += bn
     }
+    if (v3) out ++= new Array[Byte](V3Pad)
     out.toArray
   }
 
   /** Does the blob carry per-posting positions? */
   def hasPositions(blob: Array[Byte]): Boolean =
-    (openReader(blob)._2 & FlagPositions) != 0L
+    (openReader(blob)._3 & FlagPositions) != 0L
 
   /** Primitive-specialized callback traits: scala.FunctionN erases its
     * arguments to Object, which BOXES three primitives per posting —
@@ -176,6 +254,28 @@ object VarByte {
   trait EntrySink { def apply(docId: Long, tf: Int, dl: Int): Unit }
   trait PosSink {
     def apply(docId: Long, tf: Int, dl: Int, positions: Array[Int]): Unit
+  }
+
+  /** Read one v3 block's packed sections into the caller's arrays at
+    * `off` (the reader must sit on the width bytes); advances the reader
+    * past the sections (positions varints, when present, follow) and
+    * returns the block-last docId. */
+  @inline private def readV3Sections(r: Reader, bn: Int, prev: Long,
+                                     ids: Array[Long], tfs: Array[Int],
+                                     dls: Array[Int], off: Int): Long = {
+    val blob = r.bytes
+    val wGap = blob(r.pos) & 0xFF
+    val wTf = blob(r.pos + 1) & 0xFF
+    val wDl = blob(r.pos + 2) & 0xFF
+    var p = r.pos + 3
+    val last = BitPack.unpackGapsPrefix(blob, p, bn, wGap, prev, ids, off)
+    p += BitPack.packedBytes(bn, wGap)
+    BitPack.unpackInts(blob, p, bn, wTf, tfs, off)
+    p += BitPack.packedBytes(bn, wTf)
+    BitPack.unpackInts(blob, p, bn, wDl, dls, off)
+    p += BitPack.packedBytes(bn, wDl)
+    r.pos = p
+    last
   }
 
   /** Iterate block headers, calling `onBlock`; return value decides
@@ -188,10 +288,20 @@ object VarByte {
   @inline def scanPos(blob: Array[Byte], wantPositions: Boolean)(
       onBlock: BlockHeader => Boolean)(
       onEntry: PosSink): Unit = {
-    val (r, flags) = openReader(blob)
+    val (r, ver, flags) = openReader(blob)
     val withPos = (flags & FlagPositions) != 0L
     val n = r.readVInt()
-    r.readVInt() // blockSize
+    val blockSize = r.readVInt()
+    // v3 scratch: decoded per block, then replayed entry-wise (the
+    // callback contract is shared with v2; allocated once per scan)
+    var sIds: Array[Long] = null
+    var sTfs: Array[Int] = null
+    var sDls: Array[Int] = null
+    if (ver == FormatV3 && n > 0) {
+      val cap = math.min(blockSize, n)
+      sIds = new Array[Long](cap); sTfs = new Array[Int](cap)
+      sDls = new Array[Int](cap)
+    }
     var filled = 0
     var prevBlockLast = 0L
     while (filled < n) {
@@ -203,26 +313,48 @@ object VarByte {
       val h = BlockHeader(bn, bodyLen, maxTf, minDl, prevBlockLast,
         prevBlockLast + lastDelta, r.pos)
       if (onBlock(h)) {
-        var prev = prevBlockLast
-        var k = 0
-        while (k < bn) {
-          prev += r.readVLong()
-          val tf = r.readVInt()
-          val dl = r.readVInt()
-          var ps: Array[Int] = null
-          if (withPos) {
-            if (wantPositions) {
-              ps = new Array[Int](tf)
-              var acc = 0
-              var j = 0
-              while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
-            } else {
-              var j = 0
-              while (j < tf) { r.readVLong(); j += 1 }
+        if (ver == FormatV2) {
+          var prev = prevBlockLast
+          var k = 0
+          while (k < bn) {
+            prev += r.readVLong()
+            val tf = r.readVInt()
+            val dl = r.readVInt()
+            var ps: Array[Int] = null
+            if (withPos) {
+              if (wantPositions) {
+                ps = new Array[Int](tf)
+                var acc = 0
+                var j = 0
+                while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
+              } else {
+                var j = 0
+                while (j < tf) { r.readVLong(); j += 1 }
+              }
             }
+            onEntry(prev, tf, dl, ps)
+            k += 1
           }
-          onEntry(prev, tf, dl, ps)
-          k += 1
+        } else {
+          readV3Sections(r, bn, prevBlockLast, sIds, sTfs, sDls, 0)
+          var k = 0
+          while (k < bn) {
+            val tf = sTfs(k)
+            var ps: Array[Int] = null
+            if (withPos) {
+              if (wantPositions) {
+                ps = new Array[Int](tf)
+                var acc = 0
+                var j = 0
+                while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
+              } else {
+                var j = 0
+                while (j < tf) { r.readVLong(); j += 1 }
+              }
+            }
+            onEntry(sIds(k), tf, sDls(k), ps)
+            k += 1
+          }
         }
       } else {
         r.pos += bodyLen
@@ -247,11 +379,13 @@ object VarByte {
     * ceiling (measured: 24M postings/s ≈ 0.08 GB/s of blob bytes vs a
     * 2.3 GB/s raw scan of the same array). This is THE hot kernel of
     * exact scoring, batch scoring and compaction, so it stays
-    * allocation-free per posting. Byte-level semantics identical to
-    * scan (same Reader, same block walk) — pinned by VarByteSpec
-    * round-trips and the full golden-identity suite. */
+    * allocation-free per posting: v2 decodes varints in place; v3
+    * unpacks each block's sections STRAIGHT into the output arrays
+    * (no scratch, no callback). Byte-level semantics identical to scan
+    * (same Reader, same block walk) — pinned by VarByteSpec round-trips
+    * and the full golden-identity suite. */
   def decode(blob: Array[Byte]): (Array[Long], Array[Int], Array[Int]) = {
-    val (r, flags) = openReader(blob)
+    val (r, ver, flags) = openReader(blob)
     val withPos = (flags & FlagPositions) != 0L
     val n = r.readVInt()
     r.readVInt() // blockSize
@@ -264,18 +398,32 @@ object VarByte {
       val bn = r.readVInt()
       r.readVInt() // bodyLen
       r.readVInt(); r.readVInt(); r.readVLong() // maxTf, minDl, lastDelta
-      var k = 0
-      while (k < bn) {
-        prev += r.readVLong()
-        val tf = r.readVInt()
-        val dl = r.readVInt()
-        if (withPos) {
-          var j = 0
-          while (j < tf) { r.readVLong(); j += 1 }
+      if (ver == FormatV2) {
+        var k = 0
+        while (k < bn) {
+          prev += r.readVLong()
+          val tf = r.readVInt()
+          val dl = r.readVInt()
+          if (withPos) {
+            var j = 0
+            while (j < tf) { r.readVLong(); j += 1 }
+          }
+          docIds(filled) = prev; tfs(filled) = tf; dls(filled) = dl
+          filled += 1
+          k += 1
         }
-        docIds(filled) = prev; tfs(filled) = tf; dls(filled) = dl
-        filled += 1
-        k += 1
+      } else {
+        prev = readV3Sections(r, bn, prev, docIds, tfs, dls, filled)
+        if (withPos) {
+          var k = 0
+          while (k < bn) {
+            val tf = tfs(filled + k)
+            var j = 0
+            while (j < tf) { r.readVLong(); j += 1 }
+            k += 1
+          }
+        }
+        filled += bn
       }
     }
     (docIds, tfs, dls)
@@ -286,7 +434,7 @@ object VarByte {
     * the same reason as [[decode]]. */
   def decodeWithPositions(blob: Array[Byte])
       : (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) = {
-    val (r, flags) = openReader(blob)
+    val (r, ver, flags) = openReader(blob)
     val withPos = (flags & FlagPositions) != 0L
     val n = r.readVInt()
     r.readVInt() // blockSize
@@ -300,21 +448,38 @@ object VarByte {
       val bn = r.readVInt()
       r.readVInt() // bodyLen
       r.readVInt(); r.readVInt(); r.readVLong() // maxTf, minDl, lastDelta
-      var k = 0
-      while (k < bn) {
-        prev += r.readVLong()
-        val tf = r.readVInt()
-        val dl = r.readVInt()
-        if (withPos) {
-          val ps = new Array[Int](tf)
-          var acc = 0
-          var j = 0
-          while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
-          pos(filled) = ps
+      if (ver == FormatV2) {
+        var k = 0
+        while (k < bn) {
+          prev += r.readVLong()
+          val tf = r.readVInt()
+          val dl = r.readVInt()
+          if (withPos) {
+            val ps = new Array[Int](tf)
+            var acc = 0
+            var j = 0
+            while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
+            pos(filled) = ps
+          }
+          docIds(filled) = prev; tfs(filled) = tf; dls(filled) = dl
+          filled += 1
+          k += 1
         }
-        docIds(filled) = prev; tfs(filled) = tf; dls(filled) = dl
-        filled += 1
-        k += 1
+      } else {
+        prev = readV3Sections(r, bn, prev, docIds, tfs, dls, filled)
+        if (withPos) {
+          var k = 0
+          while (k < bn) {
+            val tf = tfs(filled + k)
+            val ps = new Array[Int](tf)
+            var acc = 0
+            var j = 0
+            while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
+            pos(filled + k) = ps
+            k += 1
+          }
+        }
+        filled += bn
       }
     }
     (docIds, tfs, dls, pos)
@@ -322,7 +487,7 @@ object VarByte {
 
   /** Number of postings without decoding the body. */
   def count(blob: Array[Byte]): Int = {
-    val (r, _) = openReader(blob)
+    val (r, _, _) = openReader(blob)
     r.readVInt()
   }
 

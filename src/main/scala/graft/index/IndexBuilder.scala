@@ -74,12 +74,20 @@ object IndexBuilder {
                                        // multi-value flags. Empty +
                                        // buildFacets=true ⇒ the default
                                        // lang/site dims
-      analyzer: String = graft.analysis.Tokenizer.Text)
+      analyzer: String = graft.analysis.Tokenizer.Text,
                                        // per-index analyzer mode (the
                                        // reference's per-field analyzer
                                        // dispatch, Indexer.java:420);
                                        // recorded in config.json so the
                                        // query side analyzes identically
+      formatVersion: Int = VarByte.DefaultFormatVersion)
+                                       // posting blob body format: v2 =
+                                       // varint, v3 = FoR/bitpacked
+                                       // (opt-in; ~5-10x faster decode,
+                                       // see VarByte). Recorded in
+                                       // config.json; readers accept
+                                       // both, compaction requires
+                                       // uniformity (mixed -> rebuild)
 
   /** One build-time facet dimension (the reference's facet field config,
     * `/root/reference/LuceneSearchEngine/src/Indexer.java:157-172` —
@@ -244,13 +252,14 @@ object IndexBuilder {
     * shape). Positions ride along iff the decoded arrays carry them.
     * Returns (blob, postingCount) per chunk. */
   private[index] def encodeChunks(d: Decoded, blockSize: Int,
-                                  maxPostings: Int)
+                                  maxPostings: Int,
+                                  version: Int = VarByte.DefaultFormatVersion)
       : Array[(Array[Byte], Int)] = {
     require(maxPostings > 0, s"maxBlobPostings must be positive: $maxPostings")
     val (ids, tfs, dls, poss) = d
     val n = ids.length
     if (n == 0) // preserve the legacy empty-blob shape for empty inputs
-      return Array((VarByte.encode(ids, tfs, dls, blockSize, poss), 0))
+      return Array((VarByte.encode(ids, tfs, dls, blockSize, poss, version), 0))
     val out = Array.newBuilder[(Array[Byte], Int)]
     var a = 0
     while (a < n) {
@@ -260,7 +269,8 @@ object IndexBuilder {
         java.util.Arrays.copyOfRange(tfs, a, b),
         java.util.Arrays.copyOfRange(dls, a, b),
         blockSize,
-        if (poss == null) null else java.util.Arrays.copyOfRange(poss, a, b))
+        if (poss == null) null else java.util.Arrays.copyOfRange(poss, a, b),
+        version)
       out += ((blob, b - a))
       a = b
     }
@@ -269,9 +279,11 @@ object IndexBuilder {
 
   /** Single-blob merge (legacy callers / chunking disabled). */
   private[index] def mergeDecoded(decoded: Array[Decoded], withPos: Boolean,
-                                  blockSize: Int): Array[Byte] =
+                                  blockSize: Int,
+                                  version: Int = VarByte.DefaultFormatVersion)
+      : Array[Byte] =
     encodeChunks(mergeArrays(decoded, withPos), blockSize,
-      Int.MaxValue).head._1
+      Int.MaxValue, version).head._1
 
   /** Group a sorted iterator into contiguous runs (same `sameRun` as the
     * run's first element) and flat-map each run through `emit` — the one
@@ -300,26 +312,30 @@ object IndexBuilder {
     }
 
   private[index] def mergeFragments(frags: Array[Array[Byte]],
-                                    blockSize: Int): Array[Byte] = {
+                                    blockSize: Int,
+                                    version: Int = VarByte.DefaultFormatVersion)
+      : Array[Byte] = {
     val withPos = VarByte.hasPositions(frags(0))
     // one build = one config, so fragments can't mix — but fail loudly if
     // they ever do (a mixed set would NPE or silently drop positions
     // depending on which fragment happens to be first)
     require(frags.forall(f => VarByte.hasPositions(f) == withPos),
       "cannot merge positional and non-positional posting fragments")
-    mergeDecoded(frags.map(VarByte.decodeWithPositions), withPos, blockSize)
+    mergeDecoded(frags.map(VarByte.decodeWithPositions), withPos, blockSize,
+      version)
   }
 
   /** [[mergeFragments]] with chunked output (blob, count) rows. */
   private[index] def mergeFragmentsChunked(frags: Array[Array[Byte]],
-                                           blockSize: Int, maxPostings: Int)
+                                           blockSize: Int, maxPostings: Int,
+                                           version: Int = VarByte.DefaultFormatVersion)
       : Array[(Array[Byte], Int)] = {
     val withPos = VarByte.hasPositions(frags(0))
     require(frags.forall(f => VarByte.hasPositions(f) == withPos),
       "cannot merge positional and non-positional posting fragments")
     encodeChunks(
       mergeArrays(frags.map(VarByte.decodeWithPositions), withPos),
-      blockSize, maxPostings)
+      blockSize, maxPostings, version)
   }
 
   /** Drop postings whose docId is in `dead` (sorted ascending); returns
@@ -431,10 +447,15 @@ object IndexBuilder {
     val tieIdx = schema.fieldIndex(tieCol)
     val rawRdd = df.rdd
     val keyed = rawRdd.map { r =>
-      val ts = r.getAs[Timestamp](tsIdx)
-      (SortKey(r.getString(urlIdx),
-        if (ts == null) Long.MinValue else ts.getTime,
-        r.getString(tieIdx)), r)
+      // datetime-API-agnostic: rows carry java.sql.Timestamp by default
+      // but java.time.Instant under spark.sql.datetime.java8API.enabled
+      // — a typed getAs would CCE the whole build under that config
+      val tsMs = r.get(tsIdx) match {
+        case null => Long.MinValue
+        case t: Timestamp => t.getTime
+        case i: java.time.Instant => i.toEpochMilli
+      }
+      (SortKey(r.getString(urlIdx), tsMs, r.getString(tieIdx)), r)
     }
     val urlRp = new org.apache.spark.RangePartitioner(
       math.max(rangeParts, 1), rawRdd.map(r => (r.getString(urlIdx), null)))
@@ -621,6 +642,7 @@ object IndexBuilder {
     val numParts = cfg.numParts
     val fanout = cfg.saltFanout
     val blockSize = cfg.blockSize
+    val fmtVer = cfg.formatVersion
 
     val withPos = cfg.indexPositions
     val analyzedRows = docstore
@@ -658,7 +680,8 @@ object IndexBuilder {
                 case (buf, salt) =>
                   val (ids, tfs, dls, poss) = buf.sorted()
                   InternalRow(partOf(term, salt, numParts), termUtf, ids(0),
-                    VarByte.encode(ids, tfs, dls, blockSize, poss)): InternalRow
+                    VarByte.encode(ids, tfs, dls, blockSize, poss,
+                      fmtVer)): InternalRow
               }
             }.toVector
             bufs.clear()
@@ -739,7 +762,8 @@ object IndexBuilder {
             Seq(PostingRow(part, term, VarByte.count(first).toLong,
               maxTf, minDl, first))
           } else
-            mergeFragmentsChunked(run.map(_._4).toArray, blockSize, maxBlob)
+            mergeFragmentsChunked(run.map(_._4).toArray, blockSize, maxBlob,
+                fmtVer)
               .toSeq.map { case (blob, cnt) =>
                 val (maxTf, minDl) = VarByte.termBounds(blob)
                 PostingRow(part, term, cnt.toLong, maxTf, minDl, blob)
@@ -783,6 +807,7 @@ object IndexBuilder {
 
     IndexStore.writeSegmentConfig(spark, root, seg,
       IndexStore.SegmentConfig(cfg.numParts, cfg.saltFanout, cfg.blockSize,
+        formatVersion = cfg.formatVersion,
         hasPositions = cfg.indexPositions, analyzer = cfg.analyzer))
     // observed during the term_stats write — no extra job
     val termCount = termObs.get("terms").asInstanceOf[Long]
@@ -909,11 +934,18 @@ object IndexBuilder {
       IndexStore.readSegmentConfig(spark, root, s))
     // facet/json sidecars are CARRIED OVER (url-remapped below), never
     // regenerated: a regeneration would silently replace custom
-    // FacetSpec dims with the defaults
+    // FacetSpec dims with the defaults. formatVersion NEVER downgrades:
+    // a default-config merge of a v3 index keeps v3 (same stance as the
+    // analyzer inherit), while an explicit newer cfg version migrates —
+    // the rebuild path IS the v2→v3 upgrade tool (it re-encodes every
+    // blob from the docstore; pre-v2 segments, whose blobs are
+    // unreadable but whose docstores are fine, upgrade the same way).
     val cfg1 = (stored.headOption match {
       case Some(sc) => cfg.copy(
         analyzer = sc.analyzer,
-        indexPositions = stored.forall(_.hasPositions))
+        indexPositions = stored.forall(_.hasPositions),
+        formatVersion = (cfg.formatVersion +: stored.map(_.formatVersion)
+          .filter(graft.codec.VarByte.SupportedVersions.contains)).max)
       case None => cfg
     }).copy(buildFacets = false, facetSpecs = Nil)
     val all = snap.segments.map(s =>
@@ -1078,18 +1110,23 @@ object IndexBuilder {
     * [[mergeCompactImpl]] and [[FieldedIndex.mergeCompact]] (whose
     * all-fields path decision must agree with the per-root one, or one
     * field could keep gappy original doc_ids while another re-assigns
-    * dense ones). formatVersion is part of it: an old-format segment's
-    * blobs can neither be decoded (dead-doc filtering would crash
-    * mid-job) nor passed through (the new segment's config would
-    * re-stamp them as current-format, silencing the Searcher's loud
-    * version check). The rebuild merge re-encodes from the docstore, so
-    * it handles any layout — fall back, never error (invariant 14). */
+    * dense ones). formatVersion is part of it twice over: an
+    * UNSUPPORTED (pre-v2) segment's blobs can neither be decoded
+    * (dead-doc filtering would crash mid-job) nor passed through (the
+    * new segment's config would re-stamp them as current-format,
+    * silencing the Searcher's loud version check); and MIXED supported
+    * versions (v2 + v3) must not blob-compact either — passthrough
+    * blobs would disagree with the single config.json version the
+    * merged segment records. The rebuild merge re-encodes from the
+    * docstore, so it handles any layout — fall back, never error
+    * (invariant 14). */
   private[index] def layoutUniform(stored: Seq[IndexStore.SegmentConfig],
                                    nSegments: Int): Boolean =
     stored.size == nSegments &&
-      stored.forall(_.formatVersion == graft.codec.VarByte.FormatVersion) &&
-      stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer))
-        .distinct.size == 1
+      stored.forall(c =>
+        graft.codec.VarByte.SupportedVersions.contains(c.formatVersion)) &&
+      stored.map(c => (c.numParts, c.saltFanout, c.hasPositions, c.analyzer,
+        c.formatVersion)).distinct.size == 1
 
   /** Posting-level compaction of `targets` (a subset of, or all of, the
     * snapshot's segments) into one fresh segment. Returns None when the
@@ -1160,6 +1197,12 @@ object IndexBuilder {
     val sc0 = stored.head
     val (numParts, withPos, blockSize) =
       (sc0.numParts, sc0.hasPositions, cfg.blockSize)
+    // blob-level compaction PRESERVES the segments' format version
+    // (layoutUniform guarantees it is single-valued): passthrough blobs
+    // and re-encoded chunks must agree with the one version the merged
+    // segment's config records. Version migration goes through the
+    // rebuild [[merge]].
+    val segVer = sc0.formatVersion
 
     val targetDocs = targets.map(s =>
         spark.read.parquet(IndexStore.docstorePath(root, s)))
@@ -1225,7 +1268,7 @@ object IndexBuilder {
               Seq(CompactRow(part, term, df0, mt0, md0, first))
             else
               mergeFragmentsChunked(run.map(_._6).toArray, blockSize,
-                  maxBlob)
+                  maxBlob, segVer)
                 .toSeq.map { case (blob, cnt) =>
                   val (mt, md) = VarByte.termBounds(blob)
                   CompactRow(part, term, cnt.toLong, mt, md, blob)
@@ -1248,7 +1291,7 @@ object IndexBuilder {
               Seq(CompactRow(part, term, total.toLong, mt0, md0, first))
             else
               encodeChunks(mergeArrays(filtered, withPos), blockSize,
-                  maxBlob)
+                  maxBlob, segVer)
                 .toSeq.map { case (blob, cnt) =>
                   val (mt, md) = VarByte.termBounds(blob)
                   CompactRow(part, term, cnt.toLong, mt, md, blob)
@@ -1341,6 +1384,7 @@ object IndexBuilder {
     IndexStore.appendManifest(spark, root, seg, manifestRows)
     IndexStore.writeSegmentConfig(spark, root, seg,
       IndexStore.SegmentConfig(numParts, sc0.saltFanout, blockSize,
+        formatVersion = segVer,
         hasPositions = withPos, analyzer = sc0.analyzer))
     val termCount = termObs.get("terms").asInstanceOf[Long]
     val remaining = snap.segments.filterNot(targets.contains)

@@ -38,8 +38,17 @@ object IndexStore {
                                checksum: Long, inputSnapshot: String,
                                wallMs: Long)
 
+  /** `dead` = the superseded-doc_id sidecar batches (upsert losers,
+    * maintained INCREMENTALLY at append time — SURVEY §8 round-5 item:
+    * without them a cold multi-segment Searcher open re-derives the
+    * liveDocs set with an O(corpus) window). `Some(batches)` means the
+    * root is sidecar-maintained (possibly empty — no upserts yet);
+    * `None` means a legacy root whose Searcher must fall back to the
+    * window derivation. Tombstones stay separate: they are url-keyed
+    * deletion intents, these are doc_id-keyed facts. */
   final case class Snapshot(id: Long, segments: Seq[String],
-                            tombstones: Seq[String])
+                            tombstones: Seq[String],
+                            dead: Option[Seq[String]] = None)
 
   def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -51,7 +60,7 @@ object IndexStore {
     * that is the difference between scanning ≤fanout files and scanning
     * the whole index layout. */
   final case class SegmentConfig(numParts: Int, saltFanout: Int, blockSize: Int,
-                                 formatVersion: Int = graft.codec.VarByte.FormatVersion,
+                                 formatVersion: Int = graft.codec.VarByte.DefaultFormatVersion,
                                  hasPositions: Boolean = false,
                                  analyzer: String = graft.analysis.Tokenizer.Text)
 
@@ -285,10 +294,19 @@ object IndexStore {
 
   /** The Iceberg `expire_snapshots` analog: keep the newest `keep`
     * snapshots (the latest always survives), delete older snapshot
-    * files plus every segment dir and tombstone batch no retained
-    * snapshot references (orphan cleanup). Time travel to an expired
-    * snapshot then fails loudly instead of reading half-deleted state.
-    * Returns (snapshots deleted, segment dirs deleted). */
+    * files plus every segment dir and tombstone batch that an EXPIRED
+    * snapshot references and no retained snapshot does. Time travel to
+    * an expired snapshot then fails loudly instead of reading
+    * half-deleted state. Returns (snapshots deleted, segment dirs
+    * deleted).
+    *
+    * Orphan deletion is scoped to dirs the expired snapshots name — a
+    * dir referenced by NO snapshot is left alone, so an in-flight
+    * lifecycle op (which writes its segment dir BEFORE committing its
+    * snapshot JSON) can never lose its fresh segment to a concurrent
+    * expire. The remaining concurrency contract is the reader's: a
+    * Searcher opened on a snapshot this call expires reads deleted
+    * files mid-query — expire only snapshots no reader still serves. */
   def expireSnapshots(spark: SparkSession, root: String,
                       keep: Int = 1): (Int, Int) = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
@@ -297,8 +315,13 @@ object IndexStore {
     if (ids.size <= keep) return (0, 0)
     val (expire, retain) = ids.splitAt(ids.size - keep)
     val retained = retain.flatMap(readSnapshotAt(spark, root, _))
+    // the expired snapshots' references must be read BEFORE their JSONs
+    // are deleted — they scope the orphan sweep below
+    val expired = expire.flatMap(readSnapshotAt(spark, root, _))
     val liveSegs = retained.flatMap(_.segments).toSet
     val liveTombs = retained.flatMap(_.tombstones).toSet
+    val deadSegs = expired.flatMap(_.segments).toSet -- liveSegs
+    val deadTombs = expired.flatMap(_.tombstones).toSet -- liveTombs
     // POINTER BEFORE DATA: delete the expired snapshot JSONs first so a
     // crash mid-expire can never leave a readable snap-N.json pointing
     // at already-deleted segment dirs (a time-travel open would then
@@ -309,7 +332,7 @@ object IndexStore {
     val segDir = new Path(s"$root/segments")
     if (f.exists(segDir))
       f.listStatus(segDir).foreach { st =>
-        if (!liveSegs.contains(st.getPath.getName)) {
+        if (deadSegs.contains(st.getPath.getName)) {
           f.delete(st.getPath, true); segsDeleted += 1
         }
       }
@@ -318,7 +341,7 @@ object IndexStore {
       f.listStatus(tombDir).foreach { st =>
         val n = st.getPath.getName
         val base = n.stripSuffix(".count").stripSuffix(".txt")
-        if (!liveTombs.contains(base)) f.delete(st.getPath, true)
+        if (deadTombs.contains(base)) f.delete(st.getPath, true)
       }
     (expire.size, segsDeleted)
   }

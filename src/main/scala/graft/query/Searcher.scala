@@ -88,13 +88,27 @@ final class Searcher(
     docstore.select(narrowCols.map(col): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  /** Build a plan against the narrow cached frame if the caller's
-    * filter/sort expressions resolve on it (forcing analysis via
-    * .schema); None routes the caller to the parquet-backed full
-    * docstore (e.g. a predicate over text). */
-  private def onNarrow(build: DataFrame => DataFrame): Option[DataFrame] =
-    try { val out = build(docstoreNarrow); out.schema; Some(out) }
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  /** Column names referenced by a caller's filter/sort expression —
+    * unresolved attributes by their last name part (qualifiers can only
+    * name this single relation). Drives [[resolvesOnNarrow]]: routing is
+    * decided by INSPECTION, never by swallowing AnalysisException (a
+    * catch-all would silently reroute a typo'd column — or any future
+    * non-resolution analysis error — to the full-docstore plan, where it
+    * only surfaces later and further from the cause). */
+  private def refNames(c: Column): Set[String] =
+    org.apache.spark.sql.graft.Bridge.catalystExpression(c).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last.toLowerCase
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+        a.name.toLowerCase
+    }.toSet
+
+  /** Do the expressions touch only the narrow cached columns? True ⇒
+    * plan on [[docstoreNarrow]]; false ⇒ the parquet-backed docstore
+    * (e.g. a predicate over text — pushed into the scan). A genuinely
+    * unknown column fails analysis loudly on the docstore plan. */
+  private def resolvesOnNarrow(cols: Seq[Column]): Boolean =
+    cols.forall(c => refNames(c).subsetOf(narrowSet))
 
   /** Stored-field rows for an explicit id set: a `doc_id IN (...)`
     * literal against the docstore parquet. doc_ids are assigned in url
@@ -125,12 +139,15 @@ final class Searcher(
 
   // fail LOUDLY on a posting-format mismatch: a stale segment would
   // otherwise misparse blobs into garbage doc_ids (the blob magic byte is
-  // the second line of defense inside VarByte itself)
+  // the second line of defense inside VarByte itself). Mixed v2/v3
+  // segments are FINE to serve — every blob self-describes — only
+  // unsupported (pre-v2) formats are refused.
   segConfigs.foreach { case (seg, c) =>
     c.foreach(cc => require(
-      cc.formatVersion == graft.codec.VarByte.FormatVersion,
+      graft.codec.VarByte.SupportedVersions.contains(cc.formatVersion),
       s"segment $seg has posting format v${cc.formatVersion}; this build " +
-        s"reads v${graft.codec.VarByte.FormatVersion} — rebuild or merge"))
+        s"reads v${graft.codec.VarByte.SupportedVersions.toSeq.sorted
+          .mkString("/v")} — rebuild or merge"))
   }
 
   /** Phrase queries need every segment built with `indexPositions`. */
@@ -276,7 +293,9 @@ final class Searcher(
       case Some(f) =>
         // narrow-column predicates (lang/url/ts/dl) hit the cache; a
         // text predicate pushes into the parquet scan instead
-        val src = onNarrow(_.where(f)).getOrElse(docstore.where(f))
+        val src =
+          if (resolvesOnNarrow(Seq(f))) docstoreNarrow.where(f)
+          else docstore.where(f)
         rows.join(src.select("doc_id"), Seq("doc_id"), "left_semi")
       case None => rows
     }
@@ -373,9 +392,15 @@ final class Searcher(
     * row-group-pruned [[fetchByIds]] scan, warm pages add ZERO jobs.
     * The text column is therefore read for at most ~k row groups per
     * query, never for the corpus — a cached-docstore page join would
-    * stream the whole O(corpus-bytes) text cache through the join. The
-    * result is a driver-local relation, so the caller's action is
-    * free. */
+    * stream the whole O(corpus-bytes) text cache through the join.
+    *
+    * NOTE: search paths built on this ([[search]], [[searchWand]],
+    * [[searchPhrase]], ...) are therefore EAGER — the scoring jobs run
+    * at call time and the returned DataFrame is a driver-local relation
+    * (the caller's own action is free). `warc_ts` is copied as a raw
+    * value, never through a typed getter, so pages are agnostic to
+    * `spark.sql.datetime.java8API.enabled` (Timestamp vs Instant rows —
+    * both convert back under the page schema's TimestampType). */
   private def fetchPage(topk: DataFrame): DataFrame = {
     import scala.jdk.CollectionConverters._
     val rows = topk.select("doc_id", "score").collect()
@@ -383,7 +408,7 @@ final class Searcher(
     val scoreOf = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val page = docCached(rows.map(_.getLong(0)).toSeq).map { d =>
       org.apache.spark.sql.Row(d.getLong(0), scoreOf(d.getLong(0)),
-        d.getAs[String]("url"), d.getAs[java.sql.Timestamp]("warc_ts"),
+        d.getAs[String]("url"), d.get(d.fieldIndex("warc_ts")),
         d.getAs[String]("lang"), d.getAs[String]("text"))
     }.sortBy(r => (-r.getDouble(1), r.getLong(0)))
     spark.createDataFrame(page.asJava, emptyPage.schema)
@@ -734,19 +759,18 @@ final class Searcher(
                         start: Int = 0, conjunctive: Boolean = true,
                         filter: Option[Column] = None): DataFrame = {
     val matches = score(query, conjunctive, filter).select("doc_id")
-    onNarrow(d => matches.join(d, Seq("doc_id"))
-      .orderBy(sortCols :+ col("doc_id").asc: _*)) match {
-      case Some(rankedAll) =>
-        // rank on the narrow cache (no text through the top-k heap),
-        // then fetch stored fields for the ≤ k page rows only
-        val ids = rankedAll.offset(start).limit(k)
-          .select("doc_id").as[Long].collect()
-        fetchByIds(ids).orderBy(sortCols :+ col("doc_id").asc: _*)
-      case None => // sort references text — rank over the parquet frame
-        matches.join(docstore, Seq("doc_id"))
-          .orderBy(sortCols :+ col("doc_id").asc: _*)
-          .offset(start).limit(k)
-    }
+    if (resolvesOnNarrow(sortCols)) {
+      // rank on the narrow cache (no text through the top-k heap),
+      // then fetch stored fields for the ≤ k page rows only
+      val ids = matches.join(docstoreNarrow, Seq("doc_id"))
+        .orderBy(sortCols :+ col("doc_id").asc: _*)
+        .offset(start).limit(k)
+        .select("doc_id").as[Long].collect()
+      fetchByIds(ids).orderBy(sortCols :+ col("doc_id").asc: _*)
+    } else // sort references text — rank over the parquet frame
+      matches.join(docstore, Seq("doc_id"))
+        .orderBy(sortCols :+ col("doc_id").asc: _*)
+        .offset(start).limit(k)
   }
 
   /** Full match set in docID order, no scores (Q7, TOPDOCSONLY). */

@@ -23,19 +23,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object StreamIndexer {
 
-  /** Next free doc_id = Σ per-segment doc_count: segments assign DENSE
-    * id ranges starting where the previous segment ended, so the stats
-    * tables (one row per segment) answer this without the O(corpus)
-    * docstore scan a max(doc_id) per micro-batch would pay. */
+  /** Next free doc_id for a micro-batch append: max `id_ceiling` across
+    * the snapshot's segments ([[IndexBuilder.nextAppendBase]] — stats
+    * rows only, no docstore scan). NOT Σ doc_count: a compaction run
+    * against a streamed root (e.g. [[IndexBuilder.mergeCompactTiered]]
+    * draining a segment backlog) keeps original doc_ids WITH GAPS, so a
+    * count sum would hand the next micro-batch COLLIDING ids
+    * (invariant 12 — same rule as the batch APPEND path). */
   def nextDocId(spark: SparkSession, root: String,
                 snap: IndexStore.Snapshot): Long =
-    snap.segments.map { s =>
-      spark.read.parquet(IndexStore.statsPath(root, s))
-        .agg(sum("doc_count")).head() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
-        }
-    }.sum
+    IndexBuilder.nextAppendBase(spark, root, snap)
 
   /** Index one micro-batch as segment `seg-b<batchId>`; idempotent under
     * batch re-delivery. */
@@ -61,15 +58,32 @@ object StreamIndexer {
 
   /** Start continuous indexing of a streaming page source (readStream of
     * the input_hint schema). Checkpointed — a restarted query resumes
-    * from the last committed batch. */
+    * from the last committed batch.
+    *
+    * `keepSnapshots` = automatic snapshot retention (SURVEY §8.4): every
+    * `expireEvery` batches the root is trimmed to its newest
+    * `keepSnapshots` snapshots via [[IndexStore.expireSnapshots]] —
+    * without it a long-running stream accumulates one snapshot JSON per
+    * micro-batch forever. Segments stay shared across snapshots, so
+    * expiry deletes only pointers (and any segment/tombstone dir no
+    * retained snapshot references, e.g. pre-compaction backlogs). A
+    * reader must not hold open a snapshot older than the retention
+    * window (the expireSnapshots reader contract). */
   def start(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
             root: String, cfg: IndexBuilder.IndexConfig = IndexBuilder.IndexConfig(),
-            checkpointDir: Option[String] = None): StreamingQuery =
+            checkpointDir: Option[String] = None,
+            keepSnapshots: Option[Int] = None,
+            expireEvery: Int = 1): StreamingQuery = {
+    require(expireEvery >= 1, s"expireEvery must be >= 1, got $expireEvery")
     pages.writeStream
       .option("checkpointLocation",
         checkpointDir.getOrElse(s"$root/_stream_checkpoint"))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         indexBatch(batch.sparkSession, batch, dict, root, cfg, batchId)
+        if (batchId % expireEvery == 0)
+          keepSnapshots.foreach(k =>
+            IndexStore.expireSnapshots(batch.sparkSession, root, k))
       }
       .start()
+  }
 }

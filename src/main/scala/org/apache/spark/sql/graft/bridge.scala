@@ -18,6 +18,14 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column → Catalyst conversion: [[expression]] returns a lazy
+    * `ColumnNodeExpression` wrapper whose tree is opaque until analysis,
+    * so plan INSPECTION (e.g. which columns does this filter reference?)
+    * must run the converter itself. Unresolved attributes stay
+    * unresolved — the result is for inspection, not evaluation. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** The DataFrame's physical rows (UnsafeRow, REUSED per row — copy
     * anything retained across iterations). */
   def internalRdd(df: DataFrame): RDD[InternalRow] =

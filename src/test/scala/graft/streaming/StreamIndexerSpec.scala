@@ -137,6 +137,72 @@ class StreamIndexerSpec extends AnyFunSuite with SparkTestBase {
     assert(vA.exists(_._2 == "upserted version20 spark"))
   }
 
+  test("automatic snapshot retention: a long run holds <= keep snapshots, " +
+    "the latest view stays intact, retained ids time-travel, expired fail") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val root = tmpDir("graft-streamret-")
+    val input = MemoryStream[(String, Timestamp, Array[Byte], String, String)]
+    val pages = input.toDF().toDF("url", "warc_ts", "html", "text", "lang")
+    val q = StreamIndexer.start(spark, pages, dict, root, cfg,
+      Some(tmpDir("graft-streamret-ckpt-")), keepSnapshots = Some(2))
+    try {
+      (0 until 6).foreach { b =>
+        input.addData(page(s"https://r/$b", b.toLong, s"spark retained doc$b"))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val ids = IndexStore.listSnapshots(spark, root)
+    assert(ids.size <= 2, s"retained $ids")
+    assert(ids == Seq(4L, 5L))
+    // latest view: every batch's doc is still served (segments are shared
+    // across snapshots — expiry trims pointers, not live segments)
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.numDocs == 6L)
+      assert(s.search("spark", 10).count() == 6)
+    } finally s.close()
+    // a retained non-latest snapshot still time-travels; expired ids fail
+    val s4 = new Searcher(spark, root, dict, snapshotId = Some(4L))
+    try assert(s4.numDocs == 5L) finally s4.close()
+    intercept[RuntimeException](
+      new Searcher(spark, root, dict, snapshotId = Some(0L)))
+  }
+
+  test("micro-batch ids never collide after a compaction leaves gappy " +
+    "doc_ids (append base = max id_ceiling, not a doc_count sum)") {
+    val sp = spark
+    import sp.implicits._
+    val root = tmpDir("graft-streamgap-")
+    // 3 batches, each upserting the same url → 2 dead versions; compaction
+    // drops them and keeps original (now gappy) ids
+    (0 until 3).foreach { b =>
+      val df = Seq(
+        page(s"https://g/$b", b * 10, s"spark gap doc$b"),
+        page("https://g/u", b * 10 + 1, s"spark upsert v$b"))
+        .toDF("url", "warc_ts", "html", "text", "lang")
+      StreamIndexer.indexBatch(spark, df, dict, root, cfg, b.toLong)
+    }
+    IndexBuilder.mergeCompact(spark, root, dict, cfg)
+    // post-compact: 4 live docs, max id 5 → a count-sum base (4) would
+    // collide with ids 4 and 5
+    val snap = IndexStore.readLatestSnapshot(spark, root).get
+    assert(StreamIndexer.nextDocId(spark, root, snap) == 6L)
+    StreamIndexer.indexBatch(spark,
+      Seq(page("https://g/new", 99, "spark fresh post compact"))
+        .toDF("url", "warc_ts", "html", "text", "lang"),
+      dict, root, cfg, 3L)
+    val s = new Searcher(spark, root, dict)
+    try {
+      val idsAll = s.docstore.select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(idsAll.distinct.size == idsAll.size, s"colliding ids: $idsAll")
+      assert(s.numDocs == 5L)
+      assert(s.search("fresh", 10).count() == 1)
+    } finally s.close()
+  }
+
   test("batch re-delivery is idempotent (exactly-once append)") {
     val sp = spark
     import sp.implicits._
