@@ -126,7 +126,7 @@ object FieldedIndex {
         prePhases =
           if (i == 0) Seq("sort_dedup_assign" -> assignMs) else Nil)
       IndexStore.writeSnapshot(spark, fr,
-        IndexStore.Snapshot(0L, Seq(seg), Seq.empty))
+        IndexStore.Snapshot(0L, Seq(seg), Seq.empty, dead = Some(Seq.empty)))
       f.name -> rep
     }.toMap
     dropBuildDir(spark, root)
@@ -153,6 +153,11 @@ object FieldedIndex {
         snaps(f.name))).max
     val (shared, assignMs) =
       assignShared(spark, pages, fields, root, nextBase, cfg)
+    // the superseded-id batch is a pure function of (url, warc_ts,
+    // doc_id) triples, which are IDENTICAL across field roots — compute
+    // it once on the first field and fan it as a byte copy (the same
+    // write-once-copy-N shape as the coordinated tombstones)
+    var fannedDead: Option[Option[String]] = None
     val reports = fields.zipWithIndex.map { case (f, i) =>
       val fr = fieldRoot(root, f.name)
       val snap = snaps(f.name)
@@ -163,9 +168,31 @@ object FieldedIndex {
         s"$inputSnapshot field=${f.name}",
         prePhases =
           if (i == 0) Seq("sort_dedup_assign" -> assignMs) else Nil)
-      IndexStore.writeSnapshot(spark, fr,
-        IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
-          snap.tombstones))
+      val advanced = (snap.dead, fannedDead) match {
+        case (None, _) => // legacy root: no sidecar to maintain
+          IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
+            snap.tombstones, None)
+        case (Some(batches), None) => // first maintained field: compute
+          val adv = IndexBuilder.advanceForAppend(spark, fr, snap, seg)
+          fannedDead = Some(adv.dead.get.diff(batches).headOption)
+          adv
+        case (Some(batches), Some(batchName)) => // fan the byte copy
+          batchName.foreach { name =>
+            val conf = spark.sparkContext.hadoopConfiguration
+            val fsys = IndexStore.fs(spark, root)
+            val src = fieldRoot(root,
+              fields.find(x => snaps(x.name).dead.isDefined).get.name)
+            Seq(s"dead/$name", s"dead/$name.count").foreach { rel =>
+              org.apache.hadoop.fs.FileUtil.copy(
+                fsys, new org.apache.hadoop.fs.Path(s"$src/$rel"),
+                fsys, new org.apache.hadoop.fs.Path(s"$fr/$rel"),
+                false, true, conf)
+            }
+          }
+          IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
+            snap.tombstones, Some(batches ++ batchName.toSeq))
+      }
+      IndexStore.writeSnapshot(spark, fr, advanced)
       f.name -> rep
     }.toMap
     dropBuildDir(spark, root)
@@ -201,7 +228,7 @@ object FieldedIndex {
       val snap = snaps(f.name)
       IndexStore.writeSnapshot(spark, fieldRoot(root, f.name),
         IndexStore.Snapshot(snap.id + 1, snap.segments,
-          snap.tombstones :+ name))
+          snap.tombstones :+ name, snap.dead))
     }
   }
 

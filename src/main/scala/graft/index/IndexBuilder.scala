@@ -818,13 +818,18 @@ object IndexBuilder {
   }
 
   /** FULL build (reference `OpenMode.CREATE`, Indexer.java:199-204): one
-    * segment, fresh snapshot id 0. */
+    * segment, fresh snapshot id 0. The snapshot is born
+    * superseded-sidecar-maintained (`dead = Some(Nil)`): a fresh segment
+    * is internally deduped, so the set is exactly empty, and every later
+    * [[advanceForAppend]] keeps it current — cold Searcher opens never
+    * pay the O(corpus) window on roots built by this version. */
   def buildFull(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
                 root: String, cfg: IndexConfig = IndexConfig(),
                 inputSnapshot: String = ""): BuildReport = {
     val seg = "seg-000000"
     val report = buildSegment(spark, pages, dict, root, seg, 0L, cfg, inputSnapshot)
-    IndexStore.writeSnapshot(spark, root, IndexStore.Snapshot(0L, Seq(seg), Seq.empty))
+    IndexStore.writeSnapshot(spark, root,
+      IndexStore.Snapshot(0L, Seq(seg), Seq.empty, dead = Some(Seq.empty)))
     report
   }
 
@@ -849,11 +854,59 @@ object IndexBuilder {
         }
     }.max
 
+  /** doc_ids superseded by the arrival of segment `newSeg`: for each url
+    * present in the new segment, every doc across old segments AND the
+    * new one that loses the latest-wins rule ((warc_ts, doc_id) desc —
+    * EXACTLY the Searcher's window order, including the case where the
+    * INCOMING doc is older than an existing version and is dead on
+    * arrival). The old-segment scan is column-pruned to 3 narrow
+    * columns and semi-joined to the batch's urls before the window, so
+    * the shuffle is O(matched urls) = O(batch), never O(corpus). */
+  private def supersededByAppend(spark: SparkSession, root: String,
+                                 oldSegments: Seq[String],
+                                 newSeg: String): DataFrame = {
+    val cols = Seq("doc_id", "url", "warc_ts")
+    val newDocs = spark.read.parquet(IndexStore.docstorePath(root, newSeg))
+      .select(cols.map(col): _*)
+    val oldDocs = oldSegments.map(s =>
+        spark.read.parquet(IndexStore.docstorePath(root, s))
+          .select(cols.map(col): _*))
+      .reduce(_ unionByName _)
+    val matched = oldDocs
+      .join(newDocs.select("url").distinct(), Seq("url"), "left_semi")
+    val w = Window.partitionBy("url")
+      .orderBy(col("warc_ts").desc, col("doc_id").desc)
+    matched.unionByName(newDocs.select(matched.columns.map(col): _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select("doc_id")
+  }
+
+  /** Advance `snap` for appended segment `newSeg`, maintaining the
+    * superseded-id sidecar when the root has one (an empty batch writes
+    * nothing — streams of fresh urls accumulate zero batches). A legacy
+    * root (`dead = None`) stays legacy: its Searcher keeps the window
+    * fallback, and a [[merge]]/[[mergeCompact]] upgrades it. The
+    * returned snapshot is NOT yet written — the caller commits it. */
+  private[graft] def advanceForAppend(spark: SparkSession, root: String,
+                                      snap: IndexStore.Snapshot,
+                                      newSeg: String): IndexStore.Snapshot = {
+    val dead = snap.dead.map { batches =>
+      val name = f"dead-${snap.id + 1}%06d"
+      val n = IndexStore.writeDeadIdsDf(spark, root, name,
+        supersededByAppend(spark, root, snap.segments, newSeg))
+      if (n == 0L) batches else batches :+ name
+    }
+    IndexStore.Snapshot(snap.id + 1, snap.segments :+ newSeg,
+      snap.tombstones, dead)
+  }
+
   /** APPEND build (reference `CREATE_OR_APPEND` + PK upsert, S1/S4): adds
     * a delta segment whose doc_ids start after the current maxDoc and
-    * advances the snapshot. Latest-wins vs older segments is applied at
-    * query time by [[graft.query.Searcher]] (like Lucene's liveDocs) and
-    * made physical by [[merge]]. */
+    * advances the snapshot, recording the batch's superseded doc_ids as
+    * a sidecar ([[advanceForAppend]]) so query-time latest-wins needs no
+    * corpus window. Latest-wins vs older segments is applied at query
+    * time by [[graft.query.Searcher]] (like Lucene's liveDocs) and made
+    * physical by [[merge]]. */
   def appendSegment(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
                     root: String, cfg: IndexConfig = IndexConfig(),
                     inputSnapshot: String = ""): BuildReport = {
@@ -863,7 +916,7 @@ object IndexBuilder {
     val seg = f"seg-${snap.id + 1}%06d"
     val report = buildSegment(spark, pages, dict, root, seg, nextBase, cfg, inputSnapshot)
     IndexStore.writeSnapshot(spark, root,
-      IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg, snap.tombstones))
+      advanceForAppend(spark, root, snap, seg))
     report
   }
 
@@ -904,7 +957,8 @@ object IndexBuilder {
     val name = f"tomb-${snap.id + 1}%06d"
     IndexStore.writeTombstonesDf(spark, root, name, urls)
     IndexStore.writeSnapshot(spark, root,
-      IndexStore.Snapshot(snap.id + 1, snap.segments, snap.tombstones :+ name))
+      IndexStore.Snapshot(snap.id + 1, snap.segments,
+        snap.tombstones :+ name, snap.dead))
   }
 
   /** Driver-side convenience overload for small interactive deletions. */
@@ -999,8 +1053,12 @@ object IndexBuilder {
     remapSidecar(IndexStore.facetsPath)
     remapSidecar(IndexStore.jsonFieldsPath)
 
+    // single fresh segment: no superseded docs survive, and a LEGACY
+    // root upgrades to sidecar-maintained here (the rebuild is the
+    // migration point for the dead sidecar exactly as for formatVersion)
     IndexStore.writeSnapshot(spark, root,
-      IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty))
+      IndexStore.Snapshot(snap.id + 1, Seq(seg), Seq.empty,
+        dead = Some(Seq.empty)))
     report
   }
 
@@ -1148,10 +1206,18 @@ object IndexBuilder {
       .reduce(_ unionByName _)
     val w = Window.partitionBy("url")
       .orderBy(col("warc_ts").desc, col("doc_id").desc)
-    val superseded =
-      if (snap.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
-      else allDocs.withColumn("__rn", row_number().over(w))
+    // sidecar-maintained roots read their superseded ids (may include
+    // ids whose rows an earlier tier pass already dropped — they match
+    // nothing downstream); only legacy roots pay the corpus window
+    val superseded = snap.dead match {
+      case Some(batches) =>
+        IndexStore.readDeadIdsDf(spark, root, batches)
+          .getOrElse(spark.emptyDataset[Long].toDF("doc_id"))
+      case None if snap.segments.size == 1 =>
+        spark.emptyDataset[Long].toDF("doc_id")
+      case None => allDocs.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") > 1).select("doc_id")
+    }
     val tombstoned =
       IndexStore.readTombstonesDf(spark, root, snap.tombstones) match {
         case None => spark.emptyDataset[Long].toDF("doc_id")
@@ -1388,9 +1454,16 @@ object IndexBuilder {
         hasPositions = withPos, analyzer = sc0.analyzer))
     val termCount = termObs.get("terms").asInstanceOf[Long]
     val remaining = snap.segments.filterNot(targets.contains)
+    // full compact (clearTombstones): one clean segment, no superseded
+    // rows left → sidecar resets to empty (upgrading legacy roots).
+    // Tier passes carry the batches: REMAINING segments still hold
+    // superseded rows those batches name; ids whose rows this pass
+    // dropped match nothing in the anti-join — harmless, same stance as
+    // the tombstones staying until the final pass.
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(snap.id + 1, remaining :+ seg,
-        if (clearTombstones) Seq.empty else snap.tombstones))
+        if (clearTombstones) Seq.empty else snap.tombstones,
+        if (clearTombstones) Some(Seq.empty) else snap.dead))
     lap("manifest_and_swap")
     Some(BuildReport(seg, docCount, termCount, manifestRows.map(_.rows).sum,
       (System.nanoTime() - t0) / 1000000, phases.result()))

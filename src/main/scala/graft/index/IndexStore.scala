@@ -232,7 +232,12 @@ object IndexStore {
     val f = fs(spark, root)
     val segs = snap.segments.map(s => s""""$s"""").mkString("[", ",", "]")
     val tombs = snap.tombstones.map(s => s""""$s"""").mkString("[", ",", "]")
-    val body = s"""{"id":${snap.id},"segments":$segs,"tombstones":$tombs}"""
+    // "dead" is written ONLY for sidecar-maintained roots: its absence is
+    // the legacy marker that routes a Searcher to the window fallback
+    val dead = snap.dead.fold("")(ds =>
+      s""","dead":${ds.map(s => s""""$s"""").mkString("[", ",", "]")}""")
+    val body =
+      s"""{"id":${snap.id},"segments":$segs,"tombstones":$tombs$dead}"""
     val snapPath = new Path(s"$root/snapshots/snap-${snap.id}.json")
     writeString(f, snapPath, body)
     // atomic pointer flip: write tmp, OVERWRITE-rename over LATEST —
@@ -251,6 +256,7 @@ object IndexStore {
   private val idRe = """"id":(\d+)""".r
   private val segsRe = """"segments":\[([^\]]*)\]""".r
   private val tombsRe = """"tombstones":\[([^\]]*)\]""".r
+  private val deadRe = """"dead":\[([^\]]*)\]""".r
 
   private def parseSnapshot(body: String): Snapshot = {
     val id = idRe.findFirstMatchIn(body).map(_.group(1).toLong).getOrElse(0L)
@@ -258,7 +264,9 @@ object IndexStore {
       s.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
     val segs = segsRe.findFirstMatchIn(body).map(m => parseList(m.group(1))).getOrElse(Seq.empty)
     val tombs = tombsRe.findFirstMatchIn(body).map(m => parseList(m.group(1))).getOrElse(Seq.empty)
-    Snapshot(id, segs, tombs)
+    // key absent (legacy snapshot) → None; present-but-empty → Some(Nil)
+    val dead = deadRe.findFirstMatchIn(body).map(m => parseList(m.group(1)))
+    Snapshot(id, segs, tombs, dead)
   }
 
   def readLatestSnapshot(spark: SparkSession, root: String): Option[Snapshot] = {
@@ -320,8 +328,11 @@ object IndexStore {
     val expired = expire.flatMap(readSnapshotAt(spark, root, _))
     val liveSegs = retained.flatMap(_.segments).toSet
     val liveTombs = retained.flatMap(_.tombstones).toSet
+    val liveDead = retained.flatMap(_.dead.getOrElse(Seq.empty)).toSet
     val deadSegs = expired.flatMap(_.segments).toSet -- liveSegs
     val deadTombs = expired.flatMap(_.tombstones).toSet -- liveTombs
+    val deadDeadBatches =
+      expired.flatMap(_.dead.getOrElse(Seq.empty)).toSet -- liveDead
     // POINTER BEFORE DATA: delete the expired snapshot JSONs first so a
     // crash mid-expire can never leave a readable snap-N.json pointing
     // at already-deleted segment dirs (a time-travel open would then
@@ -342,6 +353,12 @@ object IndexStore {
         val n = st.getPath.getName
         val base = n.stripSuffix(".count").stripSuffix(".txt")
         if (deadTombs.contains(base)) f.delete(st.getPath, true)
+      }
+    val deadDir = new Path(s"$root/dead")
+    if (f.exists(deadDir))
+      f.listStatus(deadDir).foreach { st =>
+        val base = st.getPath.getName.stripSuffix(".count")
+        if (deadDeadBatches.contains(base)) f.delete(st.getPath, true)
       }
     (expire.size, segsDeleted)
   }
@@ -404,5 +421,52 @@ object IndexStore {
       else None
     }
     if (dfs.isEmpty) None else Some(dfs.reduce(_ unionByName _))
+  }
+
+  // --- superseded-doc_id batches (`<root>/dead/<name>/`) ---
+  //
+  // The incremental liveDocs substrate (SURVEY §8 round-5 item): each
+  // APPEND writes the doc_ids its batch superseded (upsert losers across
+  // ALL segments, winners included when the incoming doc loses), so a
+  // cold Searcher open unions O(appends) small parquet batches instead
+  // of paying a full-corpus window shuffle. Same parquet + `.count`
+  // sidecar shape as tombstones (invariant 21 applies: the sidecar
+  // count feeds broadcast gates — never write a wrong one).
+
+  /** Write a superseded-id batch; returns its row count (from the write
+    * observation — no extra job). */
+  def writeDeadIdsDf(spark: SparkSession, root: String, name: String,
+                     ids: org.apache.spark.sql.DataFrame): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    ids.toDF("doc_id")
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .write.mode("overwrite")
+      .parquet(s"$root/dead/$name")
+    val n = obs.get("cnt").asInstanceOf[Long]
+    writeString(fs(spark, root), new Path(s"$root/dead/$name.count"),
+      n.toString)
+    n
+  }
+
+  /** Union of the named superseded-id batches (`doc_id` frame); None
+    * when there are none. */
+  def readDeadIdsDf(spark: SparkSession, root: String, names: Seq[String])
+      : Option[org.apache.spark.sql.DataFrame] =
+    if (names.isEmpty) None
+    else Some(names.map(n => spark.read.parquet(s"$root/dead/$n"))
+      .reduce(_ unionByName _))
+
+  /** Total rows across the named dead batches from the `.count`
+    * sidecars — no Spark job; None when any batch lacks one. */
+  def deadIdsCount(spark: SparkSession, root: String,
+                   names: Seq[String]): Option[Long] = {
+    if (names.isEmpty) return Some(0L)
+    val f = fs(spark, root)
+    val counts = names.map { n =>
+      val p = new Path(s"$root/dead/$n.count")
+      if (f.exists(p)) readString(f, p).trim.toLongOption else None
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
   }
 }

@@ -203,14 +203,28 @@ final class Searcher(
 
   /** Lucene-liveDocs analog: doc_ids superseded by a newer version of the
     * same url (upsert) or tombstoned (delete). Usually small; broadcast
-    * into an anti-join on the match path. */
+    * into an anti-join on the match path.
+    *
+    * The superseded side comes from the per-append sidecar batches
+    * (`snapshot.dead` — maintained incrementally by
+    * [[graft.index.IndexBuilder.appendSegment]]), so a cold open on a
+    * churned 50-segment root reads O(appends) tiny parquet files
+    * instead of paying a full-corpus window shuffle before the first
+    * query. Only LEGACY snapshots (no `dead` key, pre-round-5 layouts)
+    * fall back to deriving the set with the window. */
   val deadDocs: DataFrame = {
     val w = Window.partitionBy("url")
       .orderBy(col("warc_ts").desc, col("doc_id").desc)
-    val superseded =
-      if (snapshot.segments.size == 1) spark.emptyDataset[Long].toDF("doc_id")
-      else docstoreNarrow.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1).select("doc_id")
+    val superseded = snapshot.dead match {
+      case Some(batches) =>
+        IndexStore.readDeadIdsDf(spark, root, batches)
+          .getOrElse(spark.emptyDataset[Long].toDF("doc_id"))
+      case None if snapshot.segments.size == 1 =>
+        spark.emptyDataset[Long].toDF("doc_id")
+      case None =>
+        docstoreNarrow.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > 1).select("doc_id")
+    }
     val deleted =
       IndexStore.readTombstonesDf(spark, root, snapshot.tombstones) match {
         case None => spark.emptyDataset[Long].toDF("doc_id")

@@ -46,13 +46,17 @@ object StreamIndexer {
         IndexBuilder.buildSegment(spark, batch, dict, root, seg, 0L, cfg,
           s"stream-batch-$batchId")
         IndexStore.writeSnapshot(spark, root,
-          IndexStore.Snapshot(0L, Seq(seg), Seq.empty))
+          IndexStore.Snapshot(0L, Seq(seg), Seq.empty,
+            dead = Some(Seq.empty)))
       case Some(snap) =>
         IndexBuilder.buildSegment(spark, batch, dict, root, seg,
           nextDocId(spark, root, snap), cfg, s"stream-batch-$batchId")
+        // advanceForAppend maintains the superseded-id sidecar: upserted
+        // urls across micro-batches stay O(appends) at searcher open —
+        // a streamed root accumulating thousands of segments must never
+        // re-derive liveDocs with a corpus window
         IndexStore.writeSnapshot(spark, root,
-          IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
-            snap.tombstones))
+          IndexBuilder.advanceForAppend(spark, root, snap, seg))
     }
   }
 

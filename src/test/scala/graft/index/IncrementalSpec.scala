@@ -486,6 +486,70 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("superseded-id sidecar: a multi-segment cold open derives " +
+    "liveDocs from per-append batches with NO corpus window, the set " +
+    "equals the legacy window derivation exactly (incl. a doc dead on " +
+    "arrival), and search views agree") {
+    val root = tmpDir("graft-deadsc-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    IndexBuilder.appendSegment(spark, toDf(batch2), dict, root, cfg, "b2")
+    // third append: re-upsert some already-upserted urls (the PREVIOUS
+    // winner must join the dead set) + one re-crawl OLDER than its
+    // existing version (the incoming doc must be dead on arrival)
+    val batch3 = {
+      val newer = batch1.zipWithIndex.collect { case (p, i) if i % 20 == 0 =>
+        p.copy(warc_ts = new Timestamp(p.warc_ts.getTime + 2 * dayMs),
+          text = null)
+      }
+      val older = batch1(3) // i%10==3: not upserted in batch2
+      newer :+ older.copy(warc_ts = new Timestamp(older.warc_ts.getTime - dayMs))
+    }
+    IndexBuilder.appendSegment(spark, toDf(batch3), dict, root, cfg, "b3")
+    IndexBuilder.deleteByPk(spark, root, deletedUrls)
+
+    val snap = IndexStore.readLatestSnapshot(spark, root).get
+    assert(snap.dead.exists(_.nonEmpty), s"sidecar missing: ${snap.dead}")
+
+    val s = new Searcher(spark, root, dict)
+    try {
+      // the liveDocs plan must not contain the O(corpus) window
+      val plan = s.deadDocs.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        "sidecar-maintained open still runs the corpus window")
+      val sidecarDead = s.deadDocs.collect().map(_.getLong(0)).toSet
+      // legacy twin: same root, snapshot stripped of the dead key → the
+      // window fallback derives the set from scratch
+      IndexStore.writeSnapshot(spark, root,
+        IndexStore.Snapshot(snap.id + 1, snap.segments, snap.tombstones,
+          dead = None))
+      val sLegacy = new Searcher(spark, root, dict)
+      try {
+        val planL = sLegacy.deadDocs.queryExecution.executedPlan.toString
+        assert(planL.contains("Window"), "legacy fallback should window")
+        val windowDead = sLegacy.deadDocs.collect().map(_.getLong(0)).toSet
+        assert(sidecarDead == windowDead,
+          s"sidecar ≠ window: only-sidecar=${(sidecarDead -- windowDead).take(5)} " +
+            s"only-window=${(windowDead -- sidecarDead).take(5)}")
+        assert(sLegacy.numDocs == s.numDocs)
+        // and the served views agree query-by-query
+        for (q <- Seq("spark", "index", "data")) {
+          def view(x: Searcher) = x.search(q, 50).select("url", "score")
+            .collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+          assert(view(s) == view(sLegacy), s"'$q'")
+        }
+      } finally sLegacy.close()
+      // dead-on-arrival: batch3's OLDER re-crawl of batch1(3).url must be
+      // dead while the original (newer) doc stays live
+      val u = batch1(3).url
+      val versions = s.docstore.filter(col("url") === u)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(versions.size == 2)
+      val live = versions -- sidecarDead
+      assert(live.size == 1 && live.head == versions.min,
+        s"older re-crawl must lose: versions=$versions dead=$sidecarDead")
+    } finally s.close()
+  }
+
   test("snapshot time travel serves each snapshot's exact committed " +
     "view; expire_snapshots deletes orphan segments and expired ids " +
     "fail loudly") {
