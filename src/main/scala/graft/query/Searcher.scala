@@ -615,10 +615,26 @@ final class Searcher(
     * each query; `roundScoresTo` rounds BEFORE ranking (the same
     * oracle-parity knob as [[graft.index.FieldedIndex.FieldedSearcher
     * .searchMulti]]). Filter/NOT/msm clauses stay on the single-query
-    * surface. */
+    * surface.
+    *
+    * `prune = true` (conjunctive batches only) swaps the full decode of
+    * every query's terms for the batched analog of the single-query AND
+    * pruning: one pass decodes only the queries' RAREST terms into
+    * per-query candidate sets (collected under `maxRescore`, as in
+    * [[searchWand]]), then the rescore scan decodes each term only at
+    * the union of its queries' candidates (block-skipped docId decode).
+    * Lossless: a full AND match contains its query's rarest term, so
+    * each candidate set is complete; a fanned (query, doc) row coming
+    * from ANOTHER query's candidates reaches `matched == nt` only when
+    * the doc genuinely contains every term of that query — in which
+    * case it was in that query's candidates anyway. Scores stay
+    * bit-identical (same term-ordered fold over the same (tf, dl)).
+    * OR batches and cap overflows fall back to the exact scan. */
   def searchBatch(queries: Map[String, String], k: Int,
                   conjunctive: Boolean = true,
-                  roundScoresTo: Option[Int] = None): DataFrame = {
+                  roundScoresTo: Option[Int] = None,
+                  prune: Boolean = false,
+                  maxRescore: Int = 2000000): DataFrame = {
     val emptyOut = spark.emptyDataset[(String, Long, Double)]
       .toDF("query_id", "doc_id", "score")
     val analyzed = queries.view.mapValues(analyzeQuery).toMap
@@ -637,12 +653,56 @@ final class Searcher(
     val qtDf = qTerm.toDF("query_id", "term", "idf")
     val nTermsDf = analyzed.toSeq
       .map { case (qid, ts) => (qid, ts.size) }.toDF("query_id", "__nt")
+    // candidate-restricted per-term rows (prune) or the full decode scan
+    val perTermRows: Option[DataFrame] =
+      if (!prune || !conjunctive) None
+      else {
+        val liveQids = qTerm.map(_._1).distinct.toSet
+        val rarestOf: Map[String, String] = analyzed.collect {
+          case (qid, terms) if liveQids.contains(qid) =>
+            qid -> terms.minBy(t => infos(t).df)
+        }
+        val rtDf = rarestOf.toSeq.map { case (q, t) => (t, q) }
+          .toDF("term", "query_id")
+        val cand: Array[(String, Long)] =
+          postingsForTerms(rarestOf.values.toSeq.distinct)
+            .select("term", "blob").as[(String, Array[Byte])]
+            .flatMap { case (t, blob) =>
+              graft.codec.VarByte.decode(blob)._1.iterator.map(d => (t, d))
+            }.toDF("term", "doc_id")
+            .join(broadcast(rtDf), Seq("term"))
+            .select("query_id", "doc_id").as[(String, Long)]
+            .take(maxRescore + 1)
+        if (cand.length > maxRescore) None // cap tripped: exact path
+        else {
+          val byQid: Map[String, Array[Long]] =
+            cand.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+          // term → sorted distinct union of its queries' candidates
+          val needDocs: Map[String, Array[Long]] = qTerm
+            .groupBy(_._2).view.mapValues { qs =>
+              val a = qs.map(_._1).distinct
+                .flatMap(q => byQid.getOrElse(q, Array.empty[Long]))
+                .distinct.toArray
+              java.util.Arrays.sort(a)
+              a
+            }.toMap
+          val bcNeed = spark.sparkContext.broadcast(needDocs)
+          Some(postingsForTerms(qTerm.map(_._2).distinct)
+            .select("term", "blob").as[(String, Array[Byte])]
+            .flatMap { case (t, blob) =>
+              val (ds, tfs, dls) = graft.codec.VarByte.decodeForDocs(blob,
+                bcNeed.value.getOrElse(t, Array.empty[Long]))
+              ds.indices.iterator.map(i => (t, ds(i), tfs(i), dls(i)))
+            }.toDF("term", "doc_id", "tf", "dl"))
+        }
+      }
     // one scan over the union of terms; the broadcast (query_id, term,
     // idf) join fans each posting row to every query using its term
-    val decoded = postingsForTerms(qTerm.map(_._2).distinct)
-      .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
-      .select(col("term"), col("p.doc_id").as("doc_id"),
-        col("p.tf").as("tf"), col("p.dl").as("dl"))
+    val decoded = perTermRows.getOrElse(
+        postingsForTerms(qTerm.map(_._2).distinct)
+          .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
+          .select(col("term"), col("p.doc_id").as("doc_id"),
+            col("p.tf").as("tf"), col("p.dl").as("dl")))
       .join(broadcast(qtDf), Seq("term"))
     val scored = foldScores(applyMatchSetRestrictions(decoded, None),
         keys = Seq("query_id", "doc_id"))
