@@ -287,13 +287,59 @@ object FieldedIndex {
       * per-field scores, and `score` = Σ per-field BM25 summed in
       * field-name order (the fixed fold that keeps doubles
       * deterministic). `roundScoresTo` rounds the total BEFORE any
-      * downstream ranking. */
+      * downstream ranking.
+      *
+      * Cross-field AND pruning (SURVEY §8.3): no θ can prune an AND of
+      * fields (a single field's kth score does not bound the joint kth
+      * — the same reason single-field AND WAND uses rarest-term
+      * intersection, invariant 4), so the sound analog is
+      * intersection-driven: when one field is much more selective than
+      * the rest (min-df skew > 8×, the phrase-path gate), its scored
+      * match set is computed first and the OTHER fields' per-term rows
+      * semi-join it BEFORE their fold — their groupBy shuffles
+      * O(intersection) instead of O(field match set). Sums are
+      * bit-identical: restriction drops whole docs, never per-term
+      * contributions, and the inner join would have dropped them
+      * anyway. `pruneIntersect = false` forces the plain N-way join. */
     def scoredMulti(queries: Map[String, String],
-                    roundScoresTo: Option[Int] = None): DataFrame = {
+                    roundScoresTo: Option[Int] = None,
+                    pruneIntersect: Boolean = true): DataFrame = {
       require(queries.nonEmpty, "scoredMulti needs at least one field query")
       val ordered = queries.toSeq.sortBy(_._1)
+      // selectivity = min df over the field's analyzed terms (an upper
+      // bound on its conjunctive match set); one cached term_stats probe
+      // per field, same cache score() reads
+      val minDf: Map[String, Long] = ordered.map { case (f, q) =>
+        val s = searchers(f)
+        val terms = s.analyzeQuery(q)
+        val dfs =
+          if (terms.isEmpty) Seq(0L)
+          else {
+            val sp = s.spark
+            import sp.implicits._
+            val present = s.termStats
+              .filter(col("term").isin(terms: _*))
+              .select("df").as[Long].collect().toSeq
+            // a missing conjunctive term ⇒ empty match set ⇒ df bound 0
+            if (present.size < terms.size) Seq(0L) else present
+          }
+        f -> dfs.min
+      }.toMap
+      val best = ordered.minBy { case (f, _) => minDf(f) }._1
+      val skewed = ordered.size > 1 &&
+        ordered.map { case (f, _) => minDf(f) }.max > 8 * minDf(best)
+      // the selective field's scores are materialized ONCE (eager
+      // localCheckpoint) and serve both as its own score column and as
+      // the candidate set fed to every other field
+      val bestScored: Option[DataFrame] =
+        if (pruneIntersect && skewed)
+          Some(searchers(best).score(queries(best))
+            .select("doc_id", "score").localCheckpoint(true))
+        else None
       val perField = ordered.map { case (f, q) =>
-        searchers(f).score(q)
+        (if (f == best && bestScored.isDefined) bestScored.get
+         else searchers(f).score(q,
+           among = bestScored.map(_.select("doc_id"))))
           .select(col("doc_id"), col("score").as(s"score_$f"))
       }
       val joined = perField.reduce((a, b) => a.join(b, Seq("doc_id")))

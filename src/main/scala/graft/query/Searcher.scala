@@ -326,7 +326,8 @@ final class Searcher(
     * postings (norms colocation), so scoring needs NO docstore join — the
     * docstore is touched only by an explicit filter clause. */
   private def scoredMatches(terms: Seq[String], idfs: Seq[TermInfo],
-                            filter: Option[Column]): DataFrame = {
+                            filter: Option[Column],
+                            among: Option[DataFrame] = None): DataFrame = {
     if (terms.isEmpty || docCount == 0 || idfs.isEmpty) return emptyMatches
 
     val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
@@ -337,7 +338,11 @@ final class Searcher(
         col("p.tf").as("tf"), col("p.dl").as("dl"))
       .join(broadcast(idfDf), Seq("term"))
 
-    foldScores(applyMatchSetRestrictions(decoded, filter))
+    // candidate restriction BEFORE the fold: the groupBy then shuffles
+    // only the intersection's per-term rows
+    val restricted = applyMatchSetRestrictions(decoded, filter)
+    foldScores(among.fold(restricted)(c =>
+      restricted.join(c.select("doc_id"), Seq("doc_id"), "left_semi")))
   }
 
   /** Doc set containing ANY of the given index-present NOT terms
@@ -356,11 +361,20 @@ final class Searcher(
     * and never score (left-anti on the NOT-term doc set).
     * `minShouldMatch` (OR mode only) is Lucene's
     * minimumNumberShouldMatch: a doc must match at least that many
-    * distinct SHOULD terms. */
+    * distinct SHOULD terms.
+    * `among` (when set) restricts the match set to a candidate doc_id
+    * frame BEFORE the fold — non-scoring, like a filter clause; the
+    * cross-field pruning hook ([[graft.index.FieldedIndex
+    * .FieldedSearcher.scoredMulti]] semi-joins the less selective
+    * fields' per-term rows to the most selective field's matches, so
+    * their fold shuffles O(intersection) instead of O(field match
+    * set)). Scores of surviving docs are bit-identical: restriction
+    * removes whole docs, never per-term contributions. */
   def score(query: String, conjunctive: Boolean = true,
             filter: Option[Column] = None,
             notQuery: Option[String] = None,
-            minShouldMatch: Int = 0): DataFrame = {
+            minShouldMatch: Int = 0,
+            among: Option[DataFrame] = None): DataFrame = {
     val terms = analyzeQuery(query)
     val notTerms = notQuery.map(analyzeQuery).getOrElse(Seq.empty)
     // ONE driver lookup covers MUST and MUST_NOT terms (per-query
@@ -370,7 +384,7 @@ final class Searcher(
     val idfs = all.filter(i => termSet.contains(i.term))
     val notSet = notTerms.toSet
     val presentNot = all.map(_.term).filter(notSet.contains)
-    val scored = scoredMatches(terms, idfs, filter)
+    val scored = scoredMatches(terms, idfs, filter, among)
     val must =
       if (conjunctive) {
         if (idfs.size < terms.size) scored.where(lit(false))

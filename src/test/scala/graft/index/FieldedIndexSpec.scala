@@ -97,6 +97,39 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.nonEmpty)
   }
 
+  test("intersection-driven cross-field pruning: pruned and plain-join " +
+    "plans are bit-identical on the golden cases, and the gate routes a " +
+    "skewed field pair through the semi-join") {
+    // ('text' spark: head term; 'url' 123: rare keyword token) → skewed:
+    // the url field's match set drives, text's fold shuffles only it
+    for ((qs, label) <- Seq(
+        (Map("text" -> "spark", "url" -> "7"), "head×mid"),
+        (Map("text" -> "spark", "url" -> "page 123"), "head×rare"),
+        (Map("text" -> "spark index", "url" -> "https"), "both-head"),
+        (Map("text" -> "zzznotaword", "url" -> "7"), "empty-field"))) {
+      def run(prune: Boolean) =
+        fs.scoredMulti(qs, pruneIntersect = prune)
+          .select("doc_id", "score")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+      assert(run(true) == run(false), label)
+    }
+    // and the full searchMulti surface agrees with golden under pruning
+    // (same case as the cross-field AND test — default pruneIntersect)
+    val e = fs.searchMulti(Map("text" -> "spark", "url" -> "123"), 10)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tS = goldenText.scoreAll(
+      goldenText.analyze("spark", SynonymDict.empty), conjunctive = true)
+      .map(h => h.docId -> h.score).toMap
+    val uS = goldenUrl.scoreAll(
+      goldenUrl.analyze("123", SynonymDict.empty), conjunctive = true)
+      .map(h => h.docId -> h.score).toMap
+    val g = (tS.keySet intersect uS.keySet).toSeq
+      .map(id => (id, tS(id) + uS(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(e == g && e.nonEmpty)
+  }
+
   test("coordinated append + delete + compact: cross-field doc_id " +
     "alignment holds at every step and searchMulti ≡ a from-scratch " +
     "fielded rebuild of the logical corpus") {
