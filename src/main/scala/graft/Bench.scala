@@ -137,9 +137,17 @@ object Bench {
       time(searcher.searchBatch(batchQs, 10).collect())
     searcher.close()
 
+    // ---- operator battery at the driver's SF dir ----
+    SparkEntry.queries.foreach { case (name, fn) =>
+      results += name -> (try time(fn(spark, sfDir).count())
+      catch { case _: Throwable => -1.0 })
+    }
+
     // ---- v3 bitpacked posting blocks: same build + query protocol on
     // the SAME session (round-5 headline; v2 keys above stay the
-    // round-over-round comparables, the _v3 deltas are the evidence) ----
+    // round-over-round comparables, the _v3 deltas are the evidence).
+    // Runs AFTER the battery so its build's GC/page-cache churn cannot
+    // pollute the per-entry battery timings. ----
     val rootV3 = tmp()
     val cfgV3 = cfg.copy(formatVersion = graft.codec.VarByte.FormatV3)
     val tV3 = time(IndexBuilder.buildFull(spark,
@@ -159,12 +167,6 @@ object Bench {
     results += "bm25_batch_total_sec_v3" ->
       time(searcherV3.searchBatch(batchQs, 10).collect())
     searcherV3.close()
-
-    // ---- operator battery at the driver's SF dir ----
-    SparkEntry.queries.foreach { case (name, fn) =>
-      results += name -> (try time(fn(spark, sfDir).count())
-      catch { case _: Throwable => -1.0 })
-    }
     spark.stop()
 
     // ---- N → 4N scaling pair: local[2] vs local[8], same input ----

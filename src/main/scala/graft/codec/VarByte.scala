@@ -145,102 +145,159 @@ object VarByte {
     }
   }
 
+  /** INCREMENTAL posting-list encoder: append postings in ascending
+    * docId order, blocks are emitted as they fill, [[finish]] prepends
+    * the header and returns the blob. THE single implementation of
+    * block-body writing for both formats — [[encode]] is a thin wrapper
+    * — and the substrate of the streaming k-way merge
+    * ([[graft.index.IndexBuilder]] compaction/fragment merges), whose
+    * working set per merge group is O(blockSize), never O(term bytes).
+    * Validation (strictly ascending docIds, ascending positions with
+    * `|ps| == tf`) lives here so every encode path shares it. */
+  final class BlockEncoder(blockSize: Int = DefaultBlockSize,
+                           version: Int = DefaultFormatVersion,
+                           withPositions: Boolean = false) {
+    require(SupportedVersions.contains(version),
+      s"cannot encode format v$version (supported: $SupportedVersions)")
+    require(blockSize > 0, s"blockSize must be positive: $blockSize")
+    private val v3 = version == FormatV3
+    private val ids = new Array[Long](blockSize)
+    private val btfs = new Array[Int](blockSize)
+    private val bdls = new Array[Int](blockSize)
+    private val bposs: Array[Array[Int]] =
+      if (withPositions) new Array(blockSize) else null
+    private val gaps: Array[Long] = if (v3) new Array[Long](blockSize) else null
+    private var inBlock = 0
+    private var n = 0
+    private var prev = 0L
+    private var prevBlockLast = 0L
+    private var first = true
+    // accumulated BLOCK bytes (header prepended at finish)
+    private val blocks = new ArrayBuffer[Byte](blockSize * 4)
+    private val body = new ArrayBuffer[Byte](blockSize * 4)
+    // chunk-level bounds — free for callers that need (max_tf, min_dl)
+    // columns without a termBounds re-scan of the finished blob
+    private var chunkMaxTf = 0
+    private var chunkMinDl = Int.MaxValue
+
+    def count: Int = n
+    def maxTf: Int = chunkMaxTf
+    def minDl: Int = if (chunkMinDl == Int.MaxValue) 0 else chunkMinDl
+
+    def append(d: Long, tf: Int, dl: Int, ps: Array[Int] = null): Unit = {
+      val gap = d - prev
+      require(gap > 0 || (first && gap == 0 && d == 0),
+        s"docIds must be strictly ascending: $d after $prev")
+      require((ps != null) == withPositions,
+        "positions presence must match the encoder's withPositions")
+      val k = inBlock
+      ids(k) = d; btfs(k) = tf; bdls(k) = dl
+      if (v3) gaps(k) = gap
+      if (withPositions) bposs(k) = ps
+      if (tf > chunkMaxTf) chunkMaxTf = tf
+      if (dl < chunkMinDl) chunkMinDl = dl
+      prev = d
+      first = false
+      inBlock += 1
+      n += 1
+      if (inBlock == blockSize) flushBlock()
+    }
+
+    private def flushBlock(): Unit = {
+      if (inBlock == 0) return
+      val bn = inBlock
+      body.clear()
+      var maxTf = 0
+      var minDl = Int.MaxValue
+      var maxDl = 0
+      var maxGap = 0L
+      var k = 0
+      while (k < bn) {
+        if (btfs(k) > maxTf) maxTf = btfs(k)
+        if (bdls(k) < minDl) minDl = bdls(k)
+        if (v3) {
+          if (bdls(k) > maxDl) maxDl = bdls(k)
+          if (gaps(k) > maxGap) maxGap = gaps(k)
+        } else {
+          writeVLong(body, gaps0(k))
+          writeVLong(body, btfs(k).toLong)
+          writeVLong(body, bdls(k).toLong)
+          if (withPositions) writePositions(body, bposs(k), btfs(k))
+        }
+        k += 1
+      }
+      if (v3) {
+        val wGap = BitPack.width(maxGap)
+        val wTf = BitPack.width(maxTf.toLong)
+        val wDl = BitPack.width(maxDl.toLong)
+        body += wGap.toByte
+        body += wTf.toByte
+        body += wDl.toByte
+        body ++= BitPack.pack(gaps, 0, bn, wGap)
+        body ++= BitPack.packInts(btfs, 0, bn, wTf)
+        body ++= BitPack.packInts(bdls, 0, bn, wDl)
+        if (withPositions) {
+          var k3 = 0
+          while (k3 < bn) {
+            writePositions(body, bposs(k3), btfs(k3))
+            k3 += 1
+          }
+        }
+      }
+      writeVLong(blocks, bn.toLong)
+      writeVLong(blocks, body.length.toLong)
+      writeVLong(blocks, maxTf.toLong)
+      writeVLong(blocks, (if (minDl == Int.MaxValue) 0 else minDl).toLong)
+      writeVLong(blocks, ids(bn - 1) - prevBlockLast)
+      blocks ++= body
+      prevBlockLast = ids(bn - 1)
+      if (withPositions) java.util.Arrays.fill(
+        bposs.asInstanceOf[Array[AnyRef]], null) // release refs
+      inBlock = 0
+    }
+
+    /** v2 writes gaps straight from ids (no gaps array allocated). */
+    @inline private def gaps0(k: Int): Long =
+      if (v3) gaps(k)
+      else if (k == 0) ids(0) - prevBlockLast
+      else ids(k) - ids(k - 1)
+
+    /** Seal the blob. The encoder must not be used afterwards. */
+    def finish(): Array[Byte] = {
+      flushBlock()
+      val out = new ArrayBuffer[Byte](blocks.length + 16 + V3Pad)
+      out += Magic
+      writeVLong(out, version.toLong)
+      writeVLong(out, if (withPositions) FlagPositions else 0L)
+      writeVLong(out, n.toLong)
+      writeVLong(out, blockSize.toLong)
+      out ++= blocks
+      if (v3) out ++= new Array[Byte](V3Pad)
+      out.toArray
+    }
+  }
+
   /** Encode a docId-ascending (docId, tf, dl) list, optionally with
     * per-posting ascending position lists (`positions(i).length` must
     * equal `tfs(i)`). Throws on unsorted or duplicate docIds — the build
     * pipeline guarantees sorted input via sortWithinPartitions
     * (SURVEY.md §3.1). `version` picks the block body format (v2 varint
-    * or v3 bitpacked); both decode through the same read surface. */
+    * or v3 bitpacked); both decode through the same read surface.
+    * Implemented over [[BlockEncoder]] — one block-writing code path. */
   def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
              blockSize: Int = DefaultBlockSize,
              positions: Array[Array[Int]] = null,
              version: Int = DefaultFormatVersion): Array[Byte] = {
     require(docIds.length == tfs.length && docIds.length == dls.length)
     require(positions == null || positions.length == docIds.length)
-    require(SupportedVersions.contains(version),
-      s"cannot encode format v$version (supported: $SupportedVersions)")
-    val n = docIds.length
-    val v3 = version == FormatV3
-    val out = new ArrayBuffer[Byte](n * 3 + 16)
-    out += Magic
-    writeVLong(out, version.toLong)
-    writeVLong(out, if (positions == null) 0L else FlagPositions)
-    writeVLong(out, n.toLong)
-    writeVLong(out, blockSize.toLong)
+    val be = new BlockEncoder(blockSize, version, positions != null)
     var i = 0
-    var prevBlockLast = 0L
-    val body = new ArrayBuffer[Byte](blockSize * 4)
-    val gaps: Array[Long] =
-      if (v3) new Array[Long](math.min(blockSize, math.max(n, 1))) else null
-    while (i < n) {
-      val bn = math.min(blockSize, n - i)
-      body.clear()
-      var prev = prevBlockLast
-      var maxTf = 0
-      var minDl = Int.MaxValue
-      var maxDl = 0
-      var maxGap = 0L
-      var first = true
-      var k = 0
-      while (k < bn) {
-        val d = docIds(i + k)
-        val gap = d - prev
-        require(gap > 0 || (first && gap == 0 && prevBlockLast == 0 && d == 0),
-          s"docIds must be strictly ascending: $d after $prev")
-        if (v3) {
-          gaps(k) = gap
-          if (gap > maxGap) maxGap = gap
-          if (dls(i + k) > maxDl) maxDl = dls(i + k)
-        } else {
-          writeVLong(body, gap)
-          writeVLong(body, tfs(i + k).toLong)
-          writeVLong(body, dls(i + k).toLong)
-          if (positions != null)
-            writePositions(body, positions(i + k), tfs(i + k))
-        }
-        if (tfs(i + k) > maxTf) maxTf = tfs(i + k)
-        if (dls(i + k) < minDl) minDl = dls(i + k)
-        prev = d
-        first = false
-        k += 1
-      }
-      if (v3) {
-        val wGap = BitPack.width(maxGap)
-        var wTf = 0
-        var wDl = 0
-        var k2 = 0
-        while (k2 < bn) { // widths over the block's actual values
-          val wt = BitPack.width(tfs(i + k2).toLong)
-          val wd = BitPack.width(dls(i + k2).toLong)
-          if (wt > wTf) wTf = wt
-          if (wd > wDl) wDl = wd
-          k2 += 1
-        }
-        body += wGap.toByte
-        body += wTf.toByte
-        body += wDl.toByte
-        body ++= BitPack.pack(gaps, 0, bn, wGap)
-        body ++= BitPack.packInts(tfs, i, bn, wTf)
-        body ++= BitPack.packInts(dls, i, bn, wDl)
-        if (positions != null) {
-          var k3 = 0
-          while (k3 < bn) {
-            writePositions(body, positions(i + k3), tfs(i + k3))
-            k3 += 1
-          }
-        }
-      }
-      writeVLong(out, bn.toLong)
-      writeVLong(out, body.length.toLong)
-      writeVLong(out, maxTf.toLong)
-      writeVLong(out, (if (minDl == Int.MaxValue) 0 else minDl).toLong)
-      writeVLong(out, prev - prevBlockLast)
-      out ++= body
-      prevBlockLast = prev
-      i += bn
+    while (i < docIds.length) {
+      be.append(docIds(i), tfs(i), dls(i),
+        if (positions == null) null else positions(i))
+      i += 1
     }
-    if (v3) out ++= new Array[Byte](V3Pad)
-    out.toArray
+    be.finish()
   }
 
   /** Does the blob carry per-posting positions? */
@@ -489,6 +546,84 @@ object VarByte {
   def count(blob: Array[Byte]): Int = {
     val (r, _, _) = openReader(blob)
     r.readVInt()
+  }
+
+  /** Sequential posting CURSOR over one blob: decodes one entry per
+    * [[advance]] (v3 unpacks one block at a time into O(blockSize)
+    * scratch), so a k-way merge over cursors holds O(k · blockSize)
+    * postings instead of k fully-decoded lists — the streaming-merge
+    * substrate (the decode-everything merge OOM'd the 10M dress's
+    * compaction on head-term shards). Call [[advance]] before reading;
+    * `positions` is null when the blob has none or `wantPositions` is
+    * false (position bytes are read-and-discarded). */
+  final class Cursor(blob: Array[Byte], wantPositions: Boolean = false) {
+    private val opened = openReader(blob)
+    private val r = opened._1
+    private val ver = opened._2
+    private val withPos = (opened._3 & FlagPositions) != 0L
+    private val total = r.readVInt()
+    private val blockSize = r.readVInt()
+    private var consumed = 0
+    private var remainingInBlock = 0
+    private var blockIdx = 0
+    private var prevBlockLast = 0L
+    // v3 per-block scratch
+    private val v3 = ver == FormatV3
+    private val sIds: Array[Long] =
+      if (v3 && total > 0) new Array(math.min(blockSize, total)) else null
+    private val sTfs: Array[Int] =
+      if (v3 && total > 0) new Array(math.min(blockSize, total)) else null
+    private val sDls: Array[Int] =
+      if (v3 && total > 0) new Array(math.min(blockSize, total)) else null
+
+    var docId: Long = 0L
+    var tf: Int = 0
+    var dl: Int = 0
+    var positions: Array[Int] = null
+
+    def hasNext: Boolean = consumed < total
+    def size: Int = total
+
+    def advance(): Unit = {
+      if (!hasNext) throw new NoSuchElementException("cursor exhausted")
+      if (remainingInBlock == 0) {
+        prevBlockLast = docId // == previous block's last id; 0 at start
+        remainingInBlock = r.readVInt()
+        r.readVInt(); r.readVInt(); r.readVInt(); r.readVLong() // bodyLen..lastDelta
+        if (v3) {
+          readV3Sections(r, remainingInBlock, prevBlockLast,
+            sIds, sTfs, sDls, 0)
+          blockIdx = 0
+        }
+      }
+      if (v3) {
+        docId = sIds(blockIdx); tf = sTfs(blockIdx); dl = sDls(blockIdx)
+        blockIdx += 1
+      } else {
+        // v2 gaps chain continuously: a block's first gap is relative to
+        // the previous block's last docId, which IS the running docId
+        docId += r.readVLong()
+        tf = r.readVInt()
+        dl = r.readVInt()
+      }
+      if (withPos) readPositions()
+      consumed += 1
+      remainingInBlock -= 1
+    }
+
+    @inline private def readPositions(): Unit = {
+      if (wantPositions) {
+        val ps = new Array[Int](tf)
+        var acc = 0
+        var j = 0
+        while (j < tf) { acc += r.readVInt(); ps(j) = acc; j += 1 }
+        positions = ps
+      } else {
+        var j = 0
+        while (j < tf) { r.readVLong(); j += 1 }
+        positions = null
+      }
+    }
   }
 
   /** (max tf, min dl) across blocks from headers only — the term-level

@@ -52,9 +52,14 @@ object IndexBuilder {
                                       // handles multi-row terms — a
                                       // multi-segment index is that
                                       // shape already)
-      flushEntries: Long = 4L << 20, // RAM posting-buffer flush threshold
+      flushEntries: Long = 2L << 20, // RAM posting-buffer flush threshold
                                      // (Lucene ramBufferSize analog,
-                                     // ~64 MB of buffer arrays per task)
+                                     // ~32 MB of buffer arrays per task).
+                                     // Halved in round 5: the 10M dress
+                                     // found 32 CONCURRENT fragment
+                                     // tasks × (buffers + flush output)
+                                     // GC-collapsing an 8g heap — the
+                                     // 5M dress only ever ran ~16
       indexPositions: Boolean = false, // per-posting token positions
                                        // (phrase queries; reference
                                        // DOCS_AND_FREQS_AND_POSITIONS,
@@ -213,7 +218,14 @@ object IndexBuilder {
   /** K-way merge of DECODED posting lists with disjoint doc sets but
     * (possibly) interleaved id ranges → merged arrays. The shared engine
     * of both the within-build fragment merge and the cross-segment
-    * [[mergeCompact]]. */
+    * [[mergeCompact]].
+    *
+    * Small fan-ins use a linear best-of-k scan (cheapest constants);
+    * larger ones a binary min-heap over fragment heads — the linear
+    * scan is O(k·total), and the round-5 10M dress ran it at k ≈ 64
+    * fragments per head-term shard (32 concurrent map tasks × 2 flushes
+    * each), where it became the dominant cost of the whole postings
+    * phase. */
   private[index] def mergeArrays(decoded: Array[Decoded],
                                  withPos: Boolean): Decoded = {
     val total = decoded.map(_._1.length).sum
@@ -223,23 +235,75 @@ object IndexBuilder {
     val poss: Array[Array[Int]] = if (withPos) new Array(total) else null
     val pos = new Array[Int](decoded.length)
     var filled = 0
-    while (filled < total) {
-      var best = -1
-      var bestId = Long.MaxValue
-      var k = 0
-      while (k < decoded.length) {
-        val p = pos(k)
-        if (p < decoded(k)._1.length && decoded(k)._1(p) < bestId) {
-          best = k; bestId = decoded(k)._1(p)
+    if (decoded.length <= 8) {
+      while (filled < total) {
+        var best = -1
+        var bestId = Long.MaxValue
+        var k = 0
+        while (k < decoded.length) {
+          val p = pos(k)
+          if (p < decoded(k)._1.length && decoded(k)._1(p) < bestId) {
+            best = k; bestId = decoded(k)._1(p)
+          }
+          k += 1
         }
-        k += 1
+        ids(filled) = bestId
+        tfs(filled) = decoded(best)._2(pos(best))
+        dls(filled) = decoded(best)._3(pos(best))
+        if (withPos) poss(filled) = decoded(best)._4(pos(best))
+        pos(best) += 1
+        filled += 1
       }
-      ids(filled) = bestId
-      tfs(filled) = decoded(best)._2(pos(best))
-      dls(filled) = decoded(best)._3(pos(best))
-      if (withPos) poss(filled) = decoded(best)._4(pos(best))
-      pos(best) += 1
-      filled += 1
+    } else {
+      // min-heap of fragment indexes keyed by their head docId; doc
+      // sets are disjoint so keys never tie across live fragments
+      val heap = new Array[Int](decoded.length)
+      var hn = 0
+      @inline def headId(f: Int): Long = decoded(f)._1(pos(f))
+      @inline def siftUp(i0: Int): Unit = {
+        var i = i0
+        while (i > 0 && headId(heap(i)) < headId(heap((i - 1) >> 1))) {
+          val p = (i - 1) >> 1
+          val t = heap(i); heap(i) = heap(p); heap(p) = t
+          i = p
+        }
+      }
+      @inline def siftDown(): Unit = {
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < hn && headId(heap(l)) < headId(heap(m))) m = l
+          if (r < hn && headId(heap(r)) < headId(heap(m))) m = r
+          if (m == i) done = true
+          else {
+            val t = heap(i); heap(i) = heap(m); heap(m) = t
+            i = m
+          }
+        }
+      }
+      var f = 0
+      while (f < decoded.length) {
+        if (decoded(f)._1.nonEmpty) { heap(hn) = f; hn += 1; siftUp(hn - 1) }
+        f += 1
+      }
+      while (filled < total) {
+        val best = heap(0)
+        val p = pos(best)
+        ids(filled) = decoded(best)._1(p)
+        tfs(filled) = decoded(best)._2(p)
+        dls(filled) = decoded(best)._3(p)
+        if (withPos) poss(filled) = decoded(best)._4(p)
+        pos(best) = p + 1
+        filled += 1
+        if (p + 1 < decoded(best)._1.length) siftDown()
+        else {
+          hn -= 1
+          if (hn > 0) { heap(0) = heap(hn); siftDown() }
+        }
+      }
     }
     (ids, tfs, dls, poss)
   }
@@ -336,6 +400,102 @@ object IndexBuilder {
     encodeChunks(
       mergeArrays(frags.map(VarByte.decodeWithPositions), withPos),
       blockSize, maxPostings, version)
+  }
+
+  /** STREAMING k-way merge of posting blobs (disjoint doc sets, possibly
+    * interleaved id ranges) with optional dead-id skip and ≤`maxPostings`
+    * chunked re-encode: [[graft.codec.VarByte.Cursor]]s + a binary
+    * min-heap + an incremental [[graft.codec.VarByte.BlockEncoder]].
+    * Working set is O(k · blockSize + one output chunk) — NEVER O(term
+    * bytes): the decode-everything-then-merge shape held every fragment
+    * of a head-term shard fully decoded (positions included) per task
+    * and GC-collapsed the 10M dress's 8 GiB heap at 32 concurrent merge
+    * tasks. This is the merge engine of both the build's reduce side and
+    * the posting-level compaction. Returns (blob, count, maxTf, minDl)
+    * per chunk; empty when every posting died. */
+  private[index] def mergeBlobsStreaming(blobs: Seq[Array[Byte]],
+                                         withPos: Boolean, blockSize: Int,
+                                         version: Int, maxPostings: Int,
+                                         dead: Array[Long] = Array.empty[Long])
+      : Seq[(Array[Byte], Int, Int, Int)] = {
+    require(maxPostings > 0, s"maxBlobPostings must be positive: $maxPostings")
+    val cursors = blobs.iterator
+      .map(b => new VarByte.Cursor(b, wantPositions = withPos))
+      .filter(_.hasNext).toArray
+    cursors.foreach(_.advance())
+    // min-heap of cursor indexes by current docId (doc sets disjoint)
+    val heap = new Array[Int](math.max(cursors.length, 1))
+    var hn = 0
+    @inline def idOf(c: Int): Long = cursors(c).docId
+    @inline def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && idOf(heap(i)) < idOf(heap((i - 1) >> 1))) {
+        val p = (i - 1) >> 1
+        val t = heap(i); heap(i) = heap(p); heap(p) = t
+        i = p
+      }
+    }
+    @inline def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var m = i
+        if (l < hn && idOf(heap(l)) < idOf(heap(m))) m = l
+        if (r < hn && idOf(heap(r)) < idOf(heap(m))) m = r
+        if (m == i) done = true
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+      }
+    }
+    var c = 0
+    while (c < cursors.length) { heap(hn) = c; hn += 1; siftUp(hn - 1); c += 1 }
+    val out = Seq.newBuilder[(Array[Byte], Int, Int, Int)]
+    var be: VarByte.BlockEncoder = null
+    while (hn > 0) {
+      val top = heap(0)
+      val cur = cursors(top)
+      if (dead.isEmpty || java.util.Arrays.binarySearch(dead, cur.docId) < 0) {
+        if (be == null)
+          be = new VarByte.BlockEncoder(blockSize, version, withPos)
+        be.append(cur.docId, cur.tf, cur.dl, cur.positions)
+        if (be.count == maxPostings) {
+          out += ((be.finish(), be.count, be.maxTf, be.minDl))
+          be = null
+        }
+      }
+      if (cur.hasNext) { cur.advance(); siftDown() }
+      else {
+        hn -= 1
+        if (hn > 0) { heap(0) = heap(hn); siftDown() }
+      }
+    }
+    if (be != null && be.count > 0)
+      out += ((be.finish(), be.count, be.maxTf, be.minDl))
+    out.result()
+  }
+
+  /** Header-only conservative check: could any id of `dead` (sorted)
+    * coincide with a posting in this blob? Block docId ranges only —
+    * `false` GUARANTEES the blob is untouched (licensing the byte
+    * passthrough); `true` may be a near-miss (the posting then merely
+    * loses the passthrough and takes the streaming merge). */
+  private[index] def blobTouchesDead(blob: Array[Byte],
+                                     dead: Array[Long]): Boolean = {
+    if (dead.isEmpty) return false
+    var touched = false
+    VarByte.scan(blob) { h =>
+      if (!touched) {
+        // conservative range [prevBlockLast, lastDocId]: including the
+        // boundary id (really the PREVIOUS block's last) only ever
+        // flags extra, never misses
+        var lo = java.util.Arrays.binarySearch(dead, h.prevBlockLast)
+        if (lo < 0) lo = -lo - 1
+        if (lo < dead.length && dead(lo) <= h.lastDocId) touched = true
+      }
+      false
+    }((_, _, _) => ())
+    touched
   }
 
   /** Drop postings whose docId is in `dead` (sorted ascending); returns
@@ -668,25 +828,46 @@ object IndexBuilder {
         // happens only between documents, so fragment doc sets stay
         // disjoint and the reduce-side k-way merge is unaffected)
         new Iterator[InternalRow] {
-          private val bufs = new java.util.HashMap[String, Array[FragBuf]]()
+          private var bufs = new java.util.HashMap[String, Array[FragBuf]]()
           private var entries = 0L
           private var pending: Iterator[InternalRow] = Iterator.empty
+          // STREAMING flush: detach the buffer map and encode it ONE term
+          // at a time, removing each entry as it is consumed — the task's
+          // peak is (buffers + one encoded fragment), never (buffers +
+          // every fragment of the flush at once). The eager toVector
+          // variant held both and GC-collapsed an 8 GiB heap when 32
+          // fragment tasks ran concurrently (round-5 10M dress).
           private def flush(): Unit = {
-            import scala.jdk.CollectionConverters._
-            val out = bufs.entrySet().iterator().asScala.flatMap { e =>
-              val term = e.getKey
-              val termUtf = org.apache.spark.unsafe.types.UTF8String.fromString(term)
-              e.getValue.iterator.zipWithIndex.filter(_._1.nonEmpty).map {
-                case (buf, salt) =>
-                  val (ids, tfs, dls, poss) = buf.sorted()
-                  InternalRow(partOf(term, salt, numParts), termUtf, ids(0),
-                    VarByte.encode(ids, tfs, dls, blockSize, poss,
-                      fmtVer)): InternalRow
-              }
-            }.toVector
-            bufs.clear()
+            val old = bufs
+            bufs = new java.util.HashMap[String, Array[FragBuf]]()
             entries = 0L
-            pending = out.iterator
+            val it = old.entrySet().iterator()
+            pending = new Iterator[InternalRow] {
+              private var inner: Iterator[InternalRow] = Iterator.empty
+              def hasNext: Boolean = {
+                while (!inner.hasNext && it.hasNext) {
+                  val e = it.next()
+                  val term = e.getKey
+                  val shards = e.getValue
+                  it.remove() // buffer becomes collectible once encoded
+                  val termUtf =
+                    org.apache.spark.unsafe.types.UTF8String.fromString(term)
+                  inner = shards.iterator.zipWithIndex
+                    .filter(_._1.nonEmpty).map { case (buf, salt) =>
+                      val (ids, tfs, dls, poss) = buf.sorted()
+                      InternalRow(partOf(term, salt, numParts), termUtf,
+                        ids(0),
+                        VarByte.encode(ids, tfs, dls, blockSize, poss,
+                          fmtVer)): InternalRow
+                    }
+                }
+                inner.hasNext
+              }
+              def next(): InternalRow = {
+                if (!hasNext) throw new NoSuchElementException
+                inner.next()
+              }
+            }
           }
           private def consume(): Unit = {
             while (rows.hasNext && entries < flushEntries) {
@@ -762,10 +943,12 @@ object IndexBuilder {
             Seq(PostingRow(part, term, VarByte.count(first).toLong,
               maxTf, minDl, first))
           } else
-            mergeFragmentsChunked(run.map(_._4).toArray, blockSize, maxBlob,
-                fmtVer)
-              .toSeq.map { case (blob, cnt) =>
-                val (maxTf, minDl) = VarByte.termBounds(blob)
+            // STREAMING merge: O(k·blockSize) per group, not O(term
+            // bytes) — head-term shards at 10M+ docs merge ~64
+            // fragments here
+            mergeBlobsStreaming(run.map(_._4), withPos, blockSize,
+                fmtVer, maxBlob)
+              .map { case (blob, cnt, maxTf, minDl) =>
                 PostingRow(part, term, cnt.toLong, maxTf, minDl, blob)
               }
         }
@@ -1325,18 +1508,15 @@ object IndexBuilder {
             val (part, term, df0, mt0, md0, first) = run.head
             // single-source blobs pass through byte-identical IF within
             // the cap — compaction is the one chance to re-chunk an
-            // oversized legacy blob. Multi-blob terms always merge and
+            // oversized legacy blob. Multi-blob terms stream-merge and
             // re-chunk (a disjoint-range passthrough would need the
-            // blobs' first doc ids, which headers don't carry —
-            // re-encode is O(term bytes), same class as the compaction
-            // itself, so the check isn't worth a partial decode).
+            // blobs' first doc ids, which headers don't carry).
             if (run.size == 1 && VarByte.count(first) <= maxBlob)
               Seq(CompactRow(part, term, df0, mt0, md0, first))
             else
-              mergeFragmentsChunked(run.map(_._6).toArray, blockSize,
-                  maxBlob, segVer)
-                .toSeq.map { case (blob, cnt) =>
-                  val (mt, md) = VarByte.termBounds(blob)
+              mergeBlobsStreaming(run.map(_._6), withPos, blockSize,
+                  segVer, maxBlob)
+                .map { case (blob, cnt, mt, md) =>
                   CompactRow(part, term, cnt.toLong, mt, md, blob)
                 }
           }
@@ -1346,22 +1526,24 @@ object IndexBuilder {
         allPostings.mapPartitions { it =>
           val dead = bcDead.value
           runGrouped(it)((a, b) => a._1 == b._1 && a._2 == b._2) { run =>
-            val (part, term, _, mt0, md0, first) = run.head
-            val decoded = run.map(r => VarByte.decodeWithPositions(r._6)).toArray
-            val filtered = decoded.map(filterDead(_, dead))
-            val total = filtered.map(_._1.length).sum
-            if (total == 0) Seq.empty // terms whose docs all died vanish
-            else if (run.size == 1 && (filtered(0) eq decoded(0)) &&
-                total <= maxBlob)
-              // untouched by deletions and within cap: reuse bytes
-              Seq(CompactRow(part, term, total.toLong, mt0, md0, first))
-            else
-              encodeChunks(mergeArrays(filtered, withPos), blockSize,
-                  maxBlob, segVer)
-                .toSeq.map { case (blob, cnt) =>
-                  val (mt, md) = VarByte.termBounds(blob)
-                  CompactRow(part, term, cnt.toLong, mt, md, blob)
-                }
+            val (part, term, df0, mt0, md0, first) = run.head
+            // single-blob fast path: a cheap header walk (block docId
+            // ranges) detects terms no dead id can touch — their bytes
+            // pass through UNDECODED; everything else stream-merges
+            // with the dead skip applied per emitted posting (the
+            // decode-everything + filterDead shape held whole head-term
+            // shards in memory and OOM'd the 10M compaction)
+            if (run.size == 1 && VarByte.count(first) <= maxBlob &&
+                !blobTouchesDead(first, dead))
+              Seq(CompactRow(part, term, df0, mt0, md0, first))
+            else {
+              val chunks = mergeBlobsStreaming(run.map(_._6), withPos,
+                blockSize, segVer, maxBlob, dead)
+              if (chunks.isEmpty) Seq.empty // all docs died: term vanishes
+              else chunks.map { case (blob, cnt, mt, md) =>
+                CompactRow(part, term, cnt.toLong, mt, md, blob)
+              }
+            }
           }
         }
       }
