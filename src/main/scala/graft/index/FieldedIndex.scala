@@ -306,33 +306,40 @@ object FieldedIndex {
                     pruneIntersect: Boolean = true): DataFrame = {
       require(queries.nonEmpty, "scoredMulti needs at least one field query")
       val ordered = queries.toSeq.sortBy(_._1)
-      // selectivity = min df over the field's analyzed terms (an upper
-      // bound on its conjunctive match set); one cached term_stats probe
-      // per field, same cache score() reads
-      val minDf: Map[String, Long] = ordered.map { case (f, q) =>
-        val s = searchers(f)
-        val terms = s.analyzeQuery(q)
-        val dfs =
-          if (terms.isEmpty) Seq(0L)
-          else {
-            val sp = s.spark
-            import sp.implicits._
-            val present = s.termStats
-              .filter(col("term").isin(terms: _*))
-              .select("df").as[Long].collect().toSeq
-            // a missing conjunctive term ⇒ empty match set ⇒ df bound 0
-            if (present.size < terms.size) Seq(0L) else present
-          }
-        f -> dfs.min
-      }.toMap
-      val best = ordered.minBy { case (f, _) => minDf(f) }._1
-      val skewed = ordered.size > 1 &&
-        ordered.map { case (f, _) => minDf(f) }.max > 8 * minDf(best)
+      // the selectivity probe and the pruning decision run ONLY when the
+      // gate can possibly fire (invariant 7: driver lookups are the
+      // local-mode latency — a disabled or single-field call must not
+      // pay extra term_stats jobs whose result it discards)
+      val (best, skewed) =
+        if (!pruneIntersect || ordered.size < 2) ("", false)
+        else {
+          // selectivity = min df over the field's analyzed terms (an
+          // upper bound on its conjunctive match set); one cached
+          // term_stats probe per field, same cache score() reads
+          val minDf: Map[String, Long] = ordered.map { case (f, q) =>
+            val s = searchers(f)
+            val terms = s.analyzeQuery(q)
+            val dfs =
+              if (terms.isEmpty) Seq(0L)
+              else {
+                val sp = s.spark
+                import sp.implicits._
+                val present = s.termStats
+                  .filter(col("term").isin(terms: _*))
+                  .select("df").as[Long].collect().toSeq
+                // a missing conjunctive term ⇒ empty match set ⇒ df 0
+                if (present.size < terms.size) Seq(0L) else present
+              }
+            f -> dfs.min
+          }.toMap
+          val b = ordered.minBy { case (f, _) => minDf(f) }._1
+          (b, ordered.map { case (f, _) => minDf(f) }.max > 8 * minDf(b))
+        }
       // the selective field's scores are materialized ONCE (eager
       // localCheckpoint) and serve both as its own score column and as
       // the candidate set fed to every other field
       val bestScored: Option[DataFrame] =
-        if (pruneIntersect && skewed)
+        if (skewed)
           Some(searchers(best).score(queries(best))
             .select("doc_id", "score").localCheckpoint(true))
         else None

@@ -341,13 +341,6 @@ object IndexBuilder {
     out.result()
   }
 
-  /** Single-blob merge (legacy callers / chunking disabled). */
-  private[index] def mergeDecoded(decoded: Array[Decoded], withPos: Boolean,
-                                  blockSize: Int,
-                                  version: Int = VarByte.DefaultFormatVersion)
-      : Array[Byte] =
-    encodeChunks(mergeArrays(decoded, withPos), blockSize,
-      Int.MaxValue, version).head._1
 
   /** Group a sorted iterator into contiguous runs (same `sameRun` as the
     * run's first element) and flat-map each run through `emit` — the one
@@ -374,33 +367,6 @@ object IndexBuilder {
         val r = queued.head; queued = queued.tail; r
       }
     }
-
-  private[index] def mergeFragments(frags: Array[Array[Byte]],
-                                    blockSize: Int,
-                                    version: Int = VarByte.DefaultFormatVersion)
-      : Array[Byte] = {
-    val withPos = VarByte.hasPositions(frags(0))
-    // one build = one config, so fragments can't mix — but fail loudly if
-    // they ever do (a mixed set would NPE or silently drop positions
-    // depending on which fragment happens to be first)
-    require(frags.forall(f => VarByte.hasPositions(f) == withPos),
-      "cannot merge positional and non-positional posting fragments")
-    mergeDecoded(frags.map(VarByte.decodeWithPositions), withPos, blockSize,
-      version)
-  }
-
-  /** [[mergeFragments]] with chunked output (blob, count) rows. */
-  private[index] def mergeFragmentsChunked(frags: Array[Array[Byte]],
-                                           blockSize: Int, maxPostings: Int,
-                                           version: Int = VarByte.DefaultFormatVersion)
-      : Array[(Array[Byte], Int)] = {
-    val withPos = VarByte.hasPositions(frags(0))
-    require(frags.forall(f => VarByte.hasPositions(f) == withPos),
-      "cannot merge positional and non-positional posting fragments")
-    encodeChunks(
-      mergeArrays(frags.map(VarByte.decodeWithPositions), withPos),
-      blockSize, maxPostings, version)
-  }
 
   /** STREAMING k-way merge of posting blobs (disjoint doc sets, possibly
     * interleaved id ranges) with optional dead-id skip and ≤`maxPostings`
@@ -496,35 +462,6 @@ object IndexBuilder {
       false
     }((_, _, _) => ())
     touched
-  }
-
-  /** Drop postings whose docId is in `dead` (sorted ascending); returns
-    * the input arrays untouched when nothing matches. */
-  private[index] def filterDead(d: Decoded, dead: Array[Long]): Decoded = {
-    if (dead.isEmpty) return d
-    val (ids, tfs, dls, poss) = d
-    var n = 0
-    var i = 0
-    while (i < ids.length) {
-      if (java.util.Arrays.binarySearch(dead, ids(i)) < 0) n += 1
-      i += 1
-    }
-    if (n == ids.length) return d
-    val ids2 = new Array[Long](n)
-    val tfs2 = new Array[Int](n)
-    val dls2 = new Array[Int](n)
-    val poss2: Array[Array[Int]] = if (poss == null) null else new Array(n)
-    var j = 0
-    i = 0
-    while (i < ids.length) {
-      if (java.util.Arrays.binarySearch(dead, ids(i)) < 0) {
-        ids2(j) = ids(i); tfs2(j) = tfs(i); dls2(j) = dls(i)
-        if (poss != null) poss2(j) = poss(i)
-        j += 1
-      }
-      i += 1
-    }
-    (ids2, tfs2, dls2, poss2)
   }
 
   /** Dedup+id-assign sort key: (url asc, warc_ts desc, text desc nulls
@@ -1051,9 +988,21 @@ object IndexBuilder {
     val cols = Seq("doc_id", "url", "warc_ts")
     val newDocs = spark.read.parquet(IndexStore.docstorePath(root, newSeg))
       .select(cols.map(col): _*)
+    // [minUrl, maxUrl] of the batch, pushed into every old-docstore scan:
+    // docstores are written in url sort order, so parquet row-group url
+    // stats prune hard when a micro-batch clusters by url — without it a
+    // long-running stream's per-append scan cost is O(corpus) even for a
+    // batch touching one url range. (One tiny agg over the just-written
+    // batch segment; a batch spanning the whole url space degrades to
+    // the full column-pruned scan, which the semi-join then shrinks.)
+    val r = newDocs.agg(min("url"), max("url")).head()
+    if (r.isNullAt(0)) // empty batch: nothing can be superseded
+      return spark.range(0).select(col("id").as("doc_id"))
+    val (loUrl, hiUrl) = (r.getString(0), r.getString(1))
     val oldDocs = oldSegments.map(s =>
         spark.read.parquet(IndexStore.docstorePath(root, s))
-          .select(cols.map(col): _*))
+          .select(cols.map(col): _*)
+          .where(col("url").between(loUrl, hiUrl)))
       .reduce(_ unionByName _)
     val matched = oldDocs
       .join(newDocs.select("url").distinct(), Seq("url"), "left_semi")

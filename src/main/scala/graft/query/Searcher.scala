@@ -217,8 +217,22 @@ final class Searcher(
       .orderBy(col("warc_ts").desc, col("doc_id").desc)
     val superseded = snapshot.dead match {
       case Some(batches) =>
-        IndexStore.readDeadIdsDf(spark, root, batches)
-          .getOrElse(spark.emptyDataset[Long].toDF("doc_id"))
+        IndexStore.readDeadIdsDf(spark, root, batches) match {
+          case None => spark.emptyDataset[Long].toDF("doc_id")
+          case Some(raw) =>
+            // restrict to ids whose rows still EXIST: a tiered
+            // compaction pass drops its tier's dead rows but carries
+            // the batches, so raw ids can be stale — harmless in the
+            // anti-joins but they would inflate deadDocCount and make
+            // numDocs undercount. The batch count comes from the
+            // write-time `.count` sidecars (no job) and gates
+            // broadcast-vs-shuffle exactly like the tombstone side.
+            val n = IndexStore.deadIdsCount(spark, root, batches)
+              .getOrElse(raw.count())
+            val side = if (n <= maxBroadcastDeadDocs) broadcast(raw) else raw
+            docstoreNarrow.join(side, Seq("doc_id"), "left_semi")
+              .select("doc_id")
+        }
       case None if snapshot.segments.size == 1 =>
         spark.emptyDataset[Long].toDF("doc_id")
       case None =>

@@ -550,6 +550,32 @@ class IncrementalSpec extends AnyFunSuite with SparkTestBase {
     } finally s.close()
   }
 
+  test("stale sidecar ids (rows already dropped by a compaction pass) " +
+    "do not inflate deadDocCount: numDocs stays exact") {
+    val root = tmpDir("graft-deadstale-")
+    IndexBuilder.buildFull(spark, toDf(batch1), dict, root, cfg, "b1")
+    IndexBuilder.appendSegment(spark, toDf(batch2), dict, root, cfg, "b2")
+    val withDead = IndexStore.readLatestSnapshot(spark, root).get
+    assert(withDead.dead.exists(_.nonEmpty))
+    val liveBefore = { // ground truth before compaction
+      val s = new Searcher(spark, root, dict)
+      try s.numDocs finally s.close()
+    }
+    IndexBuilder.mergeCompact(spark, root, dict, cfg)
+    // model a tier pass / crash mid-schedule: the compacted segment has
+    // dropped the dead rows, but the snapshot still CARRIES the batches
+    val snap = IndexStore.readLatestSnapshot(spark, root).get
+    IndexStore.writeSnapshot(spark, root,
+      IndexStore.Snapshot(snap.id + 1, snap.segments, snap.tombstones,
+        dead = withDead.dead))
+    val s = new Searcher(spark, root, dict)
+    try {
+      assert(s.numDocs == liveBefore,
+        s"stale sidecar ids inflated the dead count: ${s.numDocs} vs $liveBefore")
+      assert(s.search("spark", 10).count() > 0)
+    } finally s.close()
+  }
+
   test("snapshot time travel serves each snapshot's exact committed " +
     "view; expire_snapshots deletes orphan segments and expired ids " +
     "fail loudly") {
