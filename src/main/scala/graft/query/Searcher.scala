@@ -64,12 +64,39 @@ final class Searcher(
       .getOrElse(sys.error(s"no snapshot at $root"))
   }
 
+  /** All per-segment relations, opened IN PARALLEL: each
+    * `spark.read.parquet` pays a driver-side file listing + footer
+    * read, and doing 5 tables × N segments serially made the cold ctor
+    * the dominant open cost on churned roots (~5-7 s at 20 segments —
+    * larger than the liveDocs derivation it precedes). A bounded pool
+    * overlaps the listings; relation creation is driver-only and
+    * thread-safe. */
+  private case class SegTables(docstore: DataFrame, postings: DataFrame,
+                               termStats: DataFrame, stats: DataFrame,
+                               config: Option[IndexStore.SegmentConfig])
+  private val segTables: Map[String, SegTables] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(snapshot.segments.size, 1), 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = snapshot.segments.map(s => Future(s -> SegTables(
+        spark.read.parquet(IndexStore.docstorePath(root, s)),
+        IndexStore.readPostingsOrEmpty(spark, root, s),
+        spark.read.parquet(IndexStore.termStatsPath(root, s)),
+        spark.read.parquet(IndexStore.statsPath(root, s)),
+        IndexStore.readSegmentConfig(spark, root, s))))
+      Await.result(Future.sequence(futs), 10.minutes).toMap
+    } finally pool.shutdown()
+  }
+
   // allowMissingColumns: a legacy segment's stats lack `id_ceiling` while
   // a round-3 append's carry it — a strict unionByName would make a valid
   // mixed-version index unreadable (missing columns read as null, and
   // every consumer aggregates only columns present in both)
-  private def unionSegs(path: String => String): DataFrame =
-    snapshot.segments.map(s => spark.read.parquet(path(s)))
+  private def unionSegs(tableOf: SegTables => DataFrame): DataFrame =
+    snapshot.segments.map(s => tableOf(segTables(s)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Row store (S8): doc_id, url, warc_ts, lang, text, dl — UNCACHED
@@ -77,7 +104,7 @@ final class Searcher(
     * `text` column is O(corpus bytes) — the same class as posting blobs
     * under the no-blob-persist invariant — so it is never cached: page
     * fetches read it from parquet for ≤ k ids ([[fetchByIds]]). */
-  val docstore: DataFrame = unionSegs(IndexStore.docstorePath(root, _))
+  val docstore: DataFrame = unionSegs(_.docstore)
 
   /** The cached per-query hot set (doc_id, url, warc_ts, lang, dl):
     * liveDocs derivation, filter clauses, and rank-time metadata all
@@ -119,23 +146,19 @@ final class Searcher(
     if (ids.isEmpty) docstore.limit(0)
     else docstore.filter(col("doc_id").isin(ids: _*))
 
-  /** Postings table — schema pinned in [[IndexStore.postingsSchema]]
+  /** One postings relation per segment, created ONCE (in [[segTables]]):
+    * re-reading per query would re-list the partition directories on
+    * every plan (driver-side latency), while a shared relation caches
+    * its file index. Schema pinned in [[IndexStore.postingsSchema]]
     * (S7's create-empty-index case has no footers to infer from). */
-  private def readPostings(seg: String): DataFrame =
-    IndexStore.readPostingsOrEmpty(spark, root, seg)
-
-  /** One relation per segment, created ONCE: re-reading per query would
-    * re-list the partition directories on every plan (driver-side
-    * latency), while a shared relation caches its file index. */
   private val segPostings: Map[String, DataFrame] =
-    snapshot.segments.map(s => s -> readPostings(s)).toMap
+    segTables.view.mapValues(_.postings).toMap
 
   val postings: DataFrame =
     snapshot.segments.map(segPostings).reduce(_ unionByName _)
 
   private val segConfigs: Map[String, Option[IndexStore.SegmentConfig]] =
-    snapshot.segments.map(s =>
-      s -> IndexStore.readSegmentConfig(spark, root, s)).toMap
+    segTables.view.mapValues(_.config).toMap
 
   // fail LOUDLY on a posting-format mismatch: a stale segment would
   // otherwise misparse blobs into garbage doc_ids (the blob magic byte is
@@ -187,14 +210,14 @@ final class Searcher(
   /** Global per-term stats across segments (term_stats is per segment):
     * df, ttf, and the term-level WAND bound inputs (max tf, min dl). */
   val termStats: DataFrame =
-    unionSegs(IndexStore.termStatsPath(root, _))
+    unionSegs(_.termStats)
       .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"),
         max("max_tf").as("max_tf"), min("min_dl").as("min_dl"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Collection statistics (S10): N, avgdl over all segments. */
   val (docCount: Long, avgdl: Double) = {
-    val r = unionSegs(IndexStore.statsPath(root, _))
+    val r = unionSegs(_.stats)
       .agg(sum("doc_count"), sum("sum_dl")).head()
     val n = if (r.isNullAt(0)) 0L else r.getLong(0)
     val s = if (r.isNullAt(1)) 0L else r.getLong(1)
@@ -292,6 +315,27 @@ final class Searcher(
 
   private def emptyMatches: DataFrame =
     spark.emptyDataset[(Long, Int, Double)].toDF("doc_id", "matched", "score")
+
+  /** Serving-path actions run with AQE disabled: adaptive execution
+    * re-plans at every shuffle-stage boundary, adding a scheduler
+    * barrier per stage — at 32-partition serving shuffles that is pure
+    * per-query latency (invariant 7; measured on the reference query
+    * set: avg −30%, max −39%, one fewer job per multi-term query). The
+    * conf flips around the EAGER serving paths only and is restored
+    * after (builds/compactions on the same session keep their setting;
+    * a concurrent query on another thread of this session during the
+    * window would also run non-adaptive — identical results, AQE is an
+    * execution strategy). */
+  private def withServingConf[T](f: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 
   /** The shared exact score fold over per-(term, doc) rows
     * `(term, doc_id, tf, dl, idf)`: per-term contributions summed in
@@ -418,7 +462,7 @@ final class Searcher(
              conjunctive: Boolean = true,
              filter: Option[Column] = None,
              notQuery: Option[String] = None,
-             minShouldMatch: Int = 0): DataFrame = {
+             minShouldMatch: Int = 0): DataFrame = withServingConf {
     val topk = score(query, conjunctive, filter, notQuery, minShouldMatch)
       .orderBy(col("score").desc, col("doc_id").asc)
       .offset(start).limit(k)
@@ -508,7 +552,7 @@ final class Searcher(
                  maxRescore: Int = 2000000,
                  wandMinDf: Long = 500000,
                  notQuery: Option[String] = None,
-                 minShouldMatch: Int = 0): DataFrame = {
+                 minShouldMatch: Int = 0): DataFrame = withServingConf {
     if (minShouldMatch > 0)
       return search(query, k, start, conjunctive, filter, notQuery,
         minShouldMatch)
@@ -769,7 +813,7 @@ final class Searcher(
   def searchPhrase(phrase: String, k: Int, start: Int = 0,
                    filter: Option[Column] = None,
                    notQuery: Option[String] = None,
-                   slop: Int = 0): DataFrame = {
+                   slop: Int = 0): DataFrame = withServingConf {
     require(slop >= 0, s"slop must be >= 0, got $slop")
     require(positionsIndexed,
       "phrase queries need an index built with indexPositions = true")
@@ -838,7 +882,7 @@ final class Searcher(
   final case class Meta(total: Long, maxScore: Double)
   def searchWithMeta(query: String, k: Int, start: Int = 0,
                      conjunctive: Boolean = true,
-                     filter: Option[Column] = None): (DataFrame, Meta) = {
+                     filter: Option[Column] = None): (DataFrame, Meta) = withServingConf {
     // ONE evaluation of the scored set: eager localCheckpoint
     // materializes it once, then the agg job and the (lazy) page both
     // read the materialized partitions. Unlike a persist — which could
@@ -859,7 +903,7 @@ final class Searcher(
     * output (Searcher.java:861-871). */
   def searchSortByField(query: String, sortCols: Seq[Column], k: Int,
                         start: Int = 0, conjunctive: Boolean = true,
-                        filter: Option[Column] = None): DataFrame = {
+                        filter: Option[Column] = None): DataFrame = withServingConf {
     val matches = score(query, conjunctive, filter).select("doc_id")
     if (resolvesOnNarrow(sortCols)) {
       // rank on the narrow cache (no text through the top-k heap),
@@ -977,7 +1021,7 @@ final class Searcher(
   def searchJsonFiltered(query: String, k: Int, key: String, pred: Column,
                          start: Int = 0,
                          conjunctive: Boolean = true,
-                         roundScoresTo: Option[Int] = None): DataFrame = {
+                         roundScoresTo: Option[Int] = None): DataFrame = withServingConf {
     val scored0 = score(query, conjunctive)
     val scored = roundScoresTo.fold(scored0)(d =>
       scored0.withColumn("score", round(col("score"), d)))
@@ -992,7 +1036,7 @@ final class Searcher(
     * sort-by-dynamic-field DocValues, Indexer.java:697-728). */
   def searchSortByJsonField(query: String, key: String, k: Int,
                             descending: Boolean = true,
-                            conjunctive: Boolean = true): DataFrame = {
+                            conjunctive: Boolean = true): DataFrame = withServingConf {
     val vals = jsonFieldsOrFail.where(col("key") === key)
       .groupBy("doc_id").agg(min("num_val").as("__v"))
     val ord = if (descending) col("__v").desc_nulls_last else col("__v").asc_nulls_last

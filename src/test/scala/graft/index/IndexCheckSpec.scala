@@ -12,18 +12,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
 
   private val dict = SynonymDict.empty
-  private val cfg = IndexBuilder.IndexConfig(
-    numParts = 4, rangeParts = 2, saltDf = 50, saltFanout = 2,
-    indexPositions = true)
 
-  private def build(): String = {
+  // every corruption class is audited in BOTH posting formats: the block
+  // headers (the audit's main surface) are varints in both, and the v3
+  // path must prove the auditor decodes packed bodies + catches v3
+  // truncations identically
+  for (ver <- Seq(2, 3)) runAll(ver)
+
+  private def runAll(ver: Int): Unit = {
+
+  val cfg = IndexBuilder.IndexConfig(
+    numParts = 4, rangeParts = 2, saltDf = 50, saltFanout = 2,
+    indexPositions = true, formatVersion = ver)
+
+  def build(): String = {
     val root = tmpDir("graft-check-")
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, 33L, 200), dict,
       root, cfg)
     root
   }
 
-  private def rewritePostings(root: String)(f: Seq[Row] => Seq[Row]): Unit = {
+  def rewritePostings(root: String)(f: Seq[Row] => Seq[Row]): Unit = {
     val p = IndexStore.postingsPath(root, "seg-000000")
     val df = spark.read.parquet(p)
       .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
@@ -34,25 +43,29 @@ class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
       .options(IndexStore.postingsWriteOptions).parquet(p)
   }
 
-  private def issues(root: String): Seq[String] =
+  def issues(root: String): Seq[String] =
     IndexCheck.check(spark, root).collect()
       .map(_.getAs[String]("problem")).toSeq
 
-  test("healthy positional index audits clean") {
+  test(s"v$ver: healthy positional index audits clean") {
     assert(issues(build()).isEmpty)
   }
 
-  test("a truncated posting blob is detected") {
+  test(s"v$ver: a truncated posting blob is detected") {
     val root = build()
+    // v3 blobs end with 16 zero PAD bytes (BitPack word-read license):
+    // a cut shorter than the pad is absorbed and decodes fine — the
+    // truncation must reach real data to be corruption at all
+    val cut = 3 + (if (ver == 3) graft.codec.VarByte.V3Pad else 0)
     rewritePostings(root) { rows =>
-      val i = rows.indexWhere(_.getAs[Array[Byte]]("blob").length > 16)
+      val i = rows.indexWhere(_.getAs[Array[Byte]]("blob").length > cut + 16)
       rows.updated(i, Row.fromSeq(rows(i).toSeq.updated(5,
-        rows(i).getAs[Array[Byte]]("blob").dropRight(3))))
+        rows(i).getAs[Array[Byte]]("blob").dropRight(cut))))
     }
     assert(issues(root).exists(_.contains("decode failed")))
   }
 
-  test("a corrupt per-BLOCK maxTf header with intact entries and intact " +
+  test(s"v$ver: a corrupt per-BLOCK maxTf header with intact entries and intact " +
     "row bounds is detected — the silent-WAND-underbound failure class") {
     val root = build()
     def varintEnd(b: Array[Byte], start: Int): Int = {
@@ -84,7 +97,7 @@ class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(!got.exists(_.contains("but decoded max is")))
   }
 
-  test("a wrong df_local is detected (blob count AND term_stats sum)") {
+  test(s"v$ver: a wrong df_local is detected (blob count AND term_stats sum)") {
     val root = build()
     rewritePostings(root) { rows =>
       rows.updated(0, Row.fromSeq(rows(0).toSeq.updated(2,
@@ -95,7 +108,7 @@ class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_.contains("blobs sum to")))
   }
 
-  test("a drifted term_stats df is detected") {
+  test(s"v$ver: a drifted term_stats df is detected") {
     val root = build()
     val p = IndexStore.termStatsPath(root, "seg-000000")
     val st = spark.read.parquet(p)
@@ -109,7 +122,7 @@ class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
     assert(issues(root).exists(_.contains("term_stats.df=")))
   }
 
-  test("an orphaned posting doc_id (missing docstore row) is detected, " +
+  test(s"v$ver: an orphaned posting doc_id (missing docstore row) is detected, " +
     "along with the stats doc_count drift") {
     val root = build()
     val p = IndexStore.docstorePath(root, "seg-000000")
@@ -122,5 +135,6 @@ class IndexCheckSpec extends AnyFunSuite with SparkTestBase {
     val got = issues(root)
     assert(got.exists(_.contains("missing from docstore")))
     assert(got.exists(_.contains("stats.doc_count")))
+  }
   }
 }
