@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main app.jar delete --index /data/idx --urls https://a,https://b
   * spark-submit --class graft.Main app.jar merge  --index /data/idx
   * spark-submit --class graft.Main app.jar search --index /data/idx --query "spark index" [--k 10] [--or] [--start 0] [--phrase] [--not "terms"]
+  *   query-type flags: [--prefix] [--wildcard] [--fuzzy [--max-edits 1]]
+  *   (multi-term expansion), [--mlt] (query = source doc_id),
+  *   [--highlight] (page + match_pos/snippet)
   * spark-submit --class graft.Main app.jar facets --index /data/idx --query spark [--hier] [--limit 10]
   * spark-submit --class graft.Main app.jar stream --input /data/incoming --index /data/idx
   * }}}
@@ -30,7 +33,7 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   private val flagArgs = Set("or", "phrase", "positions", "facets", "hier",
-    "rebuild")
+    "rebuild", "prefix", "wildcard", "fuzzy", "mlt", "highlight")
 
   /** key-value pairs with valueless flags handled positionally (a naive
     * sliding(2,2) would shift every option after a flag). */
@@ -142,6 +145,19 @@ object Main {
             if (opt.contains("phrase"))
               s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"),
                 slop = opt.getOrElse("slop", "0").toInt)
+            else if (opt.contains("prefix"))
+              s.searchPrefix(opt("query"), k, start)
+            else if (opt.contains("fuzzy"))
+              s.searchFuzzy(opt("query"), k,
+                maxEdits = opt.getOrElse("max-edits", "1").toInt,
+                start = start)
+            else if (opt.contains("wildcard"))
+              s.searchWildcard(opt("query"), k, start)
+            else if (opt.contains("mlt"))
+              s.searchMoreLikeThis(opt("query").toLong, k, start = start)
+            else if (opt.contains("highlight"))
+              s.searchHighlight(opt("query"), k, start,
+                conjunctive = !opt.contains("or"))
             else s.searchWand(opt("query"), k, start = start,
               conjunctive = !opt.contains("or"), notQuery = opt.get("not"))
           page.show(truncate = false)

@@ -55,6 +55,13 @@ object SparkEntry {
     * stats and df are GLOBAL; the filter clause only restricts the match
     * set (non-scoring, Searcher.java:734-737). */
   private def bm25Cte(termsSql: String, filterSql: String = "TRUE") =
+    bm25CteQ(s"SELECT * FROM (VALUES $termsSql) v(term)", filterSql)
+
+  /** [[bm25Cte]] with the query-term set as arbitrary SQL over the
+    * earlier CTEs (tf/dl/stats) — the multi-term-query expansion oracles
+    * (prefix/fuzzy/more-like-this) derive their terms from the corpus
+    * dictionary instead of literal VALUES. */
+  private def bm25CteQ(qSql: String, filterSql: String = "TRUE") =
     s"""$toksCte, tf AS (
        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
        |), dl AS (
@@ -62,7 +69,7 @@ object SparkEntry {
        |  FROM documents d
        |), stats AS (
        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
-       |), q AS (SELECT * FROM (VALUES $termsSql) v(term)
+       |), q AS ($qSql
        |), dfq AS (
        |  SELECT term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1
        |), fdocs AS (
@@ -248,6 +255,29 @@ object SparkEntry {
     "q_bm25_page2" -> ((s, dir) =>
       TextOps.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "join"), 20).offset(10).limit(10)),
+
+    // multi-term query expansion (PrefixQuery / FuzzyQuery analogs under
+    // the scoring BooleanQuery rewrite — terms from the corpus
+    // dictionary, each with its own idf, disjunctive)
+    "q_prefix_search" -> ((s, dir) =>
+      TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
+        col("term").startsWith("S"), 10)),
+
+    "q_fuzzy_search" -> ((s, dir) =>
+      TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
+        levenshtein(col("term"), lit("PORT")) <= 1, 10)),
+
+    // more-like-this: source doc's top terms by round(tf·idf, 6) become
+    // one disjunctive query, source excluded
+    "q_more_like_this" -> ((s, dir) =>
+      TextOps.moreLikeThisTopK(t(s, dir, "documents"), "doc_id", "text",
+        7L, 10)),
+
+    // highlighter: first matching token position + ±2-token snippet per
+    // top-10 hit (golden-pinned deterministic contract)
+    "q_highlight" -> ((s, dir) =>
+      TextOps.highlightTopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join"), 10)),
 
     // aggregates over the scored set directly — no top-k heap in the plan
     // (Q12: Searcher.searchWithMeta takes the same shape)
@@ -863,6 +893,53 @@ object SparkEntry {
       s"""${bm25Cte("('JOIN'), ('SPARK'), ('VECTOR')")}
          |SELECT doc_id, score FROM scored WHERE matched >= 2
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_prefix_search" ->
+      s"""${bm25CteQ("SELECT DISTINCT term FROM tf WHERE term LIKE 'S%'")}
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_fuzzy_search" ->
+      s"""${bm25CteQ(
+             "SELECT DISTINCT term FROM tf WHERE levenshtein(term, 'PORT') <= 1")}
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_more_like_this" ->
+      s"""${bm25CteQ(
+             """SELECT term FROM (
+               |  SELECT t.term,
+               |    round(t.tf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)), 6) AS w
+               |  FROM tf t
+               |  JOIN (SELECT term, count(*) AS df FROM tf GROUP BY 1) d USING (term)
+               |  CROSS JOIN stats s
+               |  WHERE t.doc_id = 7)
+               |ORDER BY w DESC, term LIMIT 10""".stripMargin)}
+         |SELECT doc_id, score FROM scored WHERE doc_id <> 7
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_highlight" ->
+      s"""${bm25Cte("('JOIN'), ('SPARK')")}
+         |, hits AS (
+         |  SELECT doc_id, score FROM scored
+         |  ORDER BY score DESC, doc_id LIMIT 10
+         |), tok AS (
+         |  SELECT doc_id,
+         |    list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+         |      x -> upper(x)) AS toks
+         |  FROM documents
+         |), hpos AS (
+         |  SELECT doc_id, toks,
+         |    list_filter(range(1, len(toks) + 1),
+         |      i -> list_extract(toks, i) IN ('JOIN', 'SPARK'))[1] AS p
+         |  FROM tok
+         |)
+         |SELECT h.doc_id, h.score, CAST(hp.p AS BIGINT) AS match_pos,
+         |  array_to_string(
+         |    list_slice(hp.toks, greatest(1, hp.p - 2),
+         |      least(len(hp.toks), hp.p + 2)), ' ') AS snippet
+         |FROM hits h JOIN hpos hp USING (doc_id)
+         |ORDER BY h.score DESC, h.doc_id""".stripMargin,
 
     "q_phrase" ->
       s"""${bm25Cte("('JOIN'), ('SPARK')",

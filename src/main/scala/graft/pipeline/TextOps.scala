@@ -99,16 +99,33 @@ object TextOps {
                  notTerms: Seq[String] = Nil,
                  minShouldMatch: Int = 0): DataFrame = {
     val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
-    // collection stats and df are GLOBAL — the filter clause matches but
-    // never scores and never shifts statistics (reference Q1 semantics,
-    // Searcher.java:734-737)
+    val scored = bm25ScoresSelect(docs, idCol, textCol,
+      _.filter(col("term").isin(terms: _*)), filter, roundTo, notTerms)
+    if (conjunctive) scored.filter(col("matched") === terms.size)
+    else if (minShouldMatch > 0) scored.filter(col("matched") >= minShouldMatch)
+    else scored
+  }
+
+  /** Scoring core shared by the literal-terms paths and the expansion
+    * paths: the scoring term set is whatever `selectTf` keeps of the
+    * (id, term, tf) stream — an `isin` filter for user-typed terms, a
+    * dictionary predicate for multi-term expansion
+    * ([[bm25TopKExpanded]]), a semi-join for more-like-this
+    * ([[moreLikeThisTopK]]). Collection stats and df stay GLOBAL — the
+    * filter clause matches but never scores and never shifts statistics
+    * (reference Q1 semantics, Searcher.java:734-737). Returns
+    * (id, matched, score) with NO match-count constraint applied. */
+  private def bm25ScoresSelect(docs: DataFrame, idCol: String, textCol: String,
+                               selectTf: DataFrame => DataFrame,
+                               filter: Option[Column], roundTo: Int,
+                               notTerms: Seq[String]): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val dl = docLengths(docs, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
       .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
-    val dfT = tf.filter(col("term").isin(terms: _*))
-      .groupBy("term").agg(count(lit(1)).as("df"))
-    val matched0 = tf.filter(col("term").isin(terms: _*))
+    val qtf = selectTf(tf)
+    val dfT = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val matched0 = qtf
       .join(broadcast(dfT), Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
@@ -126,15 +143,94 @@ object TextOps {
       else matched1.join(
         tf.filter(col("term").isin(notFolded: _*)).select(idCol).distinct(),
         Seq(idCol), "left_anti")
-    val scored = matched.groupBy(idCol)
+    matched.groupBy(idCol)
       .agg(count(lit(1)).as("matched"),
         sort_array(collect_list(struct(col("term"), col("contrib")))).as("__p"))
       .withColumn("score", round(
         aggregate(col("__p"), lit(0.0d), (acc, x) => acc + x("contrib")), roundTo))
       .select(col(idCol), col("matched"), col("score"))
-    if (conjunctive) scored.filter(col("matched") === terms.size)
-    else if (minShouldMatch > 0) scored.filter(col("matched") >= minShouldMatch)
-    else scored
+  }
+
+  /** Multi-term-query expansion over a raw (id, text) table — the
+    * PrefixQuery / WildcardQuery / FuzzyQuery analog (Lucene
+    * MultiTermQuery under the SCORING_BOOLEAN rewrite, reference core
+    * semantics): the scoring terms are every corpus-dictionary term
+    * matching `termPred` (a predicate over `col("term")`, e.g.
+    * `col("term").startsWith("S")` or
+    * `levenshtein(col("term"), lit("PORT")) <= 1`), scored as ONE
+    * disjunctive BooleanQuery — each expanded term contributes its own
+    * idf. No driver-side term collect: the expansion is a filter on the
+    * token stream, so the plan stays fully distributed at any
+    * dictionary size. The indexed twin ([[graft.query.Searcher
+    * .searchPrefix]]/[[graft.query.Searcher.searchFuzzy]]) resolves the
+    * expansion from term_stats instead and caps it at Lucene's
+    * maxClauseCount analog. */
+  def bm25TopKExpanded(docs: DataFrame, idCol: String, textCol: String,
+                       termPred: Column, k: Int,
+                       filter: Option[Column] = None,
+                       roundTo: Int = 4): DataFrame =
+    bm25ScoresSelect(docs, idCol, textCol, _.filter(termPred), filter,
+        roundTo, Nil)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .select(idCol, "score").limit(k)
+
+  /** More-like-this over a raw (id, text) table (Lucene MoreLikeThis
+    * analog, golden-model contract): the source doc's terms are ranked
+    * by `round(tf · idf, 6)` descending (term ascending on ties — the
+    * rounding makes the rank oracle-portable across ln
+    * implementations), the top `maxQueryTerms` become one disjunctive
+    * BooleanQuery, and the source doc is excluded from the results. */
+  def moreLikeThisTopK(docs: DataFrame, idCol: String, textCol: String,
+                       sourceId: Long, k: Int, maxQueryTerms: Int = 10,
+                       roundTo: Int = 4): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dfAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val top = tf.filter(col(idCol) === sourceId)
+      .join(dfAll, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("w", round(col("tf") * log(lit(1.0) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6))
+      .orderBy(col("w").desc, col("term").asc)
+      .limit(maxQueryTerms).select("term")
+    bm25ScoresSelect(docs, idCol, textCol,
+        _.join(top, Seq("term"), "left_semi"),
+        Some(col(idCol) =!= sourceId), roundTo, Nil)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .select(idCol, "score").limit(k)
+  }
+
+  /** Snippet generation over the top-k hits (Lucene Highlighter analog,
+    * deterministic contract pinned by the golden model): `match_pos` =
+    * the FIRST 1-based token position holding any query term;
+    * `snippet` = the folded tokens in
+    * `[max(1, pos − window), min(len, pos + window)]` joined by single
+    * spaces. Hits are the disjunctive BM25 top-k of the query terms, so
+    * every hit has a match position by construction. */
+  def highlightTopK(docs: DataFrame, idCol: String, textCol: String,
+                    queryTerms: Seq[String], k: Int,
+                    window: Int = 2): DataFrame = {
+    val terms =
+      queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
+    val hits = bm25TopK(docs, idCol, textCol, terms, k, conjunctive = false)
+    val toks = qube_tokenize(col(textCol))
+    // try_element_at: non-hit docs (snippet computed pre-join) have an
+    // empty match-position array, which must null out, not throw
+    val pos = try_element_at(
+      filter(sequence(lit(1), greatest(size(toks), lit(1))),
+        i => coalesce(try_element_at(toks, i).isin(terms: _*), lit(false))),
+      lit(1))
+    val snip = docs
+      .select(col(idCol), toks.as("__toks"), pos.as("__pos"))
+      .withColumn("__lo", greatest(lit(1), col("__pos") - window))
+      .withColumn("__hi", least(size(col("__toks")), col("__pos") + window))
+      .select(col(idCol), col("__pos").cast("long").as("match_pos"),
+        array_join(
+          slice(col("__toks"), col("__lo"), col("__hi") - col("__lo") + 1),
+          " ").as("snippet"))
+    hits.join(snip, Seq(idCol))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .select(idCol, "score", "match_pos", "snippet")
   }
 
   // --- training-data text analysis -----------------------------------

@@ -898,6 +898,158 @@ final class Searcher(
     (page, meta)
   }
 
+  // ---- multi-term query expansion (PrefixQuery / WildcardQuery /
+  // FuzzyQuery analog under the scoring BooleanQuery rewrite) ----------
+
+  /** Dictionary expansion for multi-term queries: the index terms
+    * matching `pred`, resolved from the ONE cached term_stats frame
+    * (the invariant-7 probe every query path already pays — expansion
+    * adds no extra job class). Capped at `maxExpansions` (the Lucene
+    * maxClauseCount analog) with a LOUD failure: silent truncation
+    * would silently change results. */
+  private def expandTermInfos(pred: Column,
+                              maxExpansions: Int): Seq[TermInfo] = {
+    val rows = termStats.filter(pred)
+      .select("term", "df", "max_tf", "min_dl")
+      .limit(maxExpansions + 1) // only to detect overflow cheaply
+      .as[(String, Long, Int, Int)].collect()
+    require(rows.length <= maxExpansions,
+      s"multi-term query expands to > maxExpansions=$maxExpansions " +
+        "index terms — narrow the pattern or raise the cap")
+    rows.sortBy(_._1).toSeq.map { case (t, df, mt, md) =>
+      TermInfo(t, df, math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)),
+        mt, md)
+    }
+  }
+
+  /** Disjunctive ranked page over pre-expanded terms — each expanded
+    * term scores with its own idf (Lucene's SCORING_BOOLEAN rewrite;
+    * the golden model pins the same contract). */
+  private def expandedPage(infos: Seq[TermInfo], k: Int, start: Int,
+                           filter: Option[Column]): DataFrame = {
+    if (infos.isEmpty || docCount == 0) return emptyPage
+    val topk = scoredMatches(infos.map(_.term), infos, filter)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .offset(start).limit(k)
+    fetchPage(topk)
+  }
+
+  /** Prefix query (PrefixQuery analog): every index term starting with
+    * the folded prefix, scored as one disjunctive BooleanQuery.
+    * On-the-fly twin with the same contract:
+    * [[graft.pipeline.TextOps.bm25TopKExpanded]]. */
+  def searchPrefix(prefix: String, k: Int, start: Int = 0,
+                   filter: Option[Column] = None,
+                   maxExpansions: Int = 1024): DataFrame = withServingConf {
+    val p = Tokenizer.foldCase(prefix.trim)
+    if (p.isEmpty) return emptyPage
+    expandedPage(expandTermInfos(col("term").startsWith(p), maxExpansions),
+      k, start, filter)
+  }
+
+  /** Wildcard query (WildcardQuery analog), SQL LIKE pattern over the
+    * dictionary (`%`/`_`). A leading wildcard scans the whole term
+    * dictionary — the same cost profile the reference family has. */
+  def searchWildcard(pattern: String, k: Int, start: Int = 0,
+                     filter: Option[Column] = None,
+                     maxExpansions: Int = 1024): DataFrame = withServingConf {
+    val p = Tokenizer.foldCase(pattern.trim)
+    if (p.isEmpty) return emptyPage
+    expandedPage(expandTermInfos(col("term").like(p), maxExpansions),
+      k, start, filter)
+  }
+
+  /** Fuzzy query (FuzzyQuery analog): index terms within `maxEdits`
+    * Levenshtein distance of the folded term (the exact term included
+    * at distance 0), scored disjunctively. The distance runs as the
+    * codegen'd built-in `levenshtein` over the cached dictionary —
+    * Lucene guides the walk with an automaton; the dictionary scan is
+    * the Spark-native equivalent of the same expansion. */
+  def searchFuzzy(term: String, k: Int, maxEdits: Int = 1, start: Int = 0,
+                  filter: Option[Column] = None,
+                  maxExpansions: Int = 1024): DataFrame = withServingConf {
+    require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+    val t = Tokenizer.foldCase(term.trim)
+    if (t.isEmpty) return emptyPage
+    expandedPage(
+      expandTermInfos(levenshtein(col("term"), lit(t)) <= maxEdits,
+        maxExpansions),
+      k, start, filter)
+  }
+
+  /** More-like-this (MoreLikeThis analog, golden-model contract):
+    * re-analyzes the source doc's STORED text with the index analyzer
+    * chain (the term-vector-less MLT path Lucene itself takes for
+    * unstored vectors), ranks its terms by `round(tf · idf, 6)`
+    * descending (term ascending on ties — rounded so the rank is
+    * portable across `ln` implementations), and runs the top
+    * `maxQueryTerms` as one disjunctive query with the source doc
+    * excluded. Costs one S8 doc fetch + the single term_stats probe. */
+  def searchMoreLikeThis(docId: Long, k: Int, maxQueryTerms: Int = 10,
+                         start: Int = 0,
+                         filter: Option[Column] = None): DataFrame =
+    withServingConf {
+      val src = docCached(Seq(docId))
+      if (src.isEmpty) return emptyPage
+      val text = src.head.getAs[String]("text")
+      if (text == null) return emptyPage
+      val toks =
+        dict.expand(Tokenizer.tokenize(text, analyzerMode).toIndexedSeq)
+      if (toks.isEmpty) return emptyPage
+      val tf = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val infos = termIdfs(tf.keys.toSeq.sorted) // ONE probe
+      val top = infos
+        .map(i => (i.term, BigDecimal(tf(i.term) * i.idf)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .sortBy { case (t, w) => (-w, t) }
+        .take(maxQueryTerms).map(_._1).toSet
+      val excl = filter match {
+        case Some(f) => f && col("doc_id") =!= docId
+        case None => col("doc_id") =!= docId
+      }
+      expandedPage(infos.filter(i => top(i.term)), k, start, Some(excl))
+    }
+
+  /** Highlighter analog: attaches (match_pos, snippet) to the ≤ k page
+    * rows by re-analyzing their stored text (the reference highlighter
+    * family re-analyzes stored fields the same way — the page is ≤ k
+    * rows, so this is O(page), never O(corpus)). Contract pinned by
+    * the golden model and shared with
+    * [[graft.pipeline.TextOps.highlightTopK]]: `match_pos` = first
+    * 1-based token position holding any query term; `snippet` = tokens
+    * `[max(1, pos−window), min(len, pos+window)]` joined by spaces. */
+  def searchHighlight(query: String, k: Int, start: Int = 0,
+                      conjunctive: Boolean = true, window: Int = 2,
+                      filter: Option[Column] = None): DataFrame =
+    withServingConf {
+      import scala.jdk.CollectionConverters._
+      require(window >= 0, s"window must be >= 0, got $window")
+      val page = search(query, k, start, conjunctive, filter).collect()
+      val terms = analyzeQuery(query).toSet
+      val rows = page.map { r =>
+        val toks = dict.expand(
+          Tokenizer.tokenize(r.getAs[String]("text"), analyzerMode)
+            .toIndexedSeq)
+        val p0 = toks.indexWhere(terms.contains)
+        val (pos, snip) =
+          if (p0 < 0) (null, null) // defensive: page rows always match
+          else {
+            val lo = math.max(0, p0 - window)
+            val hi = math.min(toks.size - 1, p0 + window)
+            (java.lang.Long.valueOf((p0 + 1).toLong),
+              toks.slice(lo, hi + 1).mkString(" "))
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ pos :+ snip)
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        emptyPage.schema.fields :+
+          org.apache.spark.sql.types.StructField("match_pos",
+            org.apache.spark.sql.types.LongType) :+
+          org.apache.spark.sql.types.StructField("snippet",
+            org.apache.spark.sql.types.StringType))
+      spark.createDataFrame(rows.toSeq.asJava, schema)
+    }
+
   /** Sort-by-field top-k (Q6): matches ordered by arbitrary docstore
     * columns, doc_id tie-break, `fillFields` ⇒ sort columns stay in the
     * output (Searcher.java:861-871). */

@@ -122,5 +122,49 @@ object GoldenBM25 {
       topK(orderedTerms.distinct, k, start, conjunctive = true,
         filter = d => matched.contains(d.docId))
     }
+
+    /** Multi-term-query expansion (PrefixQuery/WildcardQuery/FuzzyQuery
+      * analog): every dictionary term matching `pred`, ascending. The
+      * expanded set scores as ONE disjunctive BooleanQuery (each term
+      * its own idf — the scoring boolean rewrite). */
+    def expandTerms(pred: String => Boolean): Seq[String] =
+      postings.keys.filter(pred).toSeq.sorted
+
+    /** More-like-this interesting-term selection: the source doc's
+      * terms ranked by round(tf · idf, 6) descending, term ascending on
+      * ties (rounded so the rank is portable across ln
+      * implementations); top `maxQueryTerms`. */
+    def mltTerms(sourceId: Long, maxQueryTerms: Int): Seq[String] =
+      byId(sourceId).tokens.groupBy(identity).toSeq
+        .map { case (t, g) =>
+          (t, BigDecimal(g.size * idf(t))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (t, w) => (-w, t) }
+        .take(maxQueryTerms).map(_._1)
+
+    /** Highlighter contract: first 1-based token position holding any
+      * query term, and the tokens [max(1, pos−window), min(len,
+      * pos+window)] joined by spaces. */
+    def highlight(docId: Long, terms: Set[String],
+                  window: Int = 2): (Long, String) = {
+      val toks = byId(docId).tokens
+      val p0 = toks.indexWhere(terms.contains)
+      require(p0 >= 0, s"doc $docId contains no query term")
+      val lo = math.max(0, p0 - window)
+      val hi = math.min(toks.size - 1, p0 + window)
+      ((p0 + 1).toLong, toks.slice(lo, hi + 1).mkString(" "))
+    }
+  }
+
+  /** Plain DP Levenshtein (the fuzzy-expansion golden twin of the
+    * engine's built-in `levenshtein`). */
+  def levenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
   }
 }
