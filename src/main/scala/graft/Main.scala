@@ -141,23 +141,37 @@ object Main {
         try {
           val k = opt.getOrElse("k", "10").toInt
           val start = opt.getOrElse("start", "0").toInt
+          // a flag a mode cannot honor is an ERROR, not a silent no-op
+          // (e.g. --prefix --not java would otherwise return docs the
+          // user believes were excluded)
+          def rejects(mode: String, flags: String*): Unit =
+            flags.find(opt.contains).foreach(f => sys.error(
+              s"--$f is not supported with --$mode"))
           val page =
-            if (opt.contains("phrase"))
+            if (opt.contains("phrase")) {
+              rejects("phrase", "or")
               s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"),
                 slop = opt.getOrElse("slop", "0").toInt)
-            else if (opt.contains("prefix"))
+            }
+            else if (opt.contains("prefix")) {
+              rejects("prefix", "not", "or")
               s.searchPrefix(opt("query"), k, start)
-            else if (opt.contains("fuzzy"))
+            } else if (opt.contains("fuzzy")) {
+              rejects("fuzzy", "not", "or")
               s.searchFuzzy(opt("query"), k,
                 maxEdits = opt.getOrElse("max-edits", "1").toInt,
                 start = start)
-            else if (opt.contains("wildcard"))
+            } else if (opt.contains("wildcard")) {
+              rejects("wildcard", "not", "or")
               s.searchWildcard(opt("query"), k, start)
-            else if (opt.contains("mlt"))
+            } else if (opt.contains("mlt")) {
+              rejects("mlt", "not", "or")
               s.searchMoreLikeThis(opt("query").toLong, k, start = start)
-            else if (opt.contains("highlight"))
+            } else if (opt.contains("highlight")) {
+              rejects("highlight", "not")
               s.searchHighlight(opt("query"), k, start,
                 conjunctive = !opt.contains("or"))
+            }
             else s.searchWand(opt("query"), k, start = start,
               conjunctive = !opt.contains("or"), notQuery = opt.get("not"))
           page.show(truncate = false)

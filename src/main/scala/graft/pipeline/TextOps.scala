@@ -100,7 +100,8 @@ object TextOps {
                  minShouldMatch: Int = 0): DataFrame = {
     val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
     val scored = bm25ScoresSelect(docs, idCol, textCol,
-      _.filter(col("term").isin(terms: _*)), filter, roundTo, notTerms)
+      _.filter(col("term").isin(terms: _*)), filter, roundTo, notTerms,
+      boundedTerms = true)
     if (conjunctive) scored.filter(col("matched") === terms.size)
     else if (minShouldMatch > 0) scored.filter(col("matched") >= minShouldMatch)
     else scored
@@ -114,19 +115,25 @@ object TextOps {
     * ([[moreLikeThisTopK]]). Collection stats and df stay GLOBAL — the
     * filter clause matches but never scores and never shifts statistics
     * (reference Q1 semantics, Searcher.java:734-737). Returns
-    * (id, matched, score) with NO match-count constraint applied. */
+    * (id, matched, score) with NO match-count constraint applied.
+    * `boundedTerms` = the caller guarantees the selected term set is
+    * O(query) small — only then is the per-term df frame broadcast; an
+    * unbounded expansion (leading wildcard, loose fuzzy) must shuffle
+    * it, or a big dictionary would be collected onto the driver. */
   private def bm25ScoresSelect(docs: DataFrame, idCol: String, textCol: String,
                                selectTf: DataFrame => DataFrame,
                                filter: Option[Column], roundTo: Int,
-                               notTerms: Seq[String]): DataFrame = {
+                               notTerms: Seq[String],
+                               boundedTerms: Boolean): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val dl = docLengths(docs, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
       .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
     val qtf = selectTf(tf)
-    val dfT = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfT0 = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfT = if (boundedTerms) broadcast(dfT0) else dfT0
     val matched0 = qtf
-      .join(broadcast(dfT), Seq("term"))
+      .join(dfT, Seq("term"))
       .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
@@ -170,7 +177,7 @@ object TextOps {
                        filter: Option[Column] = None,
                        roundTo: Int = 4): DataFrame =
     bm25ScoresSelect(docs, idCol, textCol, _.filter(termPred), filter,
-        roundTo, Nil)
+        roundTo, Nil, boundedTerms = false)
       .orderBy(col("score").desc, col(idCol).asc)
       .select(idCol, "score").limit(k)
 
@@ -195,7 +202,8 @@ object TextOps {
       .limit(maxQueryTerms).select("term")
     bm25ScoresSelect(docs, idCol, textCol,
         _.join(top, Seq("term"), "left_semi"),
-        Some(col(idCol) =!= sourceId), roundTo, Nil)
+        Some(col(idCol) =!= sourceId), roundTo, Nil,
+        boundedTerms = true) // ≤ maxQueryTerms terms by construction
       .orderBy(col("score").desc, col(idCol).asc)
       .select(idCol, "score").limit(k)
   }
@@ -210,27 +218,30 @@ object TextOps {
   def highlightTopK(docs: DataFrame, idCol: String, textCol: String,
                     queryTerms: Seq[String], k: Int,
                     window: Int = 2): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
     val terms =
       queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
     val hits = bm25TopK(docs, idCol, textCol, terms, k, conjunctive = false)
     val toks = qube_tokenize(col(textCol))
-    // try_element_at: non-hit docs (snippet computed pre-join) have an
-    // empty match-position array, which must null out, not throw
+    // try_element_at defensively (a hit always matches by construction,
+    // but a null/empty text must null out, not throw)
     val pos = try_element_at(
       filter(sequence(lit(1), greatest(size(toks), lit(1))),
         i => coalesce(try_element_at(toks, i).isin(terms: _*), lit(false))),
       lit(1))
-    val snip = docs
-      .select(col(idCol), toks.as("__toks"), pos.as("__pos"))
+    // join FIRST, tokenize after: match_pos/snippet evaluate on the ≤ k
+    // hit rows only (Catalyst prunes columns below a join but never
+    // pushes computed projections down), never O(corpus tokens)
+    hits.join(docs.select(col(idCol), col(textCol)), Seq(idCol))
+      .select(col(idCol), col("score"), toks.as("__toks"), pos.as("__pos"))
       .withColumn("__lo", greatest(lit(1), col("__pos") - window))
       .withColumn("__hi", least(size(col("__toks")), col("__pos") + window))
-      .select(col(idCol), col("__pos").cast("long").as("match_pos"),
+      .select(col(idCol), col("score"),
+        col("__pos").cast("long").as("match_pos"),
         array_join(
           slice(col("__toks"), col("__lo"), col("__hi") - col("__lo") + 1),
           " ").as("snippet"))
-    hits.join(snip, Seq(idCol))
       .orderBy(col("score").desc, col(idCol).asc)
-      .select(idCol, "score", "match_pos", "snippet")
   }
 
   // --- training-data text analysis -----------------------------------

@@ -305,13 +305,26 @@ final class Searcher(
     * (Searcher.java:722-725). */
   private def termIdfs(terms: Seq[String]): Seq[TermInfo] =
     if (terms.isEmpty) Seq.empty
-    else termStats.filter(col("term").isin(terms: _*))
-      .select("term", "df", "max_tf", "min_dl")
-      .as[(String, Long, Int, Int)].collect().toSeq
-      .map { case (t, df, mt, md) =>
-        TermInfo(t, df,
-          math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)), mt, md)
-      }
+    else termInfosWhere(col("term").isin(terms: _*), cap = None)
+
+  /** The ONE term_stats-row → TermInfo/idf construction every query
+    * path shares (invariant 11's single-definition discipline: literal
+    * terms and multi-term expansions must never diverge on idf
+    * arithmetic). Rows matching `pred` from the cached term_stats probe,
+    * term-sorted. `cap` (the Lucene maxClauseCount analog) fails LOUDLY
+    * on overflow — silent truncation would silently change results. */
+  private def termInfosWhere(pred: Column, cap: Option[Int]): Seq[TermInfo] = {
+    val base = termStats.filter(pred).select("term", "df", "max_tf", "min_dl")
+    val rows = cap.map(c => base.limit(c + 1)) // +1 only to detect overflow cheaply
+      .getOrElse(base).as[(String, Long, Int, Int)].collect()
+    cap.foreach(c => require(rows.length <= c,
+      s"multi-term query expands to > maxExpansions=$c index terms — " +
+        "narrow the pattern or raise the cap"))
+    rows.sortBy(_._1).toSeq.map { case (t, df, mt, md) =>
+      TermInfo(t, df,
+        math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)), mt, md)
+    }
+  }
 
   private def emptyMatches: DataFrame =
     spark.emptyDataset[(Long, Int, Double)].toDF("doc_id", "matched", "score")
@@ -908,19 +921,8 @@ final class Searcher(
     * maxClauseCount analog) with a LOUD failure: silent truncation
     * would silently change results. */
   private def expandTermInfos(pred: Column,
-                              maxExpansions: Int): Seq[TermInfo] = {
-    val rows = termStats.filter(pred)
-      .select("term", "df", "max_tf", "min_dl")
-      .limit(maxExpansions + 1) // only to detect overflow cheaply
-      .as[(String, Long, Int, Int)].collect()
-    require(rows.length <= maxExpansions,
-      s"multi-term query expands to > maxExpansions=$maxExpansions " +
-        "index terms — narrow the pattern or raise the cap")
-    rows.sortBy(_._1).toSeq.map { case (t, df, mt, md) =>
-      TermInfo(t, df, math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)),
-        mt, md)
-    }
-  }
+                              maxExpansions: Int): Seq[TermInfo] =
+    termInfosWhere(pred, Some(maxExpansions))
 
   /** Disjunctive ranked page over pre-expanded terms — each expanded
     * term scores with its own idf (Lucene's SCORING_BOOLEAN rewrite;

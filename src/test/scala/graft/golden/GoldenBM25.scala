@@ -158,13 +158,17 @@ object GoldenBM25 {
   }
 
   /** Plain DP Levenshtein (the fuzzy-expansion golden twin of the
-    * engine's built-in `levenshtein`). */
+    * engine's built-in `levenshtein`). Over code POINTS, not UTF-16
+    * units: Spark's UTF8String counts a supplementary character
+    * (surrogate pair) as ONE edit unit. */
   def levenshtein(a: String, b: String): Int = {
-    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val d = Array.tabulate(ca.length + 1, cb.length + 1)((i, j) =>
       if (i == 0) j else if (j == 0) i else 0)
-    for (i <- 1 to a.length; j <- 1 to b.length)
+    for (i <- 1 to ca.length; j <- 1 to cb.length)
       d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-    d(a.length)(b.length)
+        d(i - 1)(j - 1) + (if (ca(i - 1) == cb(j - 1)) 0 else 1))
+    d(ca.length)(cb.length)
   }
 }
