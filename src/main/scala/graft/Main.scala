@@ -18,7 +18,8 @@ import org.apache.spark.sql.SparkSession
   * spark-submit --class graft.Main app.jar merge  --index /data/idx
   * spark-submit --class graft.Main app.jar search --index /data/idx --query "spark index" [--k 10] [--or] [--start 0] [--phrase] [--not "terms"]
   *   query-type flags: [--prefix] [--wildcard] [--fuzzy [--max-edits 1]]
-  *   (multi-term expansion), [--mlt] (query = source doc_id),
+  *   [--regexp] [--range --lower A --upper B] (multi-term expansion),
+  *   [--mlt] (query = source doc_id),
   *   [--highlight] (page + match_pos/snippet)
   * spark-submit --class graft.Main app.jar facets --index /data/idx --query spark [--hier] [--limit 10]
   * spark-submit --class graft.Main app.jar stream --input /data/incoming --index /data/idx
@@ -33,7 +34,8 @@ import org.apache.spark.sql.SparkSession
 object Main {
 
   private val flagArgs = Set("or", "phrase", "positions", "facets", "hier",
-    "rebuild", "prefix", "wildcard", "fuzzy", "mlt", "highlight")
+    "rebuild", "prefix", "wildcard", "fuzzy", "mlt", "highlight", "range",
+    "regexp")
 
   /** key-value pairs with valueless flags handled positionally (a naive
     * sliding(2,2) would shift every option after a flag). */
@@ -164,6 +166,12 @@ object Main {
             } else if (opt.contains("wildcard")) {
               rejects("wildcard", "not", "or")
               s.searchWildcard(opt("query"), k, start)
+            } else if (opt.contains("range")) {
+              rejects("range", "not", "or")
+              s.searchTermRange(opt.get("lower"), opt.get("upper"), k, start)
+            } else if (opt.contains("regexp")) {
+              rejects("regexp", "not", "or")
+              s.searchRegexp(opt("query"), k, start)
             } else if (opt.contains("mlt")) {
               rejects("mlt", "not", "or")
               s.searchMoreLikeThis(opt("query").toLong, k, start = start)

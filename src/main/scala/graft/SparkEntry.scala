@@ -267,6 +267,17 @@ object SparkEntry {
       TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
         levenshtein(col("term"), lit("PORT")) <= 1, 10)),
 
+    // TermRangeQuery / RegexpQuery analogs — the remaining MultiTermQuery
+    // rewrites: a dictionary interval / an anchored whole-term regex,
+    // each expanded term scoring with its own idf
+    "q_term_range" -> ((s, dir) =>
+      TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
+        col("term") >= "SC" && col("term") < "SP", 10)),
+
+    "q_regexp_search" -> ((s, dir) =>
+      TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
+        col("term").rlike("^S[A-Z]{3,4}$"), 10)),
+
     // more-like-this: source doc's top terms by round(tf·idf, 6) become
     // one disjunctive query, source excluded
     "q_more_like_this" -> ((s, dir) =>
@@ -902,6 +913,19 @@ object SparkEntry {
     "q_fuzzy_search" ->
       s"""${bm25CteQ(
              "SELECT DISTINCT term FROM tf WHERE levenshtein(term, 'PORT') <= 1")}
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_term_range" ->
+      s"""${bm25CteQ(
+             "SELECT DISTINCT term FROM tf WHERE term >= 'SC' AND term < 'SP'")}
+         |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_regexp_search" ->
+      s"""${bm25CteQ(
+             "SELECT DISTINCT term FROM tf " +
+               "WHERE regexp_matches(term, '^S[A-Z]{3,4}$')")}
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -961,6 +961,45 @@ final class Searcher(
       k, start, filter)
   }
 
+  /** Term range query (TermRangeQuery analog, the remaining
+    * MultiTermQuery sibling of prefix/wildcard/fuzzy): every index term
+    * in the folded [lower, upper] interval — either bound open when
+    * None, inclusivity per flag — scored as one disjunctive
+    * BooleanQuery. Bounds compare binary-lexicographically (the
+    * dictionary's own sort order). */
+  def searchTermRange(lower: Option[String], upper: Option[String], k: Int,
+                      start: Int = 0, includeLower: Boolean = true,
+                      includeUpper: Boolean = true,
+                      filter: Option[Column] = None,
+                      maxExpansions: Int = 1024): DataFrame =
+    withServingConf {
+      val lo = lower.map(s => Tokenizer.foldCase(s.trim)).filter(_.nonEmpty)
+      val hi = upper.map(s => Tokenizer.foldCase(s.trim)).filter(_.nonEmpty)
+      // open-open = match-all dictionary (Lucene semantics); on any real
+      // dictionary the maxExpansions cap then fails LOUDLY, never silently
+      val pred = (lo.map(l =>
+          if (includeLower) col("term") >= l else col("term") > l) ++
+        hi.map(h =>
+          if (includeUpper) col("term") <= h else col("term") < h))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      expandedPage(expandTermInfos(pred, maxExpansions), k, start, filter)
+    }
+
+  /** Regexp query (RegexpQuery analog): dictionary terms fully matching
+    * the Java regex (anchored like Lucene — the pattern must cover the
+    * WHOLE term, not a substring). The pattern is NOT case-folded
+    * (folding would corrupt regex syntax, e.g. `\d` → `\D`); index
+    * terms are uppercase, so patterns should match uppercase. */
+  def searchRegexp(pattern: String, k: Int, start: Int = 0,
+                   filter: Option[Column] = None,
+                   maxExpansions: Int = 1024): DataFrame = withServingConf {
+    val p = pattern.trim
+    if (p.isEmpty) return emptyPage
+    expandedPage(
+      expandTermInfos(col("term").rlike("^(?:" + p + ")$"), maxExpansions),
+      k, start, filter)
+  }
+
   /** Fuzzy query (FuzzyQuery analog): index terms within `maxEdits`
     * Levenshtein distance of the folded term (the exact term included
     * at distance 0), scored disjunctively. The distance runs as the

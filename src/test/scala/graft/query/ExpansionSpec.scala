@@ -84,6 +84,53 @@ class ExpansionSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("term range query matches golden expansion at all bound shapes") {
+    val terms = golden.expandTerms(_ => true).sorted
+    assert(terms.size >= 8, "degenerate dictionary")
+    val (lo, hi) = (terms(terms.size / 4), terms(3 * terms.size / 4))
+    // closed-closed
+    val cap = terms.size + 1
+    val e = collectHits(
+      searcher.searchTermRange(Some(lo), Some(hi), K, maxExpansions = cap))
+    val g = goldenExpanded(t => t >= lo && t <= hi, K)
+    assert(e == g, s"range [$lo,$hi]: engine=${e.take(3)} golden=${g.take(3)}")
+    assert(g.nonEmpty)
+    // open-closed exclusive upper
+    val e2 = collectHits(searcher.searchTermRange(None, Some(hi), K,
+      includeUpper = false, maxExpansions = cap))
+    val g2 = goldenExpanded(t => t < hi, K)
+    assert(e2 == g2)
+    // exclusive lower, open upper
+    val e3 = collectHits(searcher.searchTermRange(Some(lo), None, K,
+      includeLower = false, maxExpansions = cap))
+    val g3 = goldenExpanded(t => t > lo, K)
+    assert(e3 == g3)
+    // open-open = match-all dictionary -> loud cap on a real dictionary
+    val ex = intercept[IllegalArgumentException] {
+      searcher.searchTermRange(None, None, K, maxExpansions = 2)
+    }
+    assert(ex.getMessage.contains("maxExpansions"))
+  }
+
+  test("regexp query anchors the pattern over whole terms like Lucene") {
+    val t0 = golden.expandTerms(t => t.length >= 3).head
+    val cap = golden.expandTerms(_ => true).size + 1
+    // a pattern matching t0 plus same-prefix siblings: first char, any tail
+    val pat = t0.take(1) + "[A-Z0-9]*"
+    val e = collectHits(searcher.searchRegexp(pat, K, maxExpansions = cap))
+    val g = goldenExpanded(_.matches(pat), K)
+    assert(e == g, s"regexp '$pat': engine=${e.take(3)} golden=${g.take(3)}")
+    assert(g.nonEmpty)
+    // substring-shaped pattern must NOT match unanchored (whole-term only)
+    val inner = t0.drop(1).dropRight(1)
+    if (inner.nonEmpty) {
+      val eInner = collectHits(searcher.searchRegexp(
+        java.util.regex.Pattern.quote(inner), K))
+      val gInner = goldenExpanded(_ == inner, K)
+      assert(eInner == gInner, "pattern must cover the whole term")
+    }
+  }
+
   test("expansion cap fails loudly instead of silently truncating") {
     val ex = intercept[IllegalArgumentException] {
       searcher.searchWildcard("%", K, maxExpansions = 2)
