@@ -180,6 +180,13 @@ object Main {
               s.searchHighlight(opt("query"), k, start,
                 conjunctive = !opt.contains("or"))
             }
+            else if (opt.contains("should")) {
+              // mixed BooleanQuery: --query = MUST clauses, --should =
+              // SHOULD clauses (score boosters); --or conflicts
+              rejects("should", "or")
+              s.searchBoolean(opt("query"), opt("should"), k, start,
+                notQuery = opt.get("not"))
+            }
             else s.searchWand(opt("query"), k, start = start,
               conjunctive = !opt.contains("or"), notQuery = opt.get("not"))
           page.show(truncate = false)

@@ -274,6 +274,20 @@ object SparkEntry {
       TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
         col("term") >= "SC" && col("term") < "SP", 10)),
 
+    // mixed MUST/SHOULD BooleanQuery (full Occur semantics): the match
+    // set is docs containing the MUST term; SHOULD terms boost scores —
+    // score over MUST ∪ SHOULD restricted to the MUST match set
+    "q_bool_query" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val mustDocs = TextOps.tokens(docs, "doc_id", "text")
+        .where(col("term") === "SPARK").select("doc_id").distinct()
+      TextOps.bm25Scores(docs, "doc_id", "text",
+          Seq("spark", "join", "fast"), conjunctive = false)
+        .join(mustDocs, Seq("doc_id"), "left_semi")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .select("doc_id", "score").limit(10)
+    }),
+
     "q_regexp_search" -> ((s, dir) =>
       TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
         col("term").rlike("^S[A-Z]{3,4}$"), 10)),
@@ -458,9 +472,11 @@ object SparkEntry {
         // order uses the SAME tiebreak as the oracle (score desc,
         // source, doc_id) so rounded-score ties at the k-th cutoff page
         // identically at any corpus scale — structural parity, not a
-        // coincidence of this sf's score distribution
+        // coincidence of this sf's score distribution. body^2.0 is the
+        // query-time field boost (field^boost analog) — the oracle
+        // scales its body contribution by the same constant
         fsr.searchMulti(Map("body" -> "spark", "src" -> "src3"), 10,
-            roundScoresTo = Some(4))
+            roundScoresTo = Some(4), boosts = Map("body" -> 2.0))
           .join(fsr.searcher("body").docstore.select("doc_id", "url"),
             Seq("doc_id"))
           .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
@@ -922,6 +938,12 @@ object SparkEntry {
          |SELECT doc_id, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    "q_bool_query" ->
+      s"""${bm25Cte("('FAST'), ('JOIN'), ('SPARK')")}
+         |SELECT doc_id, score FROM scored
+         |WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'SPARK')
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_regexp_search" ->
       s"""${bm25CteQ(
              "SELECT DISTINCT term FROM tf " +
@@ -1144,7 +1166,7 @@ object SparkEntry {
          |  SELECT count(*) AS df FROM documents WHERE source = 'src3'
          |), total AS (
          |  SELECT b.doc_id, d.source,
-         |    round(b.sb
+         |    round(b.sb * 2.0
          |      + ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5))
          |        * (1 * (1.2 + 1.0))
          |        / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)), 4) AS score

@@ -303,7 +303,8 @@ object FieldedIndex {
       * anyway. `pruneIntersect = false` forces the plain N-way join. */
     def scoredMulti(queries: Map[String, String],
                     roundScoresTo: Option[Int] = None,
-                    pruneIntersect: Boolean = true): DataFrame = {
+                    pruneIntersect: Boolean = true,
+                    boosts: Map[String, Double] = Map.empty): DataFrame = {
       require(queries.nonEmpty, "scoredMulti needs at least one field query")
       val ordered = queries.toSeq.sortBy(_._1)
       // the selectivity probe and the pruning decision run ONLY when the
@@ -350,8 +351,16 @@ object FieldedIndex {
           .select(col("doc_id"), col("score").as(s"score_$f"))
       }
       val joined = perField.reduce((a, b) => a.join(b, Seq("doc_id")))
-      val total0 = ordered.map { case (f, _) => col(s"score_$f") }
-        .reduce(_ + _)
+      // query-time field boosts (the `field^boost` analog): each field's
+      // exact BM25 scales by its boost INSIDE the field-name-ordered fold
+      // (invariant 11); boost 1.0 leaves the expression untouched so the
+      // default path's arithmetic shape is literally unchanged
+      val total0 = ordered.map { case (f, _) =>
+        boosts.getOrElse(f, 1.0) match {
+          case 1.0 => col(s"score_$f")
+          case b => col(s"score_$f") * lit(b)
+        }
+      }.reduce(_ + _)
       val total = roundScoresTo.fold(total0)(d => round(total0, d))
       joined.withColumn("score", total)
     }
@@ -364,8 +373,9 @@ object FieldedIndex {
       * than the rounded rank). */
     def searchMulti(queries: Map[String, String], k: Int,
                     start: Int = 0,
-                    roundScoresTo: Option[Int] = None): DataFrame =
-      scoredMulti(queries, roundScoresTo)
+                    roundScoresTo: Option[Int] = None,
+                    boosts: Map[String, Double] = Map.empty): DataFrame =
+      scoredMulti(queries, roundScoresTo, boosts = boosts)
         .orderBy(col("score").desc, col("doc_id").asc)
         .offset(start).limit(k)
 

@@ -357,17 +357,26 @@ final class Searcher(
     * definition for every exact path (invariant 11): the single-query
     * paths group by doc_id, [[searchBatch]] by (query_id, doc_id). */
   private def foldScores(perTerm: DataFrame,
-                         keys: Seq[String] = Seq("doc_id")): DataFrame = {
+                         keys: Seq[String] = Seq("doc_id"),
+                         withReq: Boolean = false): DataFrame = {
     val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    // withReq: the per-term rows carry a `req` flag (MUST clause marker,
+    // [[scoreBoolean]]) — counting it rides the SAME aggregation; the
+    // score fold's arithmetic shape is untouched
+    val extraAggs =
+      Seq(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("__parts")) ++
+      (if (withReq) Seq(sum(col("req")).cast("int").as("matched_req"))
+       else Nil)
     perTerm
       .withColumn("contrib", contrib)
       .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).cast("int").as("matched"),
-        sort_array(collect_list(struct(col("term"), col("contrib")))).as("__parts"))
+      .agg(count(lit(1)).cast("int").as("matched"), extraAggs: _*)
       .withColumn("score",
         aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
-      .select(keys.map(col) :+ col("matched") :+ col("score"): _*)
+      .select(keys.map(col) ++ Seq(col("matched")) ++
+        (if (withReq) Seq(col("matched_req")) else Nil) :+ col("score"): _*)
   }
 
   /** Restrict matches to the non-scoring filter clause (Q1, the predicate
@@ -398,10 +407,14 @@ final class Searcher(
     * docstore is touched only by an explicit filter clause. */
   private def scoredMatches(terms: Seq[String], idfs: Seq[TermInfo],
                             filter: Option[Column],
-                            among: Option[DataFrame] = None): DataFrame = {
+                            among: Option[DataFrame] = None,
+                            required: Set[String] = Set.empty): DataFrame = {
     if (terms.isEmpty || docCount == 0 || idfs.isEmpty) return emptyMatches
 
-    val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
+    val idfDf =
+      if (required.isEmpty) idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
+      else idfs.map(i => (i.term, i.idf, if (required(i.term)) 1 else 0))
+        .toDF("term", "idf", "req")
 
     val decoded = postingsForTerms(idfs.map(_.term))
       .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
@@ -413,7 +426,8 @@ final class Searcher(
     // only the intersection's per-term rows
     val restricted = applyMatchSetRestrictions(decoded, filter)
     foldScores(among.fold(restricted)(c =>
-      restricted.join(c.select("doc_id"), Seq("doc_id"), "left_semi")))
+      restricted.join(c.select("doc_id"), Seq("doc_id"), "left_semi")),
+      withReq = required.nonEmpty)
   }
 
   /** Doc set containing ANY of the given index-present NOT terms
@@ -468,6 +482,54 @@ final class Searcher(
       case None => must
     }
   }
+
+  /** Mixed MUST/SHOULD BooleanQuery (the reference's full Occur clause
+    * set, Searcher.java:734-736): the match set is docs containing
+    * EVERY must term; should terms add their BM25 contributions to
+    * matching docs without constraining the set (Lucene BooleanQuery
+    * scoring — a SHOULD clause alongside MUSTs is a pure score
+    * booster). `must` empty = pure disjunction over `should`;
+    * `should` empty = pure conjunction — [[score]]'s two modes are the
+    * degenerate cases. A term in both clause sets is MUST (clauses
+    * dedup — documented simplification, same as duplicate query
+    * terms). ONE term_stats probe covers MUST + SHOULD + MUST_NOT. */
+  def scoreBoolean(mustQuery: String, shouldQuery: String,
+                   filter: Option[Column] = None,
+                   notQuery: Option[String] = None): DataFrame = {
+    val must = analyzeQuery(mustQuery)
+    val mustSet = must.toSet
+    val terms = (must ++ analyzeQuery(shouldQuery)).distinct.sorted
+    val notTerms = notQuery.map(analyzeQuery).getOrElse(Seq.empty)
+    if (terms.isEmpty) return emptyMatches
+    val all = termIdfs((terms ++ notTerms).distinct)
+    val present = all.map(_.term).toSet
+    // a MUST term absent from the index matches nothing (MatchNoDocs)
+    if (!must.forall(present)) return emptyMatches
+    val termSet = terms.toSet
+    val idfs = all.filter(i => termSet.contains(i.term))
+    val presentNot = notTerms.distinct.filter(present)
+    val scored0 =
+      scoredMatches(terms, idfs, filter, required = mustSet)
+    val scored =
+      if (must.isEmpty) scored0
+      else scored0.filter(col("matched_req") === must.size)
+    val out = notDocSet(presentNot) match {
+      case Some(nd) => scored.join(nd, Seq("doc_id"), "left_anti")
+      case None => scored
+    }
+    out.select("doc_id", "matched", "score")
+  }
+
+  /** BooleanQuery top-k page over [[scoreBoolean]]. */
+  def searchBoolean(mustQuery: String, shouldQuery: String, k: Int,
+                    start: Int = 0, filter: Option[Column] = None,
+                    notQuery: Option[String] = None): DataFrame =
+    withServingConf {
+      val topk = scoreBoolean(mustQuery, shouldQuery, filter, notQuery)
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .offset(start).limit(k)
+      fetchPage(topk)
+    }
 
   /** Flagship: BM25 top-k with pagination (Q3 + Q11) — fetch-after-rank
     * joins stored fields only for the returned page (S8). */

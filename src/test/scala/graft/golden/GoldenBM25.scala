@@ -91,6 +91,33 @@ object GoldenBM25 {
         .sortBy(h => (-h.score, h.docId))
         .slice(start, start + k)
 
+    /** Mixed MUST/SHOULD BooleanQuery scoring: docs containing EVERY
+      * must term score over must ∪ should contributions (Lucene Occur
+      * semantics; must ∅ = pure disjunction, should ∅ = pure
+      * conjunction). Contributions still sum in ascending term order. */
+    def scoreBoolean(must: Seq[String], should: Seq[String],
+                     filter: Doc => Boolean = _ => true): Seq[Hit] = {
+      val m = must.distinct.sorted
+      val ts = (must ++ should).distinct.sorted
+      if (ts.isEmpty) return Seq.empty
+      if (m.exists(df(_) == 0L)) return Seq.empty
+      val perTerm = ts.flatMap(t => postings.get(t).map(t -> _))
+      val candidates: Seq[Long] =
+        if (m.isEmpty) perTerm.flatMap(_._2.keys).distinct
+        else m.map(t => postings(t).keySet).reduce((a, b) => a intersect b)
+          .toSeq
+      candidates.filter(id => filter(byId(id))).map { id =>
+        var s = 0.0
+        perTerm.foreach { case (t, post) =>
+          post.get(id).foreach { tf =>
+            s += idf(t) * (tf * (k1 + 1.0)) /
+              (tf + k1 * ((1.0 - b) + b * dl(id) / avgdl))
+          }
+        }
+        Hit(id, s)
+      }
+    }
+
     /** The phrase analysis chain with order and duplicates preserved
       * (positions are over the expanded token stream — the contract
       * shared with the engine's positional postings). */

@@ -97,6 +97,36 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     assert(e.nonEmpty)
   }
 
+  test("query-time field boosts scale each field's exact BM25 inside the " +
+    "field-ordered fold, bit-identical to the golden composition") {
+    val boosts = Map("text" -> 2.5, "url" -> 1.0)
+    val e = fs.searchMulti(Map("text" -> "spark", "url" -> "7"), 10,
+        boosts = boosts)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val tScores = goldenText.scoreAll(
+      goldenText.analyze("spark", SynonymDict.empty), conjunctive = true)
+      .map(h => h.docId -> h.score).toMap
+    val uScores = goldenUrl.scoreAll(
+      goldenUrl.analyze("7", SynonymDict.empty), conjunctive = true)
+      .map(h => h.docId -> h.score).toMap
+    // golden fold: field-name order (text < url), boost applied per field
+    val g = (tScores.keySet intersect uScores.keySet).toSeq
+      .map(id => (id, tScores(id) * 2.5 + uScores(id)))
+      .sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(e == g)
+    assert(e.nonEmpty)
+    // all-1.0 boosts are the identity — same page as the unboosted call
+    val e1 = fs.searchMulti(Map("text" -> "spark", "url" -> "7"), 10,
+        boosts = Map("text" -> 1.0))
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val e0 = fs.searchMulti(Map("text" -> "spark", "url" -> "7"), 10)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(e1 == e0)
+  }
+
   test("intersection-driven cross-field pruning: pruned and plain-join " +
     "plans are bit-identical on the golden cases, and the gate routes a " +
     "skewed field pair through the semi-join") {

@@ -126,6 +126,50 @@ class SearchEndToEndSpec extends AnyFunSuite with SparkTestBase {
     assert(w == goldenTopK(q))
   }
 
+  test("mixed MUST/SHOULD boolean query matches golden Occur semantics, " +
+    "with pure-AND / pure-OR as the degenerate cases") {
+    def engineBool(must: String, should: String,
+                   notQ: Option[String] = None): Seq[(Long, Double)] =
+      searcher.searchBoolean(must, should, K, notQuery = notQ)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def goldenBool(must: String, should: String,
+                   filter: GoldenBM25.Doc => Boolean = _ => true)
+        : Seq[(Long, Double)] =
+      golden.scoreBoolean(golden.analyze(must, dict),
+          golden.analyze(should, dict), filter)
+        .sortBy(h => (-h.score, h.docId)).take(K)
+        .map(h => (h.docId, h.score))
+    // genuinely mixed: match set = MUST docs, SHOULD boosts scores
+    val e = engineBool("spark", "index fast")
+    assert(e == goldenBool("spark", "index fast") && e.nonEmpty)
+    // SHOULD-boosted ranking must differ from the pure-MUST ranking for
+    // the case to be non-degenerate
+    val pureMust = searcher.search("spark", K).select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(e != pureMust, "degenerate: should terms never co-occurred")
+    // degenerate cases: empty must = OR, empty should = AND
+    assert(engineBool("", "spark index") ==
+      searcher.search("spark index", K, conjunctive = false)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(engineBool("spark index", "") ==
+      searcher.search("spark index", K, conjunctive = true)
+        .select("doc_id", "score")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // MUST_NOT composes; missing MUST term = MatchNoDocs
+    val notHits = engineBool("spark", "index", notQ = Some("fast"))
+    val fastDocs = golden.scoreAll(golden.analyze("fast", dict),
+      conjunctive = false).map(_.docId).toSet
+    val gNot = golden.scoreBoolean(golden.analyze("spark", dict),
+        golden.analyze("index", dict))
+      .filterNot(h => fastDocs.contains(h.docId))
+      .sortBy(h => (-h.score, h.docId)).take(K)
+      .map(h => (h.docId, h.score))
+    assert(notHits == gNot)
+    assert(engineBool("zzznotaword", "spark").isEmpty)
+  }
+
   test("minimumShouldMatch (OR, >= m of n terms) matches golden on exact " +
     "and WAND-entry paths") {
     val threeTerm = querySet.filter(q =>
