@@ -35,7 +35,7 @@ object Main {
 
   private val flagArgs = Set("or", "phrase", "positions", "facets", "hier",
     "rebuild", "prefix", "wildcard", "fuzzy", "mlt", "highlight", "range",
-    "regexp")
+    "regexp", "parse")
 
   /** key-value pairs with valueless flags handled positionally (a naive
     * sliding(2,2) would shift every option after a flag). */
@@ -150,7 +150,24 @@ object Main {
             flags.find(opt.contains).foreach(f => sys.error(
               s"--$f is not supported with --$mode"))
           val page =
-            if (opt.contains("phrase")) {
+            if (opt.contains("parse")) {
+              // classic query-string syntax: +must -not "phrase"~2
+              // term^boost pre* wi?ld fuzzy~1 /regex/ [a TO b] — the
+              // clause operators replace every other mode flag
+              rejects("parse", "phrase", "prefix", "fuzzy", "wildcard",
+                "range", "regexp", "mlt", "highlight", "should", "not",
+                "or", "slop")
+              s.searchQuery(opt("query"), k, start)
+            }
+            else if (opt.contains("explain")) {
+              // Explanation analog: per-term contribution breakdown of
+              // --explain <docId> under the parsed --query
+              rejects("explain", "phrase", "prefix", "fuzzy", "wildcard",
+                "range", "regexp", "mlt", "highlight", "should", "not",
+                "or", "slop")
+              s.explainScore(opt("query"), opt("explain").toLong)
+            }
+            else if (opt.contains("phrase")) {
               rejects("phrase", "or")
               s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"),
                 slop = opt.getOrElse("slop", "0").toInt)

@@ -292,6 +292,31 @@ object SparkEntry {
       TextOps.bm25TopKExpanded(t(s, dir, "documents"), "doc_id", "text",
         col("term").rlike("^S[A-Z]{3,4}$"), 10)),
 
+    // classic QueryParser front door through a REAL index: MUST term +
+    // boosted SHOULD + prefix expansion + MUST_NOT in one query string,
+    // engine ordering on the oracle's exact (rounded score, original id)
+    // tiebreak so page parity is structural (ADVICE#3 discipline)
+    "q_query_parse" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(
+        format_string("doc://%s/%06d", col("source"), col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val root = java.nio.file.Files.createTempDirectory("graft-qp-").toString
+      IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        "battery-query-parse")
+      val sr = new graft.query.Searcher(s, root, SynonymDict.empty)
+      val parsed = graft.query.QueryParser.parse("+spark join^2 fa* -vector")
+      materialized(
+        sr.scoreParsed(parsed)
+          .join(sr.docstore.select("doc_id", "url"), Seq("doc_id"))
+          .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
+            .as("doc_id"), round(col("score"), 4).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(10)) {
+        sr.close(); deleteRec(root)
+      }
+    }),
+
     // more-like-this: source doc's top terms by round(tf·idf, 6) become
     // one disjunctive query, source excluded
     "q_more_like_this" -> ((s, dir) =>
@@ -949,6 +974,41 @@ object SparkEntry {
              "SELECT DISTINCT term FROM tf " +
                "WHERE regexp_matches(term, '^S[A-Z]{3,4}$')")}
          |SELECT doc_id, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // weighted clause scoring: each clause's terms with its boost; the
+    // same term reached through two clauses contributes once per clause
+    // (engine scoreParsed semantics)
+    "q_query_parse" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT d.doc_id,
+         |    (SELECT count(*) FROM toks f WHERE f.doc_id = d.doc_id) AS dl
+         |  FROM documents d
+         |), stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), qw AS (
+         |  SELECT 'SPARK' AS term, CAST(1.0 AS DOUBLE) AS w
+         |  UNION ALL SELECT 'JOIN', 2.0
+         |  UNION ALL SELECT term, 1.0
+         |    FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'FA%')
+         |), dfq AS (
+         |  SELECT term, count(*) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM qw) GROUP BY 1
+         |), scored AS (
+         |  SELECT tf.doc_id, round(sum(
+         |    qw.w * ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+         |  FROM tf JOIN qw USING (term) JOIN dfq ON dfq.term = tf.term
+         |  JOIN dl USING (doc_id) CROSS JOIN stats s
+         |  GROUP BY tf.doc_id
+         |)
+         |SELECT doc_id, score FROM scored
+         |WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'SPARK')
+         |  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'VECTOR')
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_more_like_this" ->

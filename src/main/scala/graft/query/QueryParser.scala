@@ -1,0 +1,216 @@
+package graft.query
+
+/** Classic Lucene query-string syntax → clause list (the QueryParser
+  * analog). The reference's serving API takes pre-built `Query` trees
+  * (`src/Searcher.java:730-760` — callers hand it BooleanQuery /
+  * PhraseQuery / prefix-family instances); this parser is the standard
+  * front door a Lucene user writes those trees with, compiled onto the
+  * same clause set [[Searcher.scoreParsed]] executes.
+  *
+  * Supported syntax (one flat boolean level, like the classic parser's
+  * overwhelmingly common use):
+  *
+  *   - `term` — SHOULD term clause; `+term` MUST; `-term` MUST_NOT
+  *   - `"a phrase"` / `"a phrase"~2` — phrase clause with slop
+  *   - `pre*` — prefix; `wi*d` / `w?rd` — wildcard (`*` any run, `?`
+  *     one char)
+  *   - `term~` / `term~1` — fuzzy (Levenshtein; bare `~` = 2 edits,
+  *     Lucene's default)
+  *   - `/regex/` — regexp over whole terms (pattern passed through
+  *     verbatim, never case-folded)
+  *   - `[a TO b]` / `{a TO b}` — term range, `[`/`]` inclusive,
+  *     `{`/`}` exclusive, `*` = open bound (mixed brackets fine)
+  *   - `clause^2.5` — per-clause boost (any clause form)
+  *   - `\x` escapes a special character into the term text
+  *
+  * Deliberately NOT supported, failing LOUDLY instead of silently
+  * parsing wrong: parenthesized sub-booleans (`(a b) c` — the executor
+  * scores one flat clause level; nest by issuing two queries),
+  * `field:term` (single-field indexes have no field dimension — use
+  * [[graft.index.FieldedIndex.FieldedSearcher]] per field), and infix
+  * `AND`/`OR`/`NOT` keywords (the `+`/`-` unary operators are the
+  * non-ambiguous core; Lucene's own docs warn off the infix forms). */
+object QueryParser {
+
+  sealed trait Occur
+  case object Must extends Occur
+  case object Should extends Occur
+  case object MustNot extends Occur
+
+  sealed trait Clause {
+    def occur: Occur
+    def boost: Double
+  }
+  final case class TermQ(text: String, occur: Occur,
+                         boost: Double) extends Clause
+  final case class PhraseQ(text: String, slop: Int, occur: Occur,
+                           boost: Double) extends Clause
+  final case class PrefixQ(prefix: String, occur: Occur,
+                           boost: Double) extends Clause
+  /** Lucene-style pattern (`*` / `?`), converted to SQL LIKE by the
+    * executor. */
+  final case class WildcardQ(pattern: String, occur: Occur,
+                             boost: Double) extends Clause
+  final case class FuzzyQ(term: String, maxEdits: Int, occur: Occur,
+                          boost: Double) extends Clause
+  final case class RegexpQ(pattern: String, occur: Occur,
+                           boost: Double) extends Clause
+  final case class RangeQ(lower: Option[String], upper: Option[String],
+                          includeLower: Boolean, includeUpper: Boolean,
+                          occur: Occur, boost: Double) extends Clause
+
+  def parse(q: String): Seq[Clause] = new P(q).all()
+
+  private final class P(s: String) {
+    private var i = 0
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"query parse error at offset $i in <$s>: $msg")
+    private def ws(): Unit =
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def eof: Boolean = i >= s.length
+    private def peek: Char = s.charAt(i)
+
+    def all(): Seq[Clause] = {
+      val out = Vector.newBuilder[Clause]
+      ws()
+      while (!eof) { out += clause(); ws() }
+      val cs = out.result()
+      if (cs.isEmpty) fail("empty query")
+      cs
+    }
+
+    private def clause(): Clause = {
+      val occur = peek match {
+        case '+' => i += 1; Must
+        case '-' => i += 1; MustNot
+        case _ => Should
+      }
+      if (eof || peek.isWhitespace) fail("dangling +/- operator")
+      peek match {
+        case '(' | ')' =>
+          fail("parenthesized sub-booleans are not supported — the " +
+            "executor scores one flat MUST/SHOULD/MUST_NOT level")
+        case '"' => phrase(occur)
+        case '/' => regex(occur)
+        case '[' | '{' => range(occur)
+        case _ => word(occur)
+      }
+    }
+
+    /** Optional trailing `^boost`; must consume to a clause boundary. */
+    private def boost(): Double =
+      if (eof || peek != '^') 1.0
+      else {
+        i += 1
+        val st = i
+        while (!eof && !peek.isWhitespace) i += 1
+        val raw = s.substring(st, i)
+        val b = try raw.toDouble
+        catch { case _: NumberFormatException => fail(s"bad boost <$raw>") }
+        if (!(b > 0.0) || b.isInfinite) fail(s"boost must be finite > 0, got $raw")
+        b
+      }
+
+    private def phrase(occur: Occur): Clause = {
+      i += 1 // opening quote
+      val sb = new StringBuilder
+      while (!eof && peek != '"') {
+        if (peek == '\\' && i + 1 < s.length) { sb += s.charAt(i + 1); i += 2 }
+        else { sb += peek; i += 1 }
+      }
+      if (eof) fail("unterminated phrase quote")
+      i += 1 // closing quote
+      var slop = 0
+      if (!eof && peek == '~') {
+        i += 1
+        val st = i
+        while (!eof && peek.isDigit) i += 1
+        if (i == st) fail("phrase slop ~ needs digits")
+        slop = s.substring(st, i).toInt
+      }
+      PhraseQ(sb.toString, slop, occur, boost())
+    }
+
+    private def regex(occur: Occur): Clause = {
+      i += 1 // opening slash
+      val sb = new StringBuilder
+      while (!eof && peek != '/') {
+        // only \/ unescapes; every other backslash stays in the pattern
+        // (it is regex syntax: \d, \w, ...)
+        if (peek == '\\' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          sb += '/'; i += 2
+        } else { sb += peek; i += 1 }
+      }
+      if (eof) fail("unterminated /regex/")
+      i += 1
+      if (sb.isEmpty) fail("empty /regex/")
+      RegexpQ(sb.toString, occur, boost())
+    }
+
+    private def range(occur: Occur): Clause = {
+      val incLo = peek == '['
+      i += 1
+      def tok(): String = {
+        val st = i
+        while (!eof && !peek.isWhitespace && peek != ']' && peek != '}')
+          i += 1
+        if (i == st) fail("empty range bound")
+        s.substring(st, i)
+      }
+      val lo = tok()
+      ws()
+      if (eof || tok() != "TO") fail("range needs the form [a TO b]")
+      ws()
+      val hi = tok()
+      if (eof || (peek != ']' && peek != '}')) fail("unterminated range")
+      val incHi = peek == ']'
+      i += 1
+      RangeQ(Option(lo).filter(_ != "*"), Option(hi).filter(_ != "*"),
+        incLo, incHi, occur, boost())
+    }
+
+    private def word(occur: Occur): Clause = {
+      val text = new StringBuilder
+      var wild = false           // any unescaped * or ?
+      var starsOnlyTrailing = true // every unescaped * is one trailing *
+      var stars = 0
+      while (!eof && !peek.isWhitespace && peek != '^' && peek != '~') {
+        peek match {
+          case '\\' if i + 1 < s.length =>
+            text += s.charAt(i + 1); i += 2; starsOnlyTrailing = false
+          case '(' | ')' =>
+            fail("parenthesized sub-booleans are not supported")
+          case '"' => fail("quote inside a term — escape it as \\\"")
+          case ':' =>
+            fail(s"field queries (<${text.toString}:...>) are not " +
+              "supported on a single-field index — search the right " +
+              "field's Searcher (FieldedSearcher) instead")
+          case '*' =>
+            wild = true; stars += 1
+            text += '*'; i += 1
+            if (!eof && !peek.isWhitespace && peek != '^')
+              starsOnlyTrailing = false
+          case '?' => wild = true; starsOnlyTrailing = false
+            text += '?'; i += 1
+          case c => text += c; i += 1
+        }
+      }
+      if (text.isEmpty) fail("empty term")
+      if (!eof && peek == '~') {
+        i += 1
+        if (wild) fail("cannot combine wildcards with fuzzy ~")
+        val st = i
+        while (!eof && peek.isDigit) i += 1
+        // bare ~ is Lucene's 2-edit default
+        val edits = if (i == st) 2 else s.substring(st, i).toInt
+        FuzzyQ(text.toString, edits, occur, boost())
+      } else if (wild) {
+        val t = text.toString
+        if (stars == 1 && starsOnlyTrailing && t.endsWith("*") && t.length > 1)
+          PrefixQ(t.dropRight(1), occur, boost())
+        else WildcardQ(t, occur, boost())
+      } else TermQ(text.toString, occur, boost())
+    }
+  }
+}

@@ -321,10 +321,16 @@ final class Searcher(
       s"multi-term query expands to > maxExpansions=$c index terms — " +
         "narrow the pattern or raise the cap"))
     rows.sortBy(_._1).toSeq.map { case (t, df, mt, md) =>
-      TermInfo(t, df,
-        math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)), mt, md)
+      mkTermInfo(t, df, mt, md)
     }
   }
+
+  /** THE idf arithmetic (invariant 11: one definition — [[termInfosWhere]]
+    * and the parsed-query probe must never diverge). */
+  private def mkTermInfo(term: String, df: Long, maxTf: Int,
+                         minDl: Int): TermInfo =
+    TermInfo(term, df,
+      math.log(1.0 + (docCount - df + 0.5) / (df + 0.5)), maxTf, minDl)
 
   private def emptyMatches: DataFrame =
     spark.emptyDataset[(Long, Int, Double)].toDF("doc_id", "matched", "score")
@@ -356,18 +362,28 @@ final class Searcher(
     * shared with the golden model and the WAND rescore phase. ONE
     * definition for every exact path (invariant 11): the single-query
     * paths group by doc_id, [[searchBatch]] by (query_id, doc_id). */
+  private def contribBase: Column =
+    col("idf") * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+
   private def foldScores(perTerm: DataFrame,
                          keys: Seq[String] = Seq("doc_id"),
                          withReq: Boolean = false): DataFrame = {
-    val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
-      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
-    // withReq: the per-term rows carry a `req` flag (MUST clause marker,
-    // [[scoreBoolean]]) — counting it rides the SAME aggregation; the
-    // score fold's arithmetic shape is untouched
+    // query-time clause boosts ([[scoreParsed]]) ride as a `weight`
+    // multiplier when the per-term rows carry one; paths without the
+    // column keep the invariant-3 arithmetic shape literally untouched
+    val contrib =
+      if (perTerm.columns.contains("weight")) col("weight") * contribBase
+      else contribBase
+    // withReq: the per-term rows carry `req_clause` (non-null = this row
+    // satisfies that MUST clause; [[scoreBoolean]] keys by term,
+    // [[scoreParsed]] by clause id) — the distinct-count rides the SAME
+    // aggregation; the score fold's arithmetic shape is untouched
     val extraAggs =
       Seq(sort_array(collect_list(struct(col("term"), col("contrib"))))
         .as("__parts")) ++
-      (if (withReq) Seq(sum(col("req")).cast("int").as("matched_req"))
+      (if (withReq)
+         Seq(size(collect_set(col("req_clause"))).as("matched_req"))
        else Nil)
     perTerm
       .withColumn("contrib", contrib)
@@ -413,8 +429,9 @@ final class Searcher(
 
     val idfDf =
       if (required.isEmpty) idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
-      else idfs.map(i => (i.term, i.idf, if (required(i.term)) 1 else 0))
-        .toDF("term", "idf", "req")
+      else idfs.map(i => (i.term, i.idf,
+          if (required(i.term)) i.term else null))
+        .toDF("term", "idf", "req_clause")
 
     val decoded = postingsForTerms(idfs.map(_.term))
       .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
@@ -530,6 +547,274 @@ final class Searcher(
         .offset(start).limit(k)
       fetchPage(topk)
     }
+
+  // ---- parsed-query execution (the classic QueryParser analog) -------
+
+  /** Resolves a parsed clause list ([[QueryParser]]) into the weighted
+    * per-(term, doc) rows every exact path folds, plus the MUST-clause
+    * count and the MUST_NOT doc-set frames. `None` = MatchNoDocs (a
+    * MUST term absent from the index, a MUST expansion matching
+    * nothing, a MUST phrase with an absent term, or no scoring clause
+    * at all — a pure-NOT query matches nothing, like Lucene).
+    *
+    * Job shape (the 100-TB posture): ONE term_stats probe resolves
+    * every literal term AND every expansion predicate together — the
+    * clause-membership flags ride the same collect as extra boolean
+    * columns — then one `term IN` row-group-pruned posting scan covers
+    * all non-phrase clauses and one positional scan serves each phrase
+    * clause. Clause weights and MUST markers travel in the broadcast
+    * term frame, so the fold stays a single aggregation. */
+  private def parsedPerTerm(clauses: Seq[QueryParser.Clause],
+                            maxExpansions: Int)
+      : Option[(DataFrame, Int, Seq[DataFrame])] = {
+    import QueryParser._
+    import scala.collection.mutable.ArrayBuffer
+    if (docCount == 0) return None
+
+    // -- resolution: clauses → analysis-level sub-clauses --------------
+    // a term clause fans into one sub-clause per analyzed term (synonym
+    // expansion included) so `+a b` composes exactly like the
+    // established conjunctive/disjunctive contracts; clauses whose
+    // analysis is empty are dropped (the classic parser does the same)
+    val termSubs = ArrayBuffer.empty[(String, Double, Boolean)]
+    val expSubs = ArrayBuffer.empty[(Column, Double, Boolean)]
+    val phraseSubs = ArrayBuffer.empty[(Seq[String], Int, Double, Boolean)]
+    val notTerms = ArrayBuffer.empty[String]
+    val notExpPreds = ArrayBuffer.empty[Column]
+    val notPhrases = ArrayBuffer.empty[(Seq[String], Int)]
+
+    def wildcardRegex(pat: String): String =
+      pat.map {
+        case '*' => ".*"
+        case '?' => "."
+        case ch => java.util.regex.Pattern.quote(ch.toString)
+      }.mkString
+
+    clauses.foreach { c =>
+      val isNot = c.occur == MustNot
+      val must = c.occur == Must
+      def addExp(pred: Column): Unit =
+        if (isNot) notExpPreds += pred else expSubs += ((pred, c.boost, must))
+      c match {
+        case TermQ(text, _, w) =>
+          val ts = analyzeQuery(text)
+          if (isNot) notTerms ++= ts
+          else ts.foreach(t => termSubs += ((t, w, must)))
+        case PhraseQ(text, slop, _, w) =>
+          val ordered = analyzePhrase(text)
+          if (ordered.nonEmpty) {
+            require(positionsIndexed, "phrase clauses need an index " +
+              "built with indexPositions = true")
+            require(slop >= 0, s"slop must be >= 0, got $slop")
+            if (isNot) notPhrases += ((ordered, slop))
+            else phraseSubs += ((ordered, slop, w, must))
+          }
+        case PrefixQ(p0, _, _) =>
+          val p = Tokenizer.foldCase(p0.trim)
+          if (p.nonEmpty) addExp(col("term").startsWith(p))
+        case WildcardQ(pat0, _, _) =>
+          // Lucene wildcard semantics (* any run, ? one char, all else
+          // literal) — rlike with quoted literals, NOT SQL LIKE, so a
+          // literal `_`/`%` in the pattern can never act as a wildcard
+          val p = Tokenizer.foldCase(pat0.trim)
+          if (p.nonEmpty)
+            addExp(col("term").rlike("^" + wildcardRegex(p) + "$"))
+        case FuzzyQ(t0, maxEdits, _, _) =>
+          require(maxEdits >= 0, s"maxEdits must be >= 0, got $maxEdits")
+          val t = Tokenizer.foldCase(t0.trim)
+          if (t.nonEmpty)
+            addExp(levenshtein(col("term"), lit(t)) <= maxEdits)
+        case RegexpQ(p0, _, _) =>
+          val p = p0.trim // never case-folded (regex syntax)
+          if (p.nonEmpty) addExp(col("term").rlike("^(?:" + p + ")$"))
+        case RangeQ(lo0, hi0, incLo, incHi, _, _) =>
+          val lo = lo0.map(s => Tokenizer.foldCase(s.trim)).filter(_.nonEmpty)
+          val hi = hi0.map(s => Tokenizer.foldCase(s.trim)).filter(_.nonEmpty)
+          addExp((lo.map(l =>
+              if (incLo) col("term") >= l else col("term") > l) ++
+            hi.map(h =>
+              if (incHi) col("term") <= h else col("term") < h))
+            .reduceOption(_ && _).getOrElse(lit(true)))
+      }
+    }
+    if (termSubs.isEmpty && expSubs.isEmpty && phraseSubs.isEmpty)
+      return None
+
+    // -- ONE term_stats probe for literals + every expansion -----------
+    val litTerms = (termSubs.map(_._1) ++ notTerms ++
+      phraseSubs.flatMap(_._1) ++ notPhrases.flatMap(_._1))
+      .distinct.sorted.toSeq
+    val expPreds = (expSubs.map(_._1) ++ notExpPreds).toSeq
+    val probePred =
+      ((if (litTerms.nonEmpty) Seq(col("term").isin(litTerms: _*)) else Nil)
+        ++ expPreds).reduce(_ || _)
+    val flagCols = expPreds.zipWithIndex.map { case (p, j) => p.as(s"__c$j") }
+    val totalCap = litTerms.size + expPreds.size * maxExpansions
+    val probeRows = termStats.filter(probePred)
+      .select(Seq(col("term"), col("df"), col("max_tf"), col("min_dl")) ++
+        flagCols: _*)
+      .limit(totalCap + 1).collect()
+    require(probeRows.length <= totalCap,
+      s"parsed query expands to > $totalCap index terms — narrow the " +
+        "expansions or raise maxExpansions")
+    val infoOf: Map[String, TermInfo] = probeRows.map { r =>
+      val t = r.getString(0)
+      t -> mkTermInfo(t, r.getLong(1), r.getInt(2), r.getInt(3))
+    }.toMap
+    val expMatches: IndexedSeq[Seq[String]] = expPreds.indices.map { j =>
+      val ts = probeRows.iterator
+        .filter(r => !r.isNullAt(4 + j) && r.getBoolean(4 + j))
+        .map(_.getString(0)).toSeq.sorted
+      require(ts.size <= maxExpansions, s"expansion clause #$j matches " +
+        s"${ts.size} > maxExpansions=$maxExpansions index terms — " +
+        "narrow the pattern or raise the cap")
+      ts
+    }
+
+    // -- MatchNoDocs short-circuits (no job runs) -----------------------
+    if (termSubs.exists { case (t, _, must) => must && !infoOf.contains(t) })
+      return None
+    if (expSubs.indices.exists(j => expSubs(j)._3 && expMatches(j).isEmpty))
+      return None
+    if (phraseSubs.exists { case (ordered, _, _, must) =>
+        must && !ordered.distinct.forall(infoOf.contains) })
+      return None
+
+    // -- weighted per-term rows (one row per clause-term) ---------------
+    var mustCount = 0
+    def nextReq(): String = { mustCount += 1; s"c${mustCount - 1}" }
+    val wRows = ArrayBuffer.empty[(String, Double, Double, String)]
+    termSubs.foreach { case (t, w, must) =>
+      infoOf.get(t).foreach { inf =>
+        wRows += ((t, inf.idf, w, if (must) nextReq() else null))
+      }
+    }
+    expSubs.zipWithIndex.foreach { case ((_, w, must), j) =>
+      if (expMatches(j).nonEmpty) {
+        val id = if (must) nextReq() else null
+        expMatches(j).foreach(t => wRows += ((t, infoOf(t).idf, w, id)))
+      }
+    }
+    val nonPhrase =
+      if (wRows.isEmpty) Nil
+      else {
+        val wDf = wRows.toSeq.toDF("term", "idf", "weight", "req_clause")
+        Seq(postingsForTerms(wRows.map(_._1).distinct.sorted.toSeq)
+          .select(col("term"), explode(vb_decode(col("blob"))).as("p"))
+          .select(col("term"), col("p.doc_id").as("doc_id"),
+            col("p.tf").as("tf"), col("p.dl").as("dl"))
+          .join(broadcast(wDf), Seq("term")))
+      }
+    val phraseFrames = phraseSubs.flatMap { case (ordered, slop, w, must) =>
+      val dts = ordered.distinct.sorted
+      if (!dts.forall(infoOf.contains)) None // SHOULD phrase, absent term
+      else {
+        val idfs = dts.map(infoOf)
+        val id = if (must) nextReq() else null
+        val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
+        Some(phraseAlignedRows(ordered, dts, idfs, slop, identity)
+          .join(broadcast(idfDf), Seq("term"))
+          .withColumn("weight", lit(w))
+          .withColumn("req_clause", lit(id).cast("string")))
+      }
+    }
+    val cols = Seq("doc_id", "term", "tf", "dl", "idf", "weight",
+      "req_clause")
+    val frames = (nonPhrase ++ phraseFrames)
+      .map(_.select(cols.map(col): _*))
+    // every positive clause resolved to nothing (SHOULD expansions with
+    // empty matches, SHOULD terms absent) — no contribution, no matches
+    if (frames.isEmpty) return None
+    val perTerm = frames.reduce(_ union _)
+
+    // -- MUST_NOT doc-set frames ----------------------------------------
+    val notSetTerms = (notTerms.distinct.filter(infoOf.contains) ++
+      (expSubs.size until expPreds.size).flatMap(expMatches))
+      .distinct.toSeq
+    val notFrames = notDocSet(notSetTerms).toSeq ++
+      notPhrases.flatMap { case (ordered, slop) =>
+        val dts = ordered.distinct.sorted
+        if (!dts.forall(infoOf.contains)) None // absent term: matches nothing
+        else Some(phraseAlignedRows(ordered, dts, dts.map(infoOf), slop,
+          identity).select("doc_id").distinct())
+      }
+    Some((perTerm, mustCount, notFrames))
+  }
+
+  /** Generalized boolean scoring over a parsed clause list
+    * ([[QueryParser]]) — Lucene clause semantics on the same primitives
+    * every other exact path uses:
+    *
+    *  - match set: docs satisfying EVERY MUST clause (term clause =
+    *    each analyzed term its own MUST; expansion clause = ANY
+    *    expanded term; phrase clause = the positional alignment), minus
+    *    docs matching ANY MUST_NOT clause. Only MUST_NOT clauses = no
+    *    matches (Lucene).
+    *  - score: Σ over positive clauses of boost × the clause's BM25
+    *    contributions (each expanded term with its own idf — the
+    *    scoring-boolean rewrite; a phrase contributes its distinct
+    *    terms' BM25 over aligned docs only). The same index term
+    *    reached through two clauses contributes once PER CLAUSE
+    *    (Lucene sums clause scores); determinism holds because the
+    *    fold sorts (term, contrib) pairs before the ascending sum.
+    *
+    * `matched` counts contributing clause-term rows (not distinct
+    * terms — a term reached through two clauses counts twice). */
+  def scoreParsed(clauses: Seq[QueryParser.Clause],
+                  filter: Option[Column] = None,
+                  maxExpansions: Int = 1024): DataFrame =
+    parsedPerTerm(clauses, maxExpansions) match {
+      case None => emptyMatches
+      case Some((perTerm, mustCount, notFrames)) =>
+        val restricted = applyMatchSetRestrictions(perTerm, filter)
+        val folded = foldScores(restricted, withReq = mustCount > 0)
+        val gated =
+          if (mustCount == 0) folded
+          else folded.filter(col("matched_req") === mustCount)
+        val out = notFrames.reduceOption(_ union _) match {
+          case Some(nd) => gated.join(nd, Seq("doc_id"), "left_anti")
+          case None => gated
+        }
+        out.select("doc_id", "matched", "score")
+    }
+
+  /** Lucene-classic-syntax search — the QueryParser front door:
+    * `+must -not "a phrase"~2 term^2.5 pre* wi?ld fuzzy~1 /S[A-Z]+/
+    * [A TO F]` all compose in one query string ([[QueryParser]] for
+    * the grammar, [[scoreParsed]] for the execution shape). */
+  def searchQuery(q: String, k: Int, start: Int = 0,
+                  filter: Option[Column] = None,
+                  maxExpansions: Int = 1024): DataFrame = withServingConf {
+    val topk = scoreParsed(QueryParser.parse(q), filter, maxExpansions)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .offset(start).limit(k)
+    fetchPage(topk)
+  }
+
+  /** Score explanation (the Lucene Explanation analog): the per-term
+    * contribution breakdown of `docId` under a parsed query —
+    * (term, weight, tf, dl, idf, contrib) ordered by (term, contrib),
+    * exactly the rows the fold sums. Contributions are shown for every
+    * positive clause the doc matches regardless of the boolean gate
+    * (this is a debugging surface; filter clauses and MUST gating are
+    * not applied) — when the doc IS a match, sum(contrib) equals its
+    * [[searchQuery]] score bit-identically (same arithmetic, same
+    * ascending fold order). Empty frame = MatchNoDocs or no
+    * contribution. */
+  def explainScore(q: String, docId: Long,
+                   maxExpansions: Int = 1024): DataFrame = withServingConf {
+    val empty = spark
+      .emptyDataset[(String, Double, Int, Int, Double, Double)]
+      .toDF("term", "weight", "tf", "dl", "idf", "contrib")
+    parsedPerTerm(QueryParser.parse(q), maxExpansions) match {
+      case None => empty
+      case Some((perTerm, _, _)) =>
+        perTerm.where(col("doc_id") === docId)
+          .withColumn("contrib", col("weight") * contribBase)
+          .select("term", "weight", "tf", "dl", "idf", "contrib")
+          .orderBy(col("term"), col("contrib"))
+    }
+  }
 
   /** Flagship: BM25 top-k with pagination (Q3 + Q11) — fetch-after-rank
     * joins stored fields only for the returned page (S8). */
@@ -900,6 +1185,37 @@ final class Searcher(
     val termSet = distinctTerms.toSet
     val idfs = all.filter(i => termSet.contains(i.term))
     if (idfs.size < distinctTerms.size) return emptyPage // MUST semantics
+    val notSet = notTerms.toSet
+    val aligned = phraseAlignedRows(ordered, distinctTerms, idfs, slop,
+      rows0 => {
+        val restricted0 = applyMatchSetRestrictions(rows0, filter)
+        notDocSet(all.map(_.term).filter(notSet.contains)) match {
+          case Some(nd) => restricted0.join(nd, Seq("doc_id"), "left_anti")
+          case None => restricted0
+        }
+      })
+    val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
+    val perTerm = aligned.join(broadcast(idfDf), Seq("term"))
+    val page = foldScores(perTerm)
+      .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
+    fetchPage(page)
+  }
+
+  /** Positional per-(term, doc) rows for docs with an ordered
+    * within-slop alignment of `ordered` — the shared alignment core of
+    * [[searchPhrase]] and phrase clauses in [[scoreParsed]]. `restrict`
+    * runs on the raw positional rows BEFORE the alignment groupBy
+    * ([[searchPhrase]] pushes its filter/NOT/dead restrictions here so
+    * the alignment shuffles only eligible docs; callers restricting
+    * later pass identity — restriction removes whole docs, never rows
+    * of a surviving doc, so scores are unaffected either way). Returns
+    * (doc_id, term, tf, dl) over the DISTINCT phrase terms of aligned
+    * docs. */
+  private def phraseAlignedRows(ordered: Seq[String],
+                                distinctTerms: Seq[String],
+                                idfs: Seq[TermInfo], slop: Int,
+                                restrict: DataFrame => DataFrame)
+      : DataFrame = {
     val rows = postingsForTerms(distinctTerms)
       .select(col("term"), explode(vb_decode_pos(col("blob"))).as("p"))
       .select(col("term"), col("p.doc_id").as("doc_id"),
@@ -916,12 +1232,7 @@ final class Searcher(
         val rare = rows.where(col("term") === rarest.term).select("doc_id")
         rows.join(rare, Seq("doc_id"), "left_semi")
       } else rows
-    val notSet = notTerms.toSet
-    val restricted0 = applyMatchSetRestrictions(rows0, filter)
-    val restricted = notDocSet(all.map(_.term).filter(notSet.contains)) match {
-      case Some(nd) => restricted0.join(nd, Seq("doc_id"), "left_anti")
-      case None => restricted0
-    }
+    val restricted = restrict(rows0)
     val byDoc = restricted.groupBy("doc_id")
       .agg(collect_list(
         struct(col("term"), col("tf"), col("dl"), col("positions"))).as("es"))
@@ -942,15 +1253,10 @@ final class Searcher(
           p => p > prev && p <= prev + lit(1 + slop) && from(j + 1, p))
       exists(try_element_at(posMap, lit(ordered.head)), p => from(1, p))
     }
-    val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
-    val perTerm = byDoc.where(phraseCond)
+    byDoc.where(phraseCond)
       .select(col("doc_id"), explode(col("es")).as("e"))
       .select(col("doc_id"), col("e.term").as("term"),
         col("e.tf").as("tf"), col("e.dl").as("dl"))
-      .join(broadcast(idfDf), Seq("term"))
-    val page = foldScores(perTerm)
-      .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
-    fetchPage(page)
   }
 
   /** Hit metadata (Q12): totalHits, maxScore alongside the page. */

@@ -170,6 +170,120 @@ object GoldenBM25 {
         .sortBy { case (t, w) => (-w, t) }
         .take(maxQueryTerms).map(_._1)
 
+    /** Parsed-query scoring twin of the engine's
+      * [[graft.query.Searcher.scoreParsed]] (Lucene clause semantics):
+      * candidates = ∩ over MUST clauses (term = contains the analyzed
+      * term, each its own MUST; expansion = contains ANY expanded term;
+      * phrase = the alignment) minus ∪ MUST_NOT; score = Σ over
+      * positive clauses of boost × the clause's per-term contributions
+      * (a phrase contributes only on aligned docs), with the
+      * (term, contrib) pairs sorted ascending before the sum — the
+      * engine's exact fold order. Pure-NOT or MatchNoDocs ⇒ empty. */
+    def scoreParsed(clauses: Seq[graft.query.QueryParser.Clause],
+                    dict: SynonymDict,
+                    filter: Doc => Boolean = _ => true): Seq[Hit] = {
+      import graft.query.QueryParser._
+      import scala.collection.mutable.ArrayBuffer
+      // (weight, terms, restrictTo): contribution groups; restrictTo =
+      // the phrase alignment set when present
+      val contribs = ArrayBuffer.empty[(Double, Seq[String], Option[Set[Long]])]
+      val mustSets = ArrayBuffer.empty[Set[Long]]
+      val notDocs = scala.collection.mutable.Set.empty[Long]
+      var matchNo = false
+      def docsWith(t: String): Set[Long] =
+        postings.getOrElse(t, Map.empty).keySet
+      def docsWithAny(ts: Seq[String]): Set[Long] =
+        ts.flatMap(t => postings.getOrElse(t, Map.empty).keys).toSet
+      clauses.foreach { c =>
+        val w = c.boost
+        c match {
+          case TermQ(text, occur, _) =>
+            val ts = analyze(text, dict)
+            occur match {
+              case MustNot => notDocs ++= docsWithAny(ts)
+              case Must => ts.foreach { t =>
+                if (df(t) == 0) matchNo = true
+                else { mustSets += docsWith(t); contribs += ((w, Seq(t), None)) }
+              }
+              case Should =>
+                ts.foreach(t => contribs += ((w, Seq(t), None)))
+            }
+          case PhraseQ(text, slop, occur, _) =>
+            val ordered = analyzePhrase(text, dict)
+            if (ordered.nonEmpty) {
+              val dts = ordered.distinct.sorted
+              val present = dts.forall(df(_) > 0)
+              lazy val m = phraseMatches(ordered, slop).toSet
+              occur match {
+                case MustNot => if (present) notDocs ++= m
+                case Must =>
+                  if (!present) matchNo = true
+                  else { mustSets += m; contribs += ((w, dts, Some(m))) }
+                case Should => if (present) contribs += ((w, dts, Some(m)))
+              }
+            }
+          case exp =>
+            val ts = expandClause(exp)
+            exp.occur match {
+              case MustNot => notDocs ++= docsWithAny(ts)
+              case Must =>
+                if (ts.isEmpty) matchNo = true
+                else { mustSets += docsWithAny(ts); contribs += ((w, ts, None)) }
+              case Should => if (ts.nonEmpty) contribs += ((w, ts, None))
+            }
+        }
+      }
+      if (matchNo || contribs.isEmpty) return Seq.empty
+      val candidates: Set[Long] =
+        if (mustSets.nonEmpty) mustSets.reduce(_ intersect _)
+        else contribs.flatMap { case (_, ts, r) =>
+          r.getOrElse(docsWithAny(ts))
+        }.toSet
+      (candidates -- notDocs).toSeq.filter(id => filter(byId(id))).map { id =>
+        val parts = contribs.flatMap { case (w, ts, restrict) =>
+          if (restrict.exists(!_.contains(id))) Nil
+          else ts.flatMap(t =>
+            postings.getOrElse(t, Map.empty).get(id).map { tf =>
+              (t, w * (idf(t) * (tf * (k1 + 1.0)) /
+                (tf + k1 * ((1.0 - b) + b * dl(id) / avgdl))))
+            })
+        }.sorted
+        Hit(id, parts.foldLeft(0.0)(_ + _._2))
+      }
+    }
+
+    /** Expansion-clause dictionary twin (independent predicate
+      * implementations — the engine evaluates Column predicates, this
+      * evaluates plain Scala). */
+    private def expandClause(c: graft.query.QueryParser.Clause): Seq[String] = {
+      import graft.query.QueryParser._
+      c match {
+        case PrefixQ(p, _, _) =>
+          expandTerms(_.startsWith(Tokenizer.foldCase(p.trim)))
+        case WildcardQ(pat, _, _) =>
+          val folded = Tokenizer.foldCase(pat.trim)
+          val rx = folded.map {
+            case '*' => ".*"
+            case '?' => "."
+            case ch => java.util.regex.Pattern.quote(ch.toString)
+          }.mkString
+          val p = java.util.regex.Pattern.compile("^" + rx + "$")
+          expandTerms(t => p.matcher(t).matches)
+        case FuzzyQ(t0, e, _, _) =>
+          val t = Tokenizer.foldCase(t0.trim)
+          expandTerms(term => GoldenBM25.levenshtein(term, t) <= e)
+        case RegexpQ(p0, _, _) =>
+          val p = java.util.regex.Pattern.compile("^(?:" + p0.trim + ")$")
+          expandTerms(t => p.matcher(t).matches)
+        case RangeQ(lo, hi, il, ih, _, _) =>
+          val l = lo.map(x => Tokenizer.foldCase(x.trim)).filter(_.nonEmpty)
+          val h = hi.map(x => Tokenizer.foldCase(x.trim)).filter(_.nonEmpty)
+          expandTerms(t => l.forall(v => if (il) t >= v else t > v) &&
+            h.forall(v => if (ih) t <= v else t < v))
+        case _ => Seq.empty
+      }
+    }
+
     /** Highlighter contract: first 1-based token position holding any
       * query term, and the tokens [max(1, pos−window), min(len,
       * pos+window)] joined by spaces. */
