@@ -429,6 +429,79 @@ object SparkEntry {
       }
     }),
 
+    // range facets (the Lucene Long/DoubleRangeFacetCounts analog): per
+    // declared range, ONE map-side-combined aggregation — overlapping
+    // ranges count a doc once per covering range; empty ranges surface
+    // with cnt 0
+    "q_facet_range" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("doc_id", col("l_orderkey") * 10 + col("l_linenumber"))
+      Facets.rangeCounts(
+        li.where(col("l_returnflag") === "R").select("doc_id"),
+        li.select(col("doc_id"), col("l_quantity")), "l_quantity",
+        Seq(Facets.RangeSpec("q_small", 1, 10),
+          Facets.RangeSpec("q_mid", 10, 25),
+          Facets.RangeSpec("q_large", 25, 50, includeUpper = true),
+          Facets.RangeSpec("q_overlap", 20, 40,
+            includeLower = false, includeUpper = true),
+          Facets.RangeSpec("q_empty", 60, 70)))
+        .orderBy("label")
+    }),
+
+    // drill-sideways facets (the Lucene DrillSideways analog): with
+    // drill-downs lang=en, source=src1 applied, each drilled dim's own
+    // counts drop its OWN constraint but keep the other's
+    "q_drill_sideways" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val matches = TextOps.tokens(docs, "doc_id", "text")
+        .where(col("term") === "SPARK").select("doc_id").distinct()
+      val facets = docs.select(col("doc_id"), lit("lang").as("dim"),
+          col("lang").as("label"))
+        .unionByName(docs.select(col("doc_id"), lit("source").as("dim"),
+          col("source").as("label")))
+      Facets.drillSideways(matches, facets,
+          Map("lang" -> "en", "source" -> "src1"), limit = 10)
+        .orderBy("dim", "rank")
+    }),
+
+    // grouped top-k THROUGH the index (the Lucene grouping module's
+    // TopGroups analog): groups = facet-dim labels ranked by best doc,
+    // top docsPerGroup docs within each; engine doc_ids are url-sorted
+    // so the oracle's (score, source, doc_id) tiebreak is structural
+    "q_search_grouped" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(
+        format_string("doc://%s/%06d", col("source"), col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val root = java.nio.file.Files.createTempDirectory("graft-grp-").toString
+      IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+          facetSpecs = Seq(IndexBuilder.FacetSpec("lang", col("lang")))),
+        "battery-search-grouped")
+      val sr = new Searcher(s, root, SynonymDict.empty)
+      materialized(
+        sr.searchGrouped("spark join", dim = "lang", topGroups = 3,
+            docsPerGroup = 2, roundScoresTo = Some(4))
+          .join(sr.docstore.select("doc_id", "url"), Seq("doc_id"))
+          .select(col("label"), col("group_rank"),
+            expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
+              .as("doc_id"),
+            col("score"), col("doc_rank"))
+          .orderBy("group_rank", "doc_rank")) {
+        sr.close(); deleteRec(root)
+      }
+    }),
+
+    // dictionary suggesters (the Lucene suggest module analogs):
+    // autocomplete by (df desc, term) and spell correction by
+    // (edit distance, df desc, term)
+    "q_suggest" -> ((s, dir) =>
+      TextOps.suggestTerms(t(s, dir, "documents"), "doc_id", "text", "S", 5)),
+
+    "q_spellcheck" -> ((s, dir) =>
+      TextOps.spellSuggest(t(s, dir, "documents"), "doc_id", "text",
+        "past", 10)),
+
     "q_facet_topn" -> ((s, dir) => {
       val c = t(s, dir, "customer")
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
@@ -1159,6 +1232,81 @@ object SparkEntry {
          |    PARTITION BY dim ORDER BY cnt DESC, label) AS INT) AS rank FROM c)
          |SELECT dim, label, cnt, rank FROM r WHERE rank <= 5
          |ORDER BY dim, rank""".stripMargin,
+
+    "q_facet_range" ->
+      """WITH li AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS doc_id, l_returnflag,
+        |         l_quantity FROM lineitem),
+        |b AS (
+        |  SELECT l_quantity AS v FROM li
+        |  WHERE doc_id IN (SELECT doc_id FROM li WHERE l_returnflag = 'R')),
+        |c AS (
+        |  SELECT 'q_small' AS label,
+        |    count(*) FILTER (WHERE v >= 1 AND v < 10) AS cnt FROM b
+        |  UNION ALL SELECT 'q_mid',
+        |    count(*) FILTER (WHERE v >= 10 AND v < 25) FROM b
+        |  UNION ALL SELECT 'q_large',
+        |    count(*) FILTER (WHERE v >= 25 AND v <= 50) FROM b
+        |  UNION ALL SELECT 'q_overlap',
+        |    count(*) FILTER (WHERE v > 20 AND v <= 40) FROM b
+        |  UNION ALL SELECT 'q_empty',
+        |    count(*) FILTER (WHERE v >= 60 AND v < 70) FROM b)
+        |SELECT label, cnt FROM c ORDER BY label""".stripMargin,
+
+    "q_drill_sideways" ->
+      s"""$toksCte, m AS (
+         |  SELECT DISTINCT doc_id FROM toks WHERE term = 'SPARK'),
+         |ml AS (
+         |  SELECT 'lang' AS dim, lang AS label, count(*) AS cnt
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM m) AND source = 'src1'
+         |  GROUP BY lang),
+         |ms AS (
+         |  SELECT 'source' AS dim, source AS label, count(*) AS cnt
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM m) AND lang = 'en'
+         |  GROUP BY source),
+         |c AS (SELECT * FROM ml UNION ALL SELECT * FROM ms),
+         |r AS (
+         |  SELECT dim, label, cnt, CAST(row_number() OVER (
+         |    PARTITION BY dim ORDER BY cnt DESC, label) AS INT) AS rank FROM c)
+         |SELECT dim, label, cnt, rank FROM r WHERE rank <= 10
+         |ORDER BY dim, rank""".stripMargin,
+
+    // grouping: doc_rank within label by (score desc, source, id) — the
+    // engine's doc_id tiebreak IS url order = (source, zero-padded id);
+    // groups ranked by head score with label-asc ties
+    "q_search_grouped" ->
+      s"""${bm25Cte("('SPARK'), ('JOIN')")}, ld AS (
+         |  SELECT s.doc_id, s.score, d.lang AS label, d.source
+         |  FROM scored s JOIN documents d USING (doc_id)
+         |  WHERE s.matched = 2),
+         |dr AS (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY label ORDER BY score DESC, source, doc_id) AS INT)
+         |    AS doc_rank FROM ld),
+         |dk AS (SELECT * FROM dr WHERE doc_rank <= 2),
+         |gb AS (SELECT *, max(score) OVER (PARTITION BY label) AS group_best
+         |  FROM dk),
+         |gr AS (SELECT *, CAST(dense_rank() OVER (
+         |  ORDER BY group_best DESC, label) AS INT) AS group_rank FROM gb)
+         |SELECT label, group_rank, doc_id, score, doc_rank FROM gr
+         |WHERE group_rank <= 3 ORDER BY group_rank, doc_rank""".stripMargin,
+
+    "q_suggest" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT term, df FROM d WHERE term LIKE 'S%'
+         |ORDER BY df DESC, term LIMIT 5""".stripMargin,
+
+    "q_spellcheck" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |d AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+         |SELECT term, CAST(levenshtein(term, 'PAST') AS INT) AS dist, df
+         |FROM d WHERE levenshtein(term, 'PAST') <= 2 AND term <> 'PAST'
+         |ORDER BY dist, df DESC, term LIMIT 10""".stripMargin,
 
     "q_facet_topn" ->
       """WITH c AS (

@@ -37,6 +37,33 @@ object TextOps {
     termFrequencies(docs, idCol, textCol)
       .groupBy("term").agg(count(lit(1)).as("df"), sum("tf").as("ttf"))
 
+  /** Autocomplete suggestions (the Lucene AnalyzingSuggester analog,
+    * on-the-fly twin of [[graft.query.Searcher.suggest]]): dictionary
+    * terms starting with the folded prefix, weighted by document
+    * frequency (df desc, term asc). */
+  def suggestTerms(docs: DataFrame, idCol: String, textCol: String,
+                   prefix: String, k: Int): DataFrame = {
+    val p = graft.analysis.Tokenizer.foldCase(prefix.trim)
+    termStats(docs, idCol, textCol)
+      .where(col("term").startsWith(p))
+      .orderBy(col("df").desc, col("term").asc)
+      .select("term", "df").limit(k)
+  }
+
+  /** Spell corrections (the Lucene DirectSpellChecker analog, on-the-fly
+    * twin of [[graft.query.Searcher.suggestSpelling]]): dictionary terms
+    * within `maxEdits` Levenshtein edits of the folded input (input
+    * itself excluded), ranked (dist asc, df desc, term asc). */
+  def spellSuggest(docs: DataFrame, idCol: String, textCol: String,
+                   term: String, k: Int, maxEdits: Int = 2): DataFrame = {
+    val t = graft.analysis.Tokenizer.foldCase(term.trim)
+    termStats(docs, idCol, textCol)
+      .withColumn("dist", levenshtein(col("term"), lit(t)))
+      .where(col("dist") <= maxEdits && col("term") =!= t)
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      .select("term", "dist", "df").limit(k)
+  }
+
   /** BM25 contribution with the engine's exact arithmetic shape (Q4). */
   def bm25Contrib(tf: Column, dfC: Column, dl: Column, n: Column,
                   avgdl: Column): Column =

@@ -83,4 +83,87 @@ object Facets {
   def flatCountsMultiQuery(taggedMatches: DataFrame, facets: DataFrame): DataFrame =
     facets.join(taggedMatches, Seq("doc_id"))
       .groupBy("query_id", "dim", "label").agg(count(lit(1)).as("cnt"))
+
+  /** One numeric facet range: [lower, upper] with per-bound inclusivity
+    * (the Lucene LongRange/DoubleRange constructor shape). */
+  final case class RangeSpec(label: String, lower: Double, upper: Double,
+                             includeLower: Boolean = true,
+                             includeUpper: Boolean = false) {
+    def contains(v: Column): Column = {
+      val lo = if (includeLower) v >= lower else v > lower
+      val hi = if (includeUpper) v <= upper else v < upper
+      lo && hi
+    }
+  }
+
+  /** Range facet counts (the Lucene Long/DoubleRangeFacetCounts analog —
+    * the one facet family the reference's sortedSet/taxonomy surface
+    * lacks): per declared range, how many match-set docs carry a value
+    * inside it. Ranges may overlap (a doc counts once per covering
+    * range) and empty ranges surface with cnt 0, both like Lucene.
+    *
+    * Scale shape: the ranges are a tiny literal list, so every per-range
+    * count rides ONE map-side partial aggregation to a single row — no
+    * per-label shuffle at all (vs flatCounts' groupBy) — then the row is
+    * unpivoted driver-free into (label, cnt) preserving declaration
+    * order. */
+  def rangeCounts(matches: DataFrame, values: DataFrame, valueCol: String,
+                  ranges: Seq[RangeSpec]): DataFrame = {
+    require(ranges.nonEmpty, "rangeCounts needs at least one range")
+    require(ranges.map(_.label).distinct.size == ranges.size,
+      "range labels must be unique")
+    val base = values.join(matches, Seq("doc_id"), "left_semi")
+    val v = col(valueCol)
+    val aggs = ranges.zipWithIndex.map { case (r, i) =>
+      sum(when(r.contains(v), 1L).otherwise(0L)).as(s"_r$i")
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*)
+    row.select(explode(array(ranges.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.label).as("label"),
+          coalesce(col(s"_r$i"), lit(0L)).as("cnt"))
+      }: _*)).as("x"))
+      .select(col("x.label").as("label"), col("x.cnt").as("cnt"))
+  }
+
+  /** Drill-sideways facet counts (the Lucene DrillSideways analog): with
+    * drill-down constraints `dim -> label` applied, each DRILLED dim's
+    * own counts are computed with every OTHER constraint applied but not
+    * its own (the "what could I switch this filter to" counts a faceted
+    * UI shows), while undrilled dims count under ALL constraints — and
+    * the hit set itself is the fully-drilled intersection.
+    *
+    * Scale shape: each constraint's doc set is one semi-join (the facet
+    * side pre-filtered to a single (dim, label) — small); a query with D
+    * drill-downs costs D+1 counting aggregations over semi-join-restricted
+    * match sets, never a cross join. Paging per dim mirrors flatCounts'
+    * (count desc, label asc) window contract. */
+  def drillSideways(matches: DataFrame, facets: DataFrame,
+                    drillDowns: Map[String, String],
+                    limit: Int = 10, minCount: Long = 1): DataFrame = {
+    require(drillDowns.nonEmpty, "drillSideways needs at least one drill-down")
+    val dims = drillDowns.keys.toSeq.sorted
+    def constraintDocs(dim: String): DataFrame =
+      facets.where(col("dim") === dim && col("label") === drillDowns(dim))
+        .select("doc_id")
+    def restrict(base: DataFrame, exclude: Option[String]): DataFrame =
+      dims.filterNot(exclude.contains).foldLeft(base)((m, d) =>
+        m.join(constraintDocs(d), Seq("doc_id"), "left_semi"))
+    // sideways leg per drilled dim: own constraint dropped
+    val sideways = dims.map { d =>
+      facets.where(col("dim") === d)
+        .join(restrict(matches, exclude = Some(d)), Seq("doc_id"), "left_semi")
+        .groupBy("dim", "label").agg(count(lit(1)).as("cnt"))
+    }
+    // undrilled dims: every constraint applied
+    val drilledAll = restrict(matches, exclude = None)
+    val rest = facets.where(!col("dim").isin(dims: _*))
+      .join(drilledAll, Seq("doc_id"), "left_semi")
+      .groupBy("dim", "label").agg(count(lit(1)).as("cnt"))
+    val counted = (sideways :+ rest).reduce(_ unionByName _)
+      .where(col("cnt") >= minCount)
+    val w = Window.partitionBy("dim").orderBy(col("cnt").desc, col("label").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= limit)
+      .select("dim", "label", "cnt", "rank")
+  }
 }

@@ -1544,6 +1544,101 @@ final class Searcher(
       valueCol)
   }
 
+  /** Range facet counts over the match set (the Lucene Long/DoubleRange-
+    * FacetCounts analog): numeric values from a docstore column (the
+    * DocValues analog, like [[facetMathSearch]]), per-range counts in
+    * ONE map-side-combined aggregation — no per-label shuffle. */
+  def facetRangeSearch(query: String, valueCol: String,
+                       ranges: Seq[Facets.RangeSpec],
+                       conjunctive: Boolean = true,
+                       filter: Option[Column] = None): DataFrame = {
+    val vsrc = if (narrowSet.contains(valueCol)) docstoreNarrow else docstore
+    Facets.rangeCounts(matchSet(query, conjunctive, filter),
+      vsrc.select(col("doc_id"), col(valueCol)), valueCol, ranges)
+  }
+
+  /** Drill-sideways facet counts over the match set (the Lucene
+    * DrillSideways analog): each drilled dim's counts computed with
+    * every OTHER drill-down applied but not its own; undrilled dims
+    * under ALL drill-downs. Labels resolve from the build-time facets
+    * sidecar. */
+  def facetSearchDrillSideways(query: String, drillDowns: Map[String, String],
+                               conjunctive: Boolean = true,
+                               filter: Option[Column] = None,
+                               limit: Int = 10,
+                               minCount: Long = 1): DataFrame =
+    Facets.drillSideways(matchSet(query, conjunctive, filter), facetsOrFail,
+      drillDowns, limit, minCount)
+
+  /** Grouped top-k (the Lucene grouping module's TopGroups analog):
+    * groups are the labels of facet dim `dim`; groups rank by their
+    * best-scoring doc (score desc, label asc ties), and each group keeps
+    * its top `docsPerGroup` docs by (score desc, doc_id asc) — Lucene's
+    * two-pass grouping collector collapsed into ONE scored pass + one
+    * label-partitioned window. The group-rank window is a global sort
+    * over one row per group head — #labels rows, facet-dim cardinality,
+    * the same driver-scale object Lucene's TopGroups materializes.
+    * `roundScoresTo` rounds before ranking (oracle-parity knob, same as
+    * [[searchJsonFiltered]]). */
+  def searchGrouped(query: String, dim: String, topGroups: Int,
+                    docsPerGroup: Int, conjunctive: Boolean = true,
+                    filter: Option[Column] = None,
+                    roundScoresTo: Option[Int] = None): DataFrame = withServingConf {
+    val scored0 = score(query, conjunctive, filter)
+    val scored = roundScoresTo.fold(scored0)(d =>
+      scored0.withColumn("score", round(col("score"), d)))
+    val labeled = scored.select("doc_id", "score")
+      .join(facetsOrFail.where(col("dim") === dim).select("doc_id", "label"),
+        Seq("doc_id"))
+    val wDoc = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wGroupBest = Window.partitionBy("label")
+    val wGroupRank = Window.orderBy(col("group_best").desc, col("label").asc)
+    labeled
+      .withColumn("doc_rank", row_number().over(wDoc))
+      .where(col("doc_rank") <= docsPerGroup)
+      .withColumn("group_best", max(col("score")).over(wGroupBest))
+      // dense_rank, not row_number: every row of a group must carry the
+      // GROUP's rank ((group_best, label) is constant within a label and
+      // distinct across labels, so dense ranks are exactly group ranks)
+      .withColumn("group_rank", dense_rank().over(wGroupRank))
+      .where(col("group_rank") <= topGroups)
+      .select("label", "group_rank", "doc_id", "score", "doc_rank")
+  }
+
+  // ---- dictionary suggesters (the Lucene suggest module analogs) -----
+
+  /** Autocomplete (the AnalyzingSuggester analog): dictionary terms
+    * starting with the folded prefix, weighted by document frequency
+    * (df desc, term asc ties) — served straight from the cached
+    * term_stats frame, one tiny job, no posting decode. */
+  def suggest(prefix: String, k: Int): DataFrame = withServingConf {
+    val p = Tokenizer.foldCase(prefix.trim)
+    if (p.isEmpty)
+      spark.emptyDataset[(String, Long)].toDF("term", "df")
+    else termStats.where(col("term").startsWith(p))
+      .orderBy(col("df").desc, col("term").asc)
+      .select("term", "df").limit(k)
+  }
+
+  /** Spell correction (the DirectSpellChecker analog): dictionary terms
+    * within `maxEdits` Levenshtein edits of the folded input (the input
+    * itself excluded), ranked the way Lucene's comparator does — fewer
+    * edits first, then higher df, then term — so the most popular
+    * closest correction wins. Runs on the cached term_stats frame with
+    * Spark's codegen'd levenshtein. */
+  def suggestSpelling(term: String, k: Int, maxEdits: Int = 2): DataFrame =
+    withServingConf {
+      val t = Tokenizer.foldCase(term.trim)
+      if (t.isEmpty)
+        spark.emptyDataset[(String, Int, Long)].toDF("term", "dist", "df")
+      else termStats
+        .withColumn("dist", levenshtein(col("term"), lit(t)))
+        .where(col("dist") <= maxEdits && col("term") =!= t)
+        .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+        .select("term", "dist", "df").limit(k)
+    }
+
   // ---- searchable dynamic JSON subfields (reference addJson fields,
   //      Indexer.java:639-747; discovery Searcher.java:397-477) --------
 
