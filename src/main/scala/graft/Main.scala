@@ -22,6 +22,9 @@ import org.apache.spark.sql.SparkSession
   *   [--mlt] (query = source doc_id),
   *   [--highlight] (page + match_pos/snippet)
   * spark-submit --class graft.Main app.jar facets --index /data/idx --query spark [--hier] [--limit 10]
+ *   [--drill dim=label,...] (drill-sideways) | [--ranges "label=lo:hi,..." --value-col dl] (range facets)
+ * spark-submit --class graft.Main app.jar search --index /data/idx --query spark --group-by lang [--top-groups 10] [--per-group 3]
+ * spark-submit --class graft.Main app.jar suggest --index /data/idx --complete sp [--k 10] | --fix spak [--max-edits 2]
   * spark-submit --class graft.Main app.jar stream --input /data/incoming --index /data/idx
   * }}}
   *
@@ -58,7 +61,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: <gen|build|append|delete|merge|search|" +
-      "facets|snapshots|stream> --key value ...")
+      "facets|suggest|snapshots|stream> --key value ...")
     val cmd = args.head
     val opt = parseArgs(args.tail)
     val spark = SparkSession.builder()
@@ -197,6 +200,16 @@ object Main {
               s.searchHighlight(opt("query"), k, start,
                 conjunctive = !opt.contains("or"))
             }
+            else if (opt.contains("group-by")) {
+              // grouped top-k (Lucene grouping module): groups = labels
+              // of a build-time facet dim, ranked by best doc
+              rejects("group-by", "phrase", "prefix", "fuzzy", "wildcard",
+                "range", "regexp", "mlt", "highlight", "should", "not")
+              s.searchGrouped(opt("query"), opt("group-by"),
+                topGroups = opt.getOrElse("top-groups", "10").toInt,
+                docsPerGroup = opt.getOrElse("per-group", "3").toInt,
+                conjunctive = !opt.contains("or"))
+            }
             else if (opt.contains("should")) {
               // mixed BooleanQuery: --query = MUST clauses, --should =
               // SHOULD clauses (score boosters); --or conflicts
@@ -237,7 +250,39 @@ object Main {
           val limit = opt.getOrElse("limit", "10").toInt
           val out =
             if (opt.contains("hier")) s.facetSearchHier(opt("query"), topN = limit)
+            else if (opt.contains("drill"))
+              // drill-sideways: --drill dim=label[,dim=label...]
+              s.facetSearchDrillSideways(opt("query"),
+                opt("drill").split(',').map { kv =>
+                  val Array(d, l) = kv.split("=", 2)
+                  d -> l
+                }.toMap, limit = limit)
+            else if (opt.contains("ranges"))
+              // numeric range facets over a docstore column:
+              // --ranges "label=lo:hi,..." (half-open [lo, hi)) --value-col dl
+              s.facetRangeSearch(opt("query"),
+                opt.getOrElse("value-col", "dl"),
+                opt("ranges").split(',').toSeq.map { spec =>
+                  val Array(label, bounds) = spec.split("=", 2)
+                  val Array(lo, hi) = bounds.split(":", 2)
+                  graft.query.Facets.RangeSpec(label, lo.toDouble, hi.toDouble)
+                })
             else s.facetSearch(opt("query"), limit = limit)
+          out.show(100, truncate = false)
+        } finally s.close()
+
+      case "suggest" =>
+        // dictionary suggesters: --complete = autocomplete (df-ranked;
+        // `--prefix` is taken by search mode's flag), --fix = spell
+        // correction (dist, df desc, term)
+        val s = new Searcher(spark, opt("index"), dictOf(opt))
+        try {
+          val k = opt.getOrElse("k", "10").toInt
+          val out =
+            if (opt.contains("fix"))
+              s.suggestSpelling(opt("fix"), k,
+                maxEdits = opt.getOrElse("max-edits", "2").toInt)
+            else s.suggest(opt("complete"), k)
           out.show(100, truncate = false)
         } finally s.close()
 
