@@ -428,6 +428,48 @@ object FieldedIndex {
           Seq("doc_id")), valueCol)
     }
 
+    /** Range facet counts over a cross-field match set (the Lucene
+      * Long/DoubleRangeFacetCounts analog, fielded twin of
+      * [[graft.query.Searcher.facetRangeSearch]]): numeric values from
+      * the picked field root's docstore column. */
+    def facetRangeSearch(queries: Map[String, String], valueCol: String,
+                         ranges: Seq[graft.query.Facets.RangeSpec],
+                         valueField: Option[String] = None): DataFrame = {
+      val sr = sidecarSearcher(valueField)
+      graft.query.Facets.rangeCounts(matchSetMulti(queries),
+        sr.docstore.select(col("doc_id"), col(valueCol)), valueCol, ranges)
+    }
+
+    /** Drill-sideways facet counts over a cross-field match set (the
+      * DrillSideways analog, fielded twin of
+      * [[graft.query.Searcher.facetSearchDrillSideways]]). */
+    def facetSearchDrillSideways(queries: Map[String, String],
+                                 drillDowns: Map[String, String],
+                                 limit: Int = 10, minCount: Long = 1,
+                                 facetField: Option[String] = None): DataFrame = {
+      val sr = sidecarSearcher(facetField)
+      graft.query.Facets.drillSideways(matchSetMulti(queries),
+        sr.facetsTable.getOrElse(sys.error("no facets sidecar")),
+        drillDowns, limit, minCount)
+    }
+
+    /** Grouped cross-field top-k (the grouping-module analog over
+      * [[scoredMulti]]'s summed scores; ONE window definition shared
+      * with the single-index path via
+      * [[graft.query.Facets.groupTopK]]). */
+    def searchGrouped(queries: Map[String, String], dim: String,
+                      topGroups: Int, docsPerGroup: Int,
+                      roundScoresTo: Option[Int] = None,
+                      boosts: Map[String, Double] = Map.empty,
+                      facetField: Option[String] = None): DataFrame = {
+      val sr = sidecarSearcher(facetField)
+      graft.query.Facets.groupTopK(
+        scoredMulti(queries, roundScoresTo, boosts = boosts),
+        sr.facetsTable.getOrElse(sys.error("no facets sidecar"))
+          .where(col("dim") === dim),
+        topGroups, docsPerGroup)
+    }
+
     /** Cross-field top-k restricted to docs whose dynamic JSON field
       * matches (the sidecar written by IndexBuilder.buildJsonSidecar on
       * any one field root — doc_id alignment makes it serve all). */

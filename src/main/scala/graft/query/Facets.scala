@@ -166,4 +166,30 @@ object Facets {
       .where(col("rank") <= limit)
       .select("dim", "label", "cnt", "rank")
   }
+
+  /** Grouped top-k (the Lucene grouping module's TopGroups analog) —
+    * the ONE window definition [[graft.query.Searcher.searchGrouped]]
+    * and the fielded twin share: groups rank by their best-scoring doc
+    * (score desc, label asc ties — dense_rank so every row of a group
+    * carries the GROUP's rank), each group keeps its top `docsPerGroup`
+    * docs by (score desc, doc_id asc). Lucene's two-pass grouping
+    * collector collapsed into one label-partitioned window + a global
+    * rank over one row per group head (#labels rows — facet-dim
+    * cardinality, the same driver-scale object TopGroups materializes). */
+  def groupTopK(scored: DataFrame, labels: DataFrame,
+                topGroups: Int, docsPerGroup: Int): DataFrame = {
+    val labeled = scored.select("doc_id", "score")
+      .join(labels.select("doc_id", "label"), Seq("doc_id"))
+    val wDoc = Window.partitionBy("label")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val wGroupBest = Window.partitionBy("label")
+    val wGroupRank = Window.orderBy(col("group_best").desc, col("label").asc)
+    labeled
+      .withColumn("doc_rank", row_number().over(wDoc))
+      .where(col("doc_rank") <= docsPerGroup)
+      .withColumn("group_best", max(col("score")).over(wGroupBest))
+      .withColumn("group_rank", dense_rank().over(wGroupRank))
+      .where(col("group_rank") <= topGroups)
+      .select("label", "group_rank", "doc_id", "score", "doc_rank")
+  }
 }

@@ -1587,23 +1587,8 @@ final class Searcher(
     val scored0 = score(query, conjunctive, filter)
     val scored = roundScoresTo.fold(scored0)(d =>
       scored0.withColumn("score", round(col("score"), d)))
-    val labeled = scored.select("doc_id", "score")
-      .join(facetsOrFail.where(col("dim") === dim).select("doc_id", "label"),
-        Seq("doc_id"))
-    val wDoc = Window.partitionBy("label")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val wGroupBest = Window.partitionBy("label")
-    val wGroupRank = Window.orderBy(col("group_best").desc, col("label").asc)
-    labeled
-      .withColumn("doc_rank", row_number().over(wDoc))
-      .where(col("doc_rank") <= docsPerGroup)
-      .withColumn("group_best", max(col("score")).over(wGroupBest))
-      // dense_rank, not row_number: every row of a group must carry the
-      // GROUP's rank ((group_best, label) is constant within a label and
-      // distinct across labels, so dense ranks are exactly group ranks)
-      .withColumn("group_rank", dense_rank().over(wGroupRank))
-      .where(col("group_rank") <= topGroups)
-      .select("label", "group_rank", "doc_id", "score", "doc_rank")
+    Facets.groupTopK(scored,
+      facetsOrFail.where(col("dim") === dim), topGroups, docsPerGroup)
   }
 
   // ---- dictionary suggesters (the Lucene suggest module analogs) -----

@@ -153,6 +153,53 @@ class FacetsSpec extends AnyFunSuite with SparkTestBase {
       val expectTld = matched.groupBy(x => host(x._1.url).split('.').last)
         .view.mapValues(_.size.toLong).toMap
       assert(hier == expectTld)
+      // range facets over body's dl (fielded twin of facetRangeSearch)
+      val dls = matched.map { x =>
+        val text = if (x._1.text != null) x._1.text
+          else graft.analysis.TextExtract.extractText(x._1.html)
+        graft.analysis.Tokenizer.tokenize(text).length.toDouble
+      }
+      val gotR = fsr.facetRangeSearch(qs, "dl", Seq(
+          Facets.RangeSpec("lo", 0, 60),
+          Facets.RangeSpec("hi", 60, 100000, includeUpper = true)))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(gotR == Map("lo" -> dls.count(_ < 60).toLong,
+        "hi" -> dls.count(_ >= 60).toLong))
+      // drill-sideways: lang drilled (own counts unconstrained = plain
+      // counts), site undrilled (counted under lang=langX)
+      val langX = expectLang.maxBy(_._2)._1
+      val swc = fsr.facetSearchDrillSideways(qs, Map("lang" -> langX),
+          limit = 1000)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(swc.filter(_._1 == "lang").map(x => x._2 -> x._3).toMap ==
+        expectLang)
+      val expSiteDrilled = matched.filter(_._1.lang == langX)
+        .groupBy(x => host(x._1.url)).view.mapValues(_.size.toLong).toMap
+      assert(swc.filter(_._1 == "site").map(x => x._2 -> x._3).toMap ==
+        expSiteDrilled)
+      // grouped cross-field top-k: windows vs a driver model over the
+      // SAME scoredMulti frame (score correctness is golden-pinned
+      // elsewhere; this pins the grouping semantics)
+      val scoredRows = fsr.scoredMulti(qs, roundScoresTo = Some(4))
+        .select("doc_id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val langOf = fsr.searcher("body").docstore.select("doc_id", "lang")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val model = scoredRows.groupBy(x => langOf(x._1)).map {
+        case (label, xs) =>
+          val docs = xs.sortBy(x => (-x._2, x._1)).take(2)
+          (label, docs.head._2, docs)
+      }.toSeq.sortBy(g => (-g._2, g._1)).take(3).zipWithIndex.flatMap {
+        case ((label, _, docs), gi) => docs.zipWithIndex.map {
+          case ((id, sc), di) => (label, gi + 1, id, sc, di + 1)
+        }
+      }
+      val gotG = fsr.searchGrouped(qs, "lang", topGroups = 3,
+          docsPerGroup = 2, roundScoresTo = Some(4))
+        .orderBy("group_rank", "doc_rank").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4)))
+      assert(gotG.toSeq == model)
       // JSON-filtered cross-field search: raw text length > 200 via the
       // META.LEN dynamic field (html-only pages have len 0)
       val got = fsr.searchJsonFiltered(qs, 100000, "META.LEN",
