@@ -306,7 +306,8 @@ object SparkEntry {
         IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
         "battery-query-parse")
       val sr = new graft.query.Searcher(s, root, SynonymDict.empty)
-      val parsed = graft.query.QueryParser.parse("+spark join^2 fa* -vector")
+      val parsed = graft.query.QueryParser.parse(
+        "+spark join^2 fa* -vector +(scan batch)^0.5")
       materialized(
         sr.scoreParsed(parsed)
           .join(sr.docstore.select("doc_id", "url"), Seq("doc_id"))
@@ -1050,8 +1051,10 @@ object SparkEntry {
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // weighted clause scoring: each clause's terms with its boost; the
-    // same term reached through two clauses contributes once per clause
-    // (engine scoreParsed semantics)
+    // same term reached through two clauses contributes once per clause;
+    // the +(scan batch)^0.5 group is ONE any-of requirement whose
+    // members score with the group-multiplied weight (engine scoreParsed
+    // semantics)
     "q_query_parse" ->
       s"""$toksCte, tf AS (
          |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
@@ -1065,6 +1068,8 @@ object SparkEntry {
          |), qw AS (
          |  SELECT 'SPARK' AS term, CAST(1.0 AS DOUBLE) AS w
          |  UNION ALL SELECT 'JOIN', 2.0
+         |  UNION ALL SELECT 'SCAN', 0.5
+         |  UNION ALL SELECT 'BATCH', 0.5
          |  UNION ALL SELECT term, 1.0
          |    FROM (SELECT DISTINCT term FROM tf WHERE term LIKE 'FA%')
          |), dfq AS (
@@ -1081,6 +1086,8 @@ object SparkEntry {
          |)
          |SELECT doc_id, score FROM scored
          |WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'SPARK')
+         |  AND doc_id IN (
+         |    SELECT doc_id FROM toks WHERE term IN ('SCAN', 'BATCH'))
          |  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'VECTOR')
          |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -21,12 +21,16 @@ package graft.query
   *   - `[a TO b]` / `{a TO b}` — term range, `[`/`]` inclusive,
   *     `{`/`}` exclusive, `*` = open bound (mixed brackets fine)
   *   - `clause^2.5` — per-clause boost (any clause form)
+  *   - `+(a b*)` / `(a "b c")^2` / `-(x y)` — ONE parenthesized group
+  *     level (the common nested shape): the group's occur applies to
+  *     the whole any-of disjunction, its boost multiplies each child's
   *   - `\x` escapes a special character into the term text
   *
   * Deliberately NOT supported, failing LOUDLY instead of silently
-  * parsing wrong: parenthesized sub-booleans (`(a b) c` — the executor
-  * scores one flat clause level; nest by issuing two queries),
-  * `field:term` (single-field indexes have no field dimension — use
+  * parsing wrong: `+`/`-` INSIDE a group and nested groups (the
+  * executor scores group-of-disjunctions, not arbitrary boolean trees;
+  * issue two queries for deeper nesting), `field:term` (single-field
+  * indexes have no field dimension — use
   * [[graft.index.FieldedIndex.FieldedSearcher]] per field), and infix
   * `AND`/`OR`/`NOT` keywords (the `+`/`-` unary operators are the
   * non-ambiguous core; Lucene's own docs warn off the infix forms). */
@@ -58,6 +62,13 @@ object QueryParser {
   final case class RangeQ(lower: Option[String], upper: Option[String],
                           includeLower: Boolean, includeUpper: Boolean,
                           occur: Occur, boost: Double) extends Clause
+  /** One parenthesized sub-boolean level (`+(a b)` — the overwhelmingly
+    * common nested shape: a MUST/MUST_NOT/boosted group satisfied by ANY
+    * member): children are SHOULD-only (no `+`/`-` inside, no nesting —
+    * both fail loudly), the group's own occur applies to the whole
+    * disjunction and its boost multiplies each child's. */
+  final case class GroupQ(children: Seq[Clause], occur: Occur,
+                          boost: Double) extends Clause
 
   def parse(q: String): Seq[Clause] = new P(q).all()
 
@@ -88,9 +99,8 @@ object QueryParser {
       }
       if (eof || peek.isWhitespace) fail("dangling +/- operator")
       peek match {
-        case '(' | ')' =>
-          fail("parenthesized sub-booleans are not supported — the " +
-            "executor scores one flat MUST/SHOULD/MUST_NOT level")
+        case '(' => group(occur)
+        case ')' => fail("unbalanced )")
         case '"' => phrase(occur)
         case '/' => regex(occur)
         case '[' | '{' => range(occur)
@@ -98,13 +108,38 @@ object QueryParser {
       }
     }
 
-    /** Optional trailing `^boost`; must consume to a clause boundary. */
+    /** One parenthesized group: `(a b*)` / `+(a "b c")^2`. Children are
+      * SHOULD-only and non-nested — deeper boolean trees keep failing
+      * LOUDLY (the executor scores group-of-disjunctions, not arbitrary
+      * nesting; issue two queries instead). */
+    private def group(occur: Occur): Clause = {
+      i += 1 // '('
+      val kids = Vector.newBuilder[Clause]
+      ws()
+      while (!eof && peek != ')') {
+        val c = clause()
+        if (c.occur != Should)
+          fail("+/- inside a group is not supported — the group's own " +
+            "+/- applies to every member (one boolean level of occurs)")
+        if (c.isInstanceOf[GroupQ]) fail("nested groups are not supported")
+        kids += c
+        ws()
+      }
+      if (eof) fail("unterminated group (")
+      i += 1 // ')'
+      val cs = kids.result()
+      if (cs.isEmpty) fail("empty group ()")
+      GroupQ(cs, occur, boost())
+    }
+
+    /** Optional trailing `^boost`; must consume to a clause boundary
+      * (whitespace or a group-closing `)`). */
     private def boost(): Double =
       if (eof || peek != '^') 1.0
       else {
         i += 1
         val st = i
-        while (!eof && !peek.isWhitespace) i += 1
+        while (!eof && !peek.isWhitespace && peek != ')') i += 1
         val raw = s.substring(st, i)
         val b = try raw.toDouble
         catch { case _: NumberFormatException => fail(s"bad boost <$raw>") }
@@ -175,12 +210,13 @@ object QueryParser {
       var wild = false           // any unescaped * or ?
       var starsOnlyTrailing = true // every unescaped * is one trailing *
       var stars = 0
-      while (!eof && !peek.isWhitespace && peek != '^' && peek != '~') {
+      while (!eof && !peek.isWhitespace && peek != '^' && peek != '~' &&
+             peek != ')') {
         peek match {
           case '\\' if i + 1 < s.length =>
             text += s.charAt(i + 1); i += 2; starsOnlyTrailing = false
-          case '(' | ')' =>
-            fail("parenthesized sub-booleans are not supported")
+          case '(' =>
+            fail("a group ( must start a clause — escape a literal ( as \\(")
           case '"' => fail("quote inside a term — escape it as \\\"")
           case ':' =>
             fail(s"field queries (<${text.toString}:...>) are not " +
@@ -189,7 +225,7 @@ object QueryParser {
           case '*' =>
             wild = true; stars += 1
             text += '*'; i += 1
-            if (!eof && !peek.isWhitespace && peek != '^')
+            if (!eof && !peek.isWhitespace && peek != '^' && peek != ')')
               starsOnlyTrailing = false
           case '?' => wild = true; starsOnlyTrailing = false
             text += '?'; i += 1

@@ -571,17 +571,23 @@ final class Searcher(
     import scala.collection.mutable.ArrayBuffer
     if (docCount == 0) return None
 
-    // -- resolution: clauses → analysis-level sub-clauses --------------
-    // a term clause fans into one sub-clause per analyzed term (synonym
-    // expansion included) so `+a b` composes exactly like the
-    // established conjunctive/disjunctive contracts; clauses whose
-    // analysis is empty are dropped (the classic parser does the same)
-    val termSubs = ArrayBuffer.empty[(String, Double, Boolean)]
-    val expSubs = ArrayBuffer.empty[(Column, Double, Boolean)]
-    val phraseSubs = ArrayBuffer.empty[(Seq[String], Int, Double, Boolean)]
+    // -- resolution: clauses → analysis-level sub-clauses, each tagged
+    // with its requirement group (reqId >= 0 ⇒ the sub belongs to MUST
+    // requirement #reqId, counted once per doc however many members
+    // match; -1 ⇒ pure SHOULD). An ungrouped MUST term clause fans each
+    // analyzed term into its OWN requirement (`+a b` composes exactly
+    // like the established conjunctive contract); a parenthesized MUST
+    // group is ONE requirement satisfied by ANY member — the same
+    // any-of shape a MUST expansion clause already has. Clauses whose
+    // analysis is empty are dropped (the classic parser does the same).
+    val termSubs = ArrayBuffer.empty[(String, Double, Int)]
+    val expSubs = ArrayBuffer.empty[(Column, Double, Int)]
+    val phraseSubs = ArrayBuffer.empty[(Seq[String], Int, Double, Int)]
     val notTerms = ArrayBuffer.empty[String]
     val notExpPreds = ArrayBuffer.empty[Column]
     val notPhrases = ArrayBuffer.empty[(Seq[String], Int)]
+    var nReq = 0
+    def newReq(): Int = { nReq += 1; nReq - 1 }
 
     def wildcardRegex(pat: String): String =
       pat.map {
@@ -590,24 +596,24 @@ final class Searcher(
         case ch => java.util.regex.Pattern.quote(ch.toString)
       }.mkString
 
-    clauses.foreach { c =>
-      val isNot = c.occur == MustNot
-      val must = c.occur == Must
+    /** One clause's subs with explicit weight `w` and requirement `req`
+      * (ignored when `forNot`). */
+    def addClause(c: Clause, w: Double, req: Int, forNot: Boolean): Unit = {
       def addExp(pred: Column): Unit =
-        if (isNot) notExpPreds += pred else expSubs += ((pred, c.boost, must))
+        if (forNot) notExpPreds += pred else expSubs += ((pred, w, req))
       c match {
-        case TermQ(text, _, w) =>
+        case TermQ(text, _, _) =>
           val ts = analyzeQuery(text)
-          if (isNot) notTerms ++= ts
-          else ts.foreach(t => termSubs += ((t, w, must)))
-        case PhraseQ(text, slop, _, w) =>
+          if (forNot) notTerms ++= ts
+          else ts.foreach(t => termSubs += ((t, w, req)))
+        case PhraseQ(text, slop, _, _) =>
           val ordered = analyzePhrase(text)
           if (ordered.nonEmpty) {
             require(positionsIndexed, "phrase clauses need an index " +
               "built with indexPositions = true")
             require(slop >= 0, s"slop must be >= 0, got $slop")
-            if (isNot) notPhrases += ((ordered, slop))
-            else phraseSubs += ((ordered, slop, w, must))
+            if (forNot) notPhrases += ((ordered, slop))
+            else phraseSubs += ((ordered, slop, w, req))
           }
         case PrefixQ(p0, _, _) =>
           val p = Tokenizer.foldCase(p0.trim)
@@ -635,7 +641,34 @@ final class Searcher(
             hi.map(h =>
               if (incHi) col("term") <= h else col("term") < h))
             .reduceOption(_ && _).getOrElse(lit(true)))
+        case GroupQ(_, _, _) =>
+          sys.error("nested group reached the executor — parser bug")
       }
+    }
+
+    clauses.foreach {
+      case GroupQ(children, occur, gb) => occur match {
+        // group boost multiplies each child's own boost; the group's
+        // occur applies to the whole any-of disjunction
+        case MustNot =>
+          children.foreach(ch => addClause(ch, 0.0, -1, forNot = true))
+        case Must =>
+          val id = newReq()
+          children.foreach(ch => addClause(ch, ch.boost * gb, id,
+            forNot = false))
+        case Should =>
+          children.foreach(ch => addClause(ch, ch.boost * gb, -1,
+            forNot = false))
+      }
+      case c if c.occur == MustNot =>
+        addClause(c, 0.0, -1, forNot = true)
+      case TermQ(text, Must, w) =>
+        // each analyzed term its own requirement (conjunctive contract)
+        analyzeQuery(text).foreach(t => termSubs += ((t, w, newReq())))
+      case c if c.occur == Must =>
+        addClause(c, c.boost, newReq(), forNot = false)
+      case c =>
+        addClause(c, c.boost, -1, forNot = false)
     }
     if (termSubs.isEmpty && expSubs.isEmpty && phraseSubs.isEmpty)
       return None
@@ -671,29 +704,35 @@ final class Searcher(
       ts
     }
 
-    // -- MatchNoDocs short-circuits (no job runs) -----------------------
-    if (termSubs.exists { case (t, _, must) => must && !infoOf.contains(t) })
-      return None
-    if (expSubs.indices.exists(j => expSubs(j)._3 && expMatches(j).isEmpty))
-      return None
-    if (phraseSubs.exists { case (ordered, _, _, must) =>
-        must && !ordered.distinct.forall(infoOf.contains) })
-      return None
+    // -- MatchNoDocs short-circuit (no job runs): every requirement
+    // group needs at least ONE satisfiable member — a present term, a
+    // non-empty expansion, or an all-terms-present phrase. An ungrouped
+    // MUST clause is a single-member group, so this reduces to the
+    // absent-MUST-term / empty-MUST-expansion / absent-phrase-term
+    // checks; a parenthesized MUST group dies only when EVERY member is
+    // unsatisfiable (Lucene: a disjunction matches if any arm can).
+    val reqSatisfiable = Array.fill(nReq)(false)
+    termSubs.foreach { case (t, _, r) =>
+      if (r >= 0 && infoOf.contains(t)) reqSatisfiable(r) = true
+    }
+    expSubs.zipWithIndex.foreach { case ((_, _, r), j) =>
+      if (r >= 0 && expMatches(j).nonEmpty) reqSatisfiable(r) = true
+    }
+    phraseSubs.foreach { case (ordered, _, _, r) =>
+      if (r >= 0 && ordered.distinct.forall(infoOf.contains))
+        reqSatisfiable(r) = true
+    }
+    if (!reqSatisfiable.forall(identity)) return None
 
     // -- weighted per-term rows (one row per clause-term) ---------------
-    var mustCount = 0
-    def nextReq(): String = { mustCount += 1; s"c${mustCount - 1}" }
+    val mustCount = nReq
+    def keyOf(r: Int): String = if (r >= 0) s"g$r" else null
     val wRows = ArrayBuffer.empty[(String, Double, Double, String)]
-    termSubs.foreach { case (t, w, must) =>
-      infoOf.get(t).foreach { inf =>
-        wRows += ((t, inf.idf, w, if (must) nextReq() else null))
-      }
+    termSubs.foreach { case (t, w, r) =>
+      infoOf.get(t).foreach(inf => wRows += ((t, inf.idf, w, keyOf(r))))
     }
-    expSubs.zipWithIndex.foreach { case ((_, w, must), j) =>
-      if (expMatches(j).nonEmpty) {
-        val id = if (must) nextReq() else null
-        expMatches(j).foreach(t => wRows += ((t, infoOf(t).idf, w, id)))
-      }
+    expSubs.zipWithIndex.foreach { case ((_, w, r), j) =>
+      expMatches(j).foreach(t => wRows += ((t, infoOf(t).idf, w, keyOf(r))))
     }
     val nonPhrase =
       if (wRows.isEmpty) Nil
@@ -705,17 +744,16 @@ final class Searcher(
             col("p.tf").as("tf"), col("p.dl").as("dl"))
           .join(broadcast(wDf), Seq("term")))
       }
-    val phraseFrames = phraseSubs.flatMap { case (ordered, slop, w, must) =>
+    val phraseFrames = phraseSubs.flatMap { case (ordered, slop, w, r) =>
       val dts = ordered.distinct.sorted
-      if (!dts.forall(infoOf.contains)) None // SHOULD phrase, absent term
+      if (!dts.forall(infoOf.contains)) None // absent term: no alignments
       else {
         val idfs = dts.map(infoOf)
-        val id = if (must) nextReq() else null
         val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
         Some(phraseAlignedRows(ordered, dts, idfs, slop, identity)
           .join(broadcast(idfDf), Seq("term"))
           .withColumn("weight", lit(w))
-          .withColumn("req_clause", lit(id).cast("string")))
+          .withColumn("req_clause", lit(keyOf(r)).cast("string")))
       }
     }
     val cols = Seq("doc_id", "term", "tf", "dl", "idf", "weight",

@@ -222,6 +222,45 @@ object GoldenBM25 {
                 case Should => if (present) contribs += ((w, dts, Some(m)))
               }
             }
+          case GroupQ(children, occur, gb) =>
+            // one any-of requirement: member contributions keep their own
+            // (boost × group boost) weights; the group's doc set is the
+            // union of member doc sets; unsatisfiable members drop out
+            val members: Seq[((Double, Seq[String], Option[Set[Long]]),
+                              Set[Long])] =
+              children.flatMap { ch =>
+                val w2 = ch.boost * gb
+                ch match {
+                  case TermQ(text, _, _) =>
+                    analyze(text, dict).flatMap(t =>
+                      if (df(t) == 0) Nil
+                      else Seq(((w2, Seq(t),
+                        None: Option[Set[Long]]), docsWith(t))))
+                  case PhraseQ(text, slop, _, _) =>
+                    val ordered = analyzePhrase(text, dict)
+                    val dts = ordered.distinct.sorted
+                    if (ordered.isEmpty || !dts.forall(df(_) > 0)) Nil
+                    else {
+                      val m = phraseMatches(ordered, slop).toSet
+                      Seq(((w2, dts, Some(m)), m))
+                    }
+                  case _: GroupQ => sys.error("nested group — parser bug")
+                  case exp =>
+                    val ts = expandClause(exp)
+                    if (ts.isEmpty) Nil
+                    else Seq(((w2, ts, None), docsWithAny(ts)))
+                }
+              }
+            occur match {
+              case MustNot => notDocs ++= members.flatMap(_._2)
+              case Must =>
+                if (members.isEmpty) matchNo = true
+                else {
+                  mustSets += members.flatMap(_._2).toSet
+                  contribs ++= members.map(_._1)
+                }
+              case Should => contribs ++= members.map(_._1)
+            }
           case exp =>
             val ts = expandClause(exp)
             exp.occur match {

@@ -67,8 +67,24 @@ class QueryParserSpec extends AnyFunSuite with SparkTestBase {
     assert(parse("/a\\db/") == Seq(RegexpQ("a\\db", Should, 1.0)))
   }
 
+  test("grammar: one group level — occur and boost distribute, members " +
+    "parse as full clauses") {
+    assert(parse("""+(a b*)^2 c""") == Seq(
+      GroupQ(Seq(TermQ("a", Should, 1.0), PrefixQ("b", Should, 1.0)),
+        Must, 2.0),
+      TermQ("c", Should, 1.0)))
+    assert(parse("""-(x y) +z""") == Seq(
+      GroupQ(Seq(TermQ("x", Should, 1.0), TermQ("y", Should, 1.0)),
+        MustNot, 1.0),
+      TermQ("z", Must, 1.0)))
+    assert(parse("""("a b"~1^3 fu~1)""") == Seq(
+      GroupQ(Seq(PhraseQ("a b", 1, Should, 3.0),
+        FuzzyQ("fu", 1, Should, 1.0)), Should, 1.0)))
+  }
+
   test("grammar: loud failures on unsupported or malformed syntax") {
-    for (bad <- Seq("(a b) c", "a (b c)", "field:term", "+", "- a",
+    for (bad <- Seq("+(a +b)", "(a -b)", "((a) b)", "(a (b))", "()",
+        "(a", "a)", "a(b", "field:term", "+", "- a",
         "\"unterminated", "/unterminated", "[a TO", "[a b]", "a^x",
         "a^0", "a^-2", "\"a b\"~x", "wi*ld~1", "", "   "))
       assertThrows[IllegalArgumentException](parse(bad))
@@ -105,7 +121,13 @@ class QueryParserSpec extends AnyFunSuite with SparkTestBase {
       s""""$skip"~1^2 +spark""",              // boosted slop phrase + MUST
       s"""spark -"$bigram"""",                // NOT phrase
       "+spark -zzznothing",                   // NOT term absent from index
-      "zzznothing spark"                      // SHOULD absent term
+      "zzznothing spark",                     // SHOULD absent term
+      "+(index engine) spark",                // MUST any-of group
+      "+spark (inde* fast^2)^2",              // boosted group: boosts multiply
+      "-(fast slow) spark",                   // NOT group
+      "+(zzznothing index) spark",            // MUST group, one absent member
+      s"""+("$bigram" zzznothing) spark""",   // MUST group via phrase member
+      "+(index engine) +(fast slow) -spark"   // two groups + NOT
     )
     val failures = queries.flatMap { q =>
       val e = engine(q)
@@ -137,6 +159,9 @@ class QueryParserSpec extends AnyFunSuite with SparkTestBase {
     assert(engine("+zzzno* spark").isEmpty)          // MUST expansion empty
     assert(engine("-spark").isEmpty)                 // only MUST_NOT
     assert(engine("+\"zzzq unknownterm\" spark").isEmpty) // MUST phrase absent
+    // a MUST group dies only when EVERY member is unsatisfiable
+    assert(engine("+(zzznothing zzzno*) spark").isEmpty)
+    assert(engine("+(zzznothing index) spark").nonEmpty)
   }
 
   test("explainScore: the breakdown rows sum bit-identically to the " +
