@@ -587,6 +587,39 @@ object SparkEntry {
       }
     }),
 
+    // fielded QUERY STRINGS (`field:` prefixes through parseFielded):
+    // MUST body term + boosted src SHOULD + body MUST_NOT, per-field
+    // statistics, one cross-field fold — same 2-field deployment and
+    // structural tiebreak as q_fielded
+    "q_field_query" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pages = docs.select(
+        format_string("doc://%s/%06d", col("source"), col("doc_id")).as("url"),
+        lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
+        lit(null).cast("binary").as("html"), col("text"), col("lang"))
+      val fields = Seq(
+        graft.index.FieldedIndex.FieldSpec("body", col("text")),
+        graft.index.FieldedIndex.FieldSpec("src", col("url"),
+          analyzer = graft.analysis.Tokenizer.Keyword))
+      val root = java.nio.file.Files.createTempDirectory("graft-fq-").toString
+      graft.index.FieldedIndex.buildFull(s, pages, fields, root,
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        "battery-field-query")
+      val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
+      materialized(
+        fsr.searchQuery("+spark src:src3^2 -vector", defaultField = "body",
+            k = 10, roundScoresTo = Some(4))
+          .join(fsr.searcher("body").docstore.select("doc_id", "url"),
+            Seq("doc_id"))
+          .select(expr("cast(regexp_extract(url, '/([0-9]+)$', 1) as bigint)")
+            .as("doc_id"), col("score"),
+            expr("regexp_extract(url, '^doc://([^/]+)/', 1)").as("__src"))
+          .orderBy(col("score").desc, col("__src").asc, col("doc_id").asc)
+          .select("doc_id", "score")) {
+        fsr.close(); deleteRec(root)
+      }
+    }),
+
     // the coordinated fielded LIFECYCLE through the real engine: base
     // build on 2/3 of the corpus, APPEND the rest (ids continue above
     // the ceiling in every field), coordinated DELETE by PK (tombstones
@@ -1387,6 +1420,42 @@ object SparkEntry {
          |        / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)), 4) AS score
          |  FROM body b JOIN documents d USING (doc_id), stats s, sdf
          |  WHERE d.source = 'src3')
+         |SELECT doc_id, score FROM total
+         |ORDER BY score DESC, source, doc_id LIMIT 10""".stripMargin,
+
+    // fielded query string: body MUST term (w=1) + src3 SHOULD (w=2, the
+    // src field's own stats: tf=1, dl=3, avgdl=3) − body VECTOR docs;
+    // the fold adds SPARK's pair before SRC3's ('P' < 'R' — the engine's
+    // (term, contrib)-ascending order), which the + below reproduces
+    "q_field_query" ->
+      s"""$toksCte, tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT d.doc_id,
+         |    (SELECT count(*) FROM toks f WHERE f.doc_id = d.doc_id) AS dl
+         |  FROM documents d
+         |), stats AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |  FROM dl
+         |), dfq AS (
+         |  SELECT count(*) AS df FROM tf WHERE term = 'SPARK'
+         |), body AS (
+         |  SELECT tf.doc_id,
+         |    ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5)) * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS sb
+         |  FROM tf JOIN dl USING (doc_id), stats s, dfq
+         |  WHERE tf.term = 'SPARK'
+         |), sdf AS (
+         |  SELECT count(*) AS df FROM documents WHERE source = 'src3'
+         |), total AS (
+         |  SELECT b.doc_id, d.source,
+         |    round(b.sb + CASE WHEN d.source = 'src3' THEN
+         |      2.0 * ln(1 + (s.n - sdf.df + 0.5) / (sdf.df + 0.5))
+         |        * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+         |      ELSE 0.0 END, 4) AS score
+         |  FROM body b JOIN documents d USING (doc_id), stats s, sdf
+         |  WHERE b.doc_id NOT IN (
+         |    SELECT doc_id FROM toks WHERE term = 'VECTOR'))
          |SELECT doc_id, score FROM total
          |ORDER BY score DESC, source, doc_id LIMIT 10""".stripMargin,
 

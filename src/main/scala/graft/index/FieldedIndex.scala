@@ -470,6 +470,104 @@ object FieldedIndex {
         topGroups, docsPerGroup)
     }
 
+    /** Classic query-string scoring over the fielded deployment — the
+      * QueryParser front door WITH `field:` support
+      * ([[graft.query.QueryParser.parseFielded]]): clauses group by
+      * field (un-prefixed clauses belong to `defaultField`) and each
+      * field's subset resolves through ITS searcher — its analyzer, its
+      * collection statistics (Lucene's per-field stats: a term's idf and
+      * a doc's dl/avgdl are field-local). The per-field contribution
+      * frames union (doc_ids are aligned across roots) into ONE fold
+      * (invariant 11's single definition, [[graft.query.Searcher
+      * .foldPrepared]] — contributions were computed per field BEFORE
+      * the union so no field borrows another's avgdl), MUST requirements
+      * gate globally (field-prefixed req keys can't collide), and
+      * MUST_NOT doc sets exclude regardless of which field they came
+      * from. A MUST unsatisfiable in ANY field ⇒ MatchNoDocs. */
+    def scoreQuery(q: String, defaultField: String,
+                   maxExpansions: Int = 1024): DataFrame = {
+      import graft.query.QueryParser
+      val clauses = QueryParser.parseFielded(q)
+      val byField = clauses.zipWithIndex.groupBy {
+        case (QueryParser.FieldQ(f, _), _) => f
+        case _ => defaultField
+      }
+      (byField.keySet + defaultField).foreach(f =>
+        require(searchers.contains(f), s"unknown field '$f' — fields: " +
+          searchers.keySet.toSeq.sorted.mkString(", ")))
+      def emptyMatches: DataFrame = {
+        val sp = spark
+        import sp.implicits._
+        Seq.empty[(Long, Int, Double)].toDF("doc_id", "matched", "score")
+      }
+      val parts = byField.toSeq.sortBy(_._1).map { case (f, cs) =>
+        val inner = cs.sortBy(_._2).map {
+          case (QueryParser.FieldQ(_, c), _) => c
+          case (c, _) => c
+        }
+        searchers(f).parsedFrames(inner, maxExpansions, keyPrefix = f + ":")
+      }
+      if (parts.exists(_.matchNone)) return emptyMatches
+      val rowFrames = parts.flatMap(_.rows)
+      if (rowFrames.isEmpty) return emptyMatches // pure NOT / nothing resolved
+      val perTerm = rowFrames.reduce(_ unionByName _)
+      val reqCount = parts.map(_.reqCount).sum
+      val folded = graft.query.Searcher.foldPrepared(perTerm,
+        withReq = reqCount > 0)
+      val gated =
+        if (reqCount == 0) folded
+        else folded.filter(col("matched_req") === reqCount)
+      val out = parts.flatMap(_.notFrames).reduceOption(_ union _) match {
+        case Some(nd) => gated.join(nd, Seq("doc_id"), "left_anti")
+        case None => gated
+      }
+      out.select("doc_id", "matched", "score")
+    }
+
+    /** Ranked page over [[scoreQuery]] — `field:` query strings through
+      * the fielded deployment (`+body:spark path:seven^2 -body:fast`). */
+    def searchQuery(q: String, defaultField: String, k: Int,
+                    start: Int = 0, roundScoresTo: Option[Int] = None,
+                    maxExpansions: Int = 1024): DataFrame = {
+      val scored0 = scoreQuery(q, defaultField, maxExpansions)
+      val scored = roundScoresTo.fold(scored0)(d =>
+        scored0.withColumn("score", round(col("score"), d)))
+      scored.orderBy(col("score").desc, col("doc_id").asc)
+        .offset(start).limit(k)
+    }
+
+    /** Cross-field score explanation (the Explanation analog over
+      * [[scoreQuery]]): `docId`'s per-clause-term breakdown across every
+      * field — (field, term, weight, tf, dl, idf, contrib) in the exact
+      * (term, contrib) fold order; when the doc IS a match, sum(contrib)
+      * equals its [[searchQuery]] score bit-identically. Debugging
+      * surface: MUST gating / NOT exclusion are not applied. */
+    def explainQuery(q: String, docId: Long, defaultField: String,
+                     maxExpansions: Int = 1024): DataFrame = {
+      import graft.query.QueryParser
+      val byField = QueryParser.parseFielded(q).zipWithIndex.groupBy {
+        case (QueryParser.FieldQ(f, _), _) => f
+        case _ => defaultField
+      }
+      val frames = byField.toSeq.sortBy(_._1).flatMap { case (f, cs) =>
+        val inner = cs.sortBy(_._2).map {
+          case (QueryParser.FieldQ(_, c), _) => c
+          case (c, _) => c
+        }
+        searchers(f).parsedFrames(inner, maxExpansions, keyPrefix = f + ":")
+          .rows.map(_.withColumn("field", lit(f)))
+      }
+      val sp = spark
+      import sp.implicits._
+      if (frames.isEmpty)
+        Seq.empty[(String, String, Double, Int, Int, Double, Double)]
+          .toDF("field", "term", "weight", "tf", "dl", "idf", "contrib")
+      else frames.reduce(_ unionByName _)
+        .where(col("doc_id") === docId)
+        .select("field", "term", "weight", "tf", "dl", "idf", "contrib")
+        .orderBy(col("term"), col("contrib"))
+    }
+
     /** Cross-field top-k restricted to docs whose dynamic JSON field
       * matches (the sidecar written by IndexBuilder.buildJsonSidecar on
       * any one field root — doc_id alignment makes it serve all). */

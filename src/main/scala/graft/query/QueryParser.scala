@@ -26,12 +26,15 @@ package graft.query
   *     the whole any-of disjunction, its boost multiplies each child's
   *   - `\x` escapes a special character into the term text
   *
+  * `field:clause` prefixes parse through [[parseFielded]] only (fielded
+  * deployments — [[graft.index.FieldedIndex.FieldedSearcher
+  * .searchQuery]] executes them); the single-index [[parse]] rejects
+  * them loudly (no field dimension to resolve against).
+  *
   * Deliberately NOT supported, failing LOUDLY instead of silently
-  * parsing wrong: `+`/`-` INSIDE a group and nested groups (the
-  * executor scores group-of-disjunctions, not arbitrary boolean trees;
-  * issue two queries for deeper nesting), `field:term` (single-field
-  * indexes have no field dimension — use
-  * [[graft.index.FieldedIndex.FieldedSearcher]] per field), and infix
+  * parsing wrong: `+`/`-` and `field:` INSIDE a group and nested groups
+  * (the executor scores group-of-disjunctions, not arbitrary boolean
+  * trees; issue two queries for deeper nesting), and infix
   * `AND`/`OR`/`NOT` keywords (the `+`/`-` unary operators are the
   * non-ambiguous core; Lucene's own docs warn off the infix forms). */
 object QueryParser {
@@ -69,10 +72,25 @@ object QueryParser {
     * disjunction and its boost multiplies each child's. */
   final case class GroupQ(children: Seq[Clause], occur: Occur,
                           boost: Double) extends Clause
+  /** A clause scoped to a named field of a FIELDED deployment
+    * (`body:spark`, `+title:"a b"`, `path:(pre* x)^2` — the classic
+    * parser's field syntax). Produced only by [[parseFielded]]; the
+    * single-index [[parse]] keeps failing loudly on `field:`. Executed
+    * by [[graft.index.FieldedIndex.FieldedSearcher.searchQuery]]. */
+  final case class FieldQ(field: String, clause: Clause) extends Clause {
+    def occur: Occur = clause.occur
+    def boost: Double = clause.boost
+  }
 
-  def parse(q: String): Seq[Clause] = new P(q).all()
+  def parse(q: String): Seq[Clause] = new P(q, allowFields = false).all()
 
-  private final class P(s: String) {
+  /** [[parse]] with `field:clause` prefixes enabled (fielded
+    * deployments): an un-prefixed clause belongs to the caller's default
+    * field. `field:` distributes over a whole group (`f:(a b)`); a field
+    * prefix INSIDE a group fails loudly. */
+  def parseFielded(q: String): Seq[Clause] = new P(q, allowFields = true).all()
+
+  private final class P(s: String, allowFields: Boolean) {
     private var i = 0
     private def fail(msg: String): Nothing =
       throw new IllegalArgumentException(
@@ -98,7 +116,10 @@ object QueryParser {
         case _ => Should
       }
       if (eof || peek.isWhitespace) fail("dangling +/- operator")
-      peek match {
+      val fld = if (allowFields) fieldPrefix() else None
+      if (fld.isDefined && (eof || peek.isWhitespace))
+        fail("dangling field: prefix")
+      val inner = peek match {
         case '(' => group(occur)
         case ')' => fail("unbalanced )")
         case '"' => phrase(occur)
@@ -106,6 +127,23 @@ object QueryParser {
         case '[' | '{' => range(occur)
         case _ => word(occur)
       }
+      fld.fold(inner)(FieldQ(_, inner))
+    }
+
+    /** Consumes a leading `ident:` field prefix when one is present (an
+      * identifier run directly followed by `:` and a non-blank clause
+      * body); an escaped `\:` never matches (the backslash breaks the
+      * identifier run). */
+    private def fieldPrefix(): Option[String] = {
+      var j = i
+      while (j < s.length &&
+             (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+      if (j > i && j < s.length && s.charAt(j) == ':' &&
+          j + 1 < s.length && !s.charAt(j + 1).isWhitespace) {
+        val f = s.substring(i, j)
+        i = j + 1
+        Some(f)
+      } else None
     }
 
     /** One parenthesized group: `(a b*)` / `+(a "b c")^2`. Children are
@@ -122,6 +160,9 @@ object QueryParser {
           fail("+/- inside a group is not supported — the group's own " +
             "+/- applies to every member (one boolean level of occurs)")
         if (c.isInstanceOf[GroupQ]) fail("nested groups are not supported")
+        if (c.isInstanceOf[FieldQ])
+          fail("field: inside a group is not supported — scope the whole " +
+            "group instead: field:(...)")
         kids += c
         ws()
       }
@@ -219,9 +260,10 @@ object QueryParser {
             fail("a group ( must start a clause — escape a literal ( as \\(")
           case '"' => fail("quote inside a term — escape it as \\\"")
           case ':' =>
-            fail(s"field queries (<${text.toString}:...>) are not " +
-              "supported on a single-field index — search the right " +
-              "field's Searcher (FieldedSearcher) instead")
+            fail(s"unescaped ':' after <${text.toString}> — a field " +
+              "prefix must be one leading ident: (fielded queries only " +
+              "through FieldedSearcher.searchQuery / parseFielded; " +
+              "escape a literal colon as \\:)")
           case '*' =>
             wild = true; stars += 1
             text += '*'; i += 1

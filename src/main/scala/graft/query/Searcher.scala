@@ -375,45 +375,36 @@ final class Searcher(
     val contrib =
       if (perTerm.columns.contains("weight")) col("weight") * contribBase
       else contribBase
-    // withReq: the per-term rows carry `req_clause` (non-null = this row
-    // satisfies that MUST clause; [[scoreBoolean]] keys by term,
-    // [[scoreParsed]] by clause id) — the distinct-count rides the SAME
-    // aggregation; the score fold's arithmetic shape is untouched
-    val extraAggs =
-      Seq(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("__parts")) ++
-      (if (withReq)
-         Seq(size(collect_set(col("req_clause"))).as("matched_req"))
-       else Nil)
-    perTerm
-      .withColumn("contrib", contrib)
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).cast("int").as("matched"), extraAggs: _*)
-      .withColumn("score",
-        aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
-      .select(keys.map(col) ++ Seq(col("matched")) ++
-        (if (withReq) Seq(col("matched_req")) else Nil) :+ col("score"): _*)
+    Searcher.foldPrepared(perTerm.withColumn("contrib", contrib), keys,
+      withReq)
   }
 
-  /** Restrict matches to the non-scoring filter clause (Q1, the predicate
-    * pushes into the docstore parquet scan) and drop dead docs. */
-  private def applyMatchSetRestrictions(rows: DataFrame,
-                                        filter: Option[Column]): DataFrame = {
-    val filtered = filter match {
+  /** The non-scoring filter clause (Q1): narrow-column predicates
+    * (lang/url/ts/dl) hit the cache; a text predicate pushes into the
+    * parquet scan instead. */
+  private def applyFilterClause(rows: DataFrame,
+                                filter: Option[Column]): DataFrame =
+    filter match {
       case Some(f) =>
-        // narrow-column predicates (lang/url/ts/dl) hit the cache; a
-        // text predicate pushes into the parquet scan instead
         val src =
           if (resolvesOnNarrow(Seq(f))) docstoreNarrow.where(f)
           else docstore.where(f)
         rows.join(src.select("doc_id"), Seq("doc_id"), "left_semi")
       case None => rows
     }
-    if (!hasDeadDocs) filtered
+
+  /** Drop rows of superseded/tombstoned docs (size-gated broadcast). */
+  private def dropDead(rows: DataFrame): DataFrame =
+    if (!hasDeadDocs) rows
     else if (deadDocCount <= maxBroadcastDeadDocs)
-      filtered.join(broadcast(deadDocs), Seq("doc_id"), "left_anti")
-    else filtered.join(deadDocs, Seq("doc_id"), "left_anti")
-  }
+      rows.join(broadcast(deadDocs), Seq("doc_id"), "left_anti")
+    else rows.join(deadDocs, Seq("doc_id"), "left_anti")
+
+  /** Restrict matches to the non-scoring filter clause and drop dead
+    * docs (both row-level semi/anti joins — order-independent). */
+  private def applyMatchSetRestrictions(rows: DataFrame,
+                                        filter: Option[Column]): DataFrame =
+    dropDead(applyFilterClause(rows, filter))
 
   /** Match + score: returns (doc_id, matched, score). The posting scan is
     * a literal `term IN (...)` filter, so Parquet row-group pruning (term
@@ -564,12 +555,21 @@ final class Searcher(
     * all non-phrase clauses and one positional scan serves each phrase
     * clause. Clause weights and MUST markers travel in the broadcast
     * term frame, so the fold stays a single aggregation. */
-  private def parsedPerTerm(clauses: Seq[QueryParser.Clause],
-                            maxExpansions: Int)
-      : Option[(DataFrame, Int, Seq[DataFrame])] = {
+  private[graft] def parsedFrames(clauses: Seq[QueryParser.Clause],
+                                  maxExpansions: Int,
+                                  keyPrefix: String = "")
+      : Searcher.ParsedFrames = {
     import QueryParser._
+    import Searcher.ParsedFrames
     import scala.collection.mutable.ArrayBuffer
-    if (docCount == 0) return None
+    require(!clauses.exists(_.isInstanceOf[FieldQ]),
+      "a field-scoped clause reached a single-index executor — run " +
+        "fielded queries through FieldedSearcher.searchQuery")
+    if (docCount == 0)
+      // an empty index: any MUST clause ⇒ MatchNoDocs (Lucene); pure
+      // SHOULD/NOT subsets contribute and exclude nothing
+      return if (clauses.exists(_.occur == Must)) Searcher.matchNoDocs
+      else ParsedFrames(None, 0, Nil, matchNone = false)
 
     // -- resolution: clauses → analysis-level sub-clauses, each tagged
     // with its requirement group (reqId >= 0 ⇒ the sub belongs to MUST
@@ -596,16 +596,27 @@ final class Searcher(
         case ch => java.util.regex.Pattern.quote(ch.toString)
       }.mkString
 
-    /** One clause's subs with explicit weight `w` and requirement `req`
-      * (ignored when `forNot`). */
-    def addClause(c: Clause, w: Double, req: Int, forNot: Boolean): Unit = {
+    /** A requirement id allocated on FIRST use: a MUST clause (or group)
+      * whose entire analysis is empty must be DROPPED like the classic
+      * parser drops it — an eagerly-allocated empty requirement would
+      * turn it into MatchNoDocs instead. */
+    def lazyReq(): () => Int = {
+      var id = Int.MinValue
+      () => { if (id == Int.MinValue) id = newReq(); id }
+    }
+    val should: () => Int = () => -1
+
+    /** One clause's subs with explicit weight `w` and requirement
+      * provider `req` (ignored when `forNot`). */
+    def addClause(c: Clause, w: Double, req: () => Int,
+                  forNot: Boolean): Unit = {
       def addExp(pred: Column): Unit =
-        if (forNot) notExpPreds += pred else expSubs += ((pred, w, req))
+        if (forNot) notExpPreds += pred else expSubs += ((pred, w, req()))
       c match {
         case TermQ(text, _, _) =>
           val ts = analyzeQuery(text)
           if (forNot) notTerms ++= ts
-          else ts.foreach(t => termSubs += ((t, w, req)))
+          else ts.foreach(t => termSubs += ((t, w, req())))
         case PhraseQ(text, slop, _, _) =>
           val ordered = analyzePhrase(text)
           if (ordered.nonEmpty) {
@@ -613,7 +624,7 @@ final class Searcher(
               "built with indexPositions = true")
             require(slop >= 0, s"slop must be >= 0, got $slop")
             if (forNot) notPhrases += ((ordered, slop))
-            else phraseSubs += ((ordered, slop, w, req))
+            else phraseSubs += ((ordered, slop, w, req()))
           }
         case PrefixQ(p0, _, _) =>
           val p = Tokenizer.foldCase(p0.trim)
@@ -643,6 +654,9 @@ final class Searcher(
             .reduceOption(_ && _).getOrElse(lit(true)))
         case GroupQ(_, _, _) =>
           sys.error("nested group reached the executor — parser bug")
+        case FieldQ(_, _) =>
+          sys.error("field clause inside a group reached the executor — " +
+            "parser bug")
       }
     }
 
@@ -651,27 +665,28 @@ final class Searcher(
         // group boost multiplies each child's own boost; the group's
         // occur applies to the whole any-of disjunction
         case MustNot =>
-          children.foreach(ch => addClause(ch, 0.0, -1, forNot = true))
+          children.foreach(ch => addClause(ch, 0.0, should, forNot = true))
         case Must =>
-          val id = newReq()
+          val id = lazyReq() // ONE requirement shared by every member
           children.foreach(ch => addClause(ch, ch.boost * gb, id,
             forNot = false))
         case Should =>
-          children.foreach(ch => addClause(ch, ch.boost * gb, -1,
+          children.foreach(ch => addClause(ch, ch.boost * gb, should,
             forNot = false))
       }
       case c if c.occur == MustNot =>
-        addClause(c, 0.0, -1, forNot = true)
+        addClause(c, 0.0, should, forNot = true)
       case TermQ(text, Must, w) =>
         // each analyzed term its own requirement (conjunctive contract)
         analyzeQuery(text).foreach(t => termSubs += ((t, w, newReq())))
       case c if c.occur == Must =>
-        addClause(c, c.boost, newReq(), forNot = false)
+        addClause(c, c.boost, lazyReq(), forNot = false)
       case c =>
-        addClause(c, c.boost, -1, forNot = false)
+        addClause(c, c.boost, should, forNot = false)
     }
-    if (termSubs.isEmpty && expSubs.isEmpty && phraseSubs.isEmpty)
-      return None
+    if (termSubs.isEmpty && expSubs.isEmpty && phraseSubs.isEmpty &&
+        notTerms.isEmpty && notExpPreds.isEmpty && notPhrases.isEmpty)
+      return ParsedFrames(None, 0, Nil, matchNone = false)
 
     // -- ONE term_stats probe for literals + every expansion -----------
     val litTerms = (termSubs.map(_._1) ++ notTerms ++
@@ -722,11 +737,11 @@ final class Searcher(
       if (r >= 0 && ordered.distinct.forall(infoOf.contains))
         reqSatisfiable(r) = true
     }
-    if (!reqSatisfiable.forall(identity)) return None
+    if (!reqSatisfiable.forall(identity)) return Searcher.matchNoDocs
 
     // -- weighted per-term rows (one row per clause-term) ---------------
     val mustCount = nReq
-    def keyOf(r: Int): String = if (r >= 0) s"g$r" else null
+    def keyOf(r: Int): String = if (r >= 0) s"$keyPrefix g$r" else null
     val wRows = ArrayBuffer.empty[(String, Double, Double, String)]
     termSubs.foreach { case (t, w, r) =>
       infoOf.get(t).foreach(inf => wRows += ((t, inf.idf, w, keyOf(r))))
@@ -760,10 +775,6 @@ final class Searcher(
       "req_clause")
     val frames = (nonPhrase ++ phraseFrames)
       .map(_.select(cols.map(col): _*))
-    // every positive clause resolved to nothing (SHOULD expansions with
-    // empty matches, SHOULD terms absent) — no contribution, no matches
-    if (frames.isEmpty) return None
-    val perTerm = frames.reduce(_ union _)
 
     // -- MUST_NOT doc-set frames ----------------------------------------
     val notSetTerms = (notTerms.distinct.filter(infoOf.contains) ++
@@ -776,7 +787,15 @@ final class Searcher(
         else Some(phraseAlignedRows(ordered, dts, dts.map(infoOf), slop,
           identity).select("doc_id").distinct())
       }
-    Some((perTerm, mustCount, notFrames))
+
+    // every positive clause resolved to nothing (SHOULD expansions with
+    // empty matches, SHOULD terms absent) ⇒ rows = None — the NOT frames
+    // still travel (a cross-field composition may score on other fields)
+    val rows =
+      if (frames.isEmpty) None
+      else Some(dropDead(frames.reduce(_ union _)
+        .withColumn("contrib", col("weight") * contribBase)))
+    ParsedFrames(rows, mustCount, notFrames, matchNone = false)
   }
 
   /** Generalized boolean scoring over a parsed clause list
@@ -800,21 +819,26 @@ final class Searcher(
     * terms — a term reached through two clauses counts twice). */
   def scoreParsed(clauses: Seq[QueryParser.Clause],
                   filter: Option[Column] = None,
-                  maxExpansions: Int = 1024): DataFrame =
-    parsedPerTerm(clauses, maxExpansions) match {
+                  maxExpansions: Int = 1024): DataFrame = {
+    val pf = parsedFrames(clauses, maxExpansions)
+    pf.rows match {
+      // matchNone, pure-NOT, or nothing resolved ⇒ MatchNoDocs (Lucene)
       case None => emptyMatches
-      case Some((perTerm, mustCount, notFrames)) =>
-        val restricted = applyMatchSetRestrictions(perTerm, filter)
-        val folded = foldScores(restricted, withReq = mustCount > 0)
+      case Some(rows) =>
+        // dead docs were already dropped inside parsedFrames
+        val restricted = applyFilterClause(rows, filter)
+        val folded = Searcher.foldPrepared(restricted,
+          withReq = pf.reqCount > 0)
         val gated =
-          if (mustCount == 0) folded
-          else folded.filter(col("matched_req") === mustCount)
-        val out = notFrames.reduceOption(_ union _) match {
+          if (pf.reqCount == 0) folded
+          else folded.filter(col("matched_req") === pf.reqCount)
+        val out = pf.notFrames.reduceOption(_ union _) match {
           case Some(nd) => gated.join(nd, Seq("doc_id"), "left_anti")
           case None => gated
         }
         out.select("doc_id", "matched", "score")
     }
+  }
 
   /** Lucene-classic-syntax search — the QueryParser front door:
     * `+must -not "a phrase"~2 term^2.5 pre* wi?ld fuzzy~1 /S[A-Z]+/
@@ -844,11 +868,10 @@ final class Searcher(
     val empty = spark
       .emptyDataset[(String, Double, Int, Int, Double, Double)]
       .toDF("term", "weight", "tf", "dl", "idf", "contrib")
-    parsedPerTerm(QueryParser.parse(q), maxExpansions) match {
+    parsedFrames(QueryParser.parse(q), maxExpansions).rows match {
       case None => empty
-      case Some((perTerm, _, _)) =>
-        perTerm.where(col("doc_id") === docId)
-          .withColumn("contrib", col("weight") * contribBase)
+      case Some(rows) =>
+        rows.where(col("doc_id") === docId)
           .select("term", "weight", "tf", "dl", "idf", "contrib")
           .orderBy(col("term"), col("contrib"))
     }
@@ -1806,5 +1829,55 @@ final class Searcher(
     docstoreNarrow.unpersist()
     termStats.unpersist()
     deadDocs.unpersist()
+  }
+}
+
+object Searcher {
+
+  /** A parsed clause subset resolved to foldable frames (the
+    * cross-Searcher composition unit behind [[Searcher.scoreParsed]] and
+    * [[graft.index.FieldedIndex.FieldedSearcher.searchQuery]]):
+    *  - `rows`: per-(clause-term, doc) rows carrying a pre-computed
+    *    `contrib` (weight × BM25 with the OWNING searcher's collection
+    *    stats — cross-field unions stay per-field-correct) and
+    *    `req_clause` keys; dead docs already dropped; None = no positive
+    *    clause resolved to anything
+    *  - `reqCount`: MUST requirements in the subset (every one
+    *    satisfiable, else `matchNone`)
+    *  - `notFrames`: MUST_NOT doc-set frames
+    *  - `matchNone`: a MUST requirement is unsatisfiable — the WHOLE
+    *    query (all fields) is MatchNoDocs */
+  private[graft] final case class ParsedFrames(rows: Option[DataFrame],
+                                               reqCount: Int,
+                                               notFrames: Seq[DataFrame],
+                                               matchNone: Boolean)
+
+  private[graft] val matchNoDocs: ParsedFrames =
+    ParsedFrames(None, 0, Nil, matchNone = true)
+
+  /** THE fold (invariant 11, one definition for every exact path): sum
+    * each key group's pre-computed `contrib` values in ascending
+    * (term, contrib) order — bit-identical to the golden model — with
+    * the match count and (optionally) the distinct satisfied-requirement
+    * count riding the SAME aggregation. Static because cross-field
+    * unions fold rows owned by several Searchers: each row's contrib was
+    * computed with its owner's stats, the fold itself has no instance
+    * state. */
+  private[graft] def foldPrepared(perTerm: DataFrame,
+                                  keys: Seq[String] = Seq("doc_id"),
+                                  withReq: Boolean = false): DataFrame = {
+    val extraAggs =
+      Seq(sort_array(collect_list(struct(col("term"), col("contrib"))))
+        .as("__parts")) ++
+      (if (withReq)
+         Seq(size(collect_set(col("req_clause"))).as("matched_req"))
+       else Nil)
+    perTerm
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("matched"), extraAggs: _*)
+      .withColumn("score",
+        aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
+      .select(keys.map(col) ++ Seq(col("matched")) ++
+        (if (withReq) Seq(col("matched_req")) else Nil) :+ col("score"): _*)
   }
 }

@@ -31,6 +31,30 @@ object GoldenBM25 {
       .map { case ((url, lang, toks), i) => Doc(i.toLong, url, lang, toks) }
       .toVector
 
+  /** Cross-field parsed scoring — the golden twin of
+    * [[graft.index.FieldedIndex.FieldedSearcher.scoreQuery]]: each
+    * (model, clause-subset, dict) part accumulates with ITS OWN
+    * collection statistics; MUST sets intersect globally, NOT sets union
+    * globally, and every part's (term, contrib) pairs merge into ONE
+    * ascending fold (the engine's exact cross-field order). Doc ids must
+    * be aligned across models (the fielded invariant). */
+  def scoreParsedMulti(parts: Seq[(Model, Seq[graft.query.QueryParser.Clause],
+                                   SynonymDict)]): Seq[Hit] = {
+    val accums = parts.map { case (m, cs, d) => (m, m.parsedAccum(cs, d)) }
+    if (accums.exists(_._2.matchNone)) return Seq.empty
+    if (accums.forall(_._2.contribs.isEmpty)) return Seq.empty
+    val mustSets = accums.flatMap(_._2.mustSets)
+    val candidates: Set[Long] =
+      if (mustSets.nonEmpty) mustSets.reduce(_ intersect _)
+      else accums.flatMap { case (m, a) => m.candidateDocs(a.contribs) }.toSet
+    val notDocs = accums.flatMap(_._2.notDocs).toSet
+    (candidates -- notDocs).toSeq.map { id =>
+      val pairs = accums
+        .flatMap { case (m, a) => m.pairsFor(id, a.contribs) }.sorted
+      Hit(id, pairs.foldLeft(0.0)(_ + _._2))
+    }
+  }
+
   final class Model(docs: Seq[Doc], k1: Double = 1.2, b: Double = 0.75) {
     private val nDocs: Long = docs.size.toLong
     private val avgdl: Double =
@@ -182,6 +206,56 @@ object GoldenBM25 {
     def scoreParsed(clauses: Seq[graft.query.QueryParser.Clause],
                     dict: SynonymDict,
                     filter: Doc => Boolean = _ => true): Seq[Hit] = {
+      val a = parsedAccum(clauses, dict)
+      if (a.matchNone || a.contribs.isEmpty) return Seq.empty
+      val candidates: Set[Long] =
+        if (a.mustSets.nonEmpty) a.mustSets.reduce(_ intersect _)
+        else candidateDocs(a.contribs)
+      (candidates -- a.notDocs).toSeq.filter(id => filter(byId(id))).map {
+        id =>
+          val parts = pairsFor(id, a.contribs).sorted
+          Hit(id, parts.foldLeft(0.0)(_ + _._2))
+      }
+    }
+
+    /** Per-model accumulation of a parsed clause subset — the reusable
+      * piece behind [[scoreParsed]] and the cross-field
+      * [[GoldenBM25.scoreParsedMulti]]. `contribs` = (weight, terms,
+      * phrase-alignment restriction) contribution groups. */
+    private[golden] final case class ParsedAccum(
+      contribs: Seq[(Double, Seq[String], Option[Set[Long]])],
+      mustSets: Seq[Set[Long]],
+      notDocs: Set[Long],
+      matchNone: Boolean)
+
+    private[golden] def docsWith(t: String): Set[Long] =
+      postings.getOrElse(t, Map.empty).keySet
+    private[golden] def docsWithAny(ts: Seq[String]): Set[Long] =
+      ts.flatMap(t => postings.getOrElse(t, Map.empty).keys).toSet
+
+    private[golden] def candidateDocs(
+        contribs: Seq[(Double, Seq[String], Option[Set[Long]])]): Set[Long] =
+      contribs.flatMap { case (_, ts, r) => r.getOrElse(docsWithAny(ts)) }
+        .toSet
+
+    /** This model's (term, weighted contrib) pairs of `id` — UNSORTED;
+      * the caller folds after sorting (cross-field callers merge several
+      * models' pairs first). */
+    private[golden] def pairsFor(id: Long,
+        contribs: Seq[(Double, Seq[String], Option[Set[Long]])])
+        : Seq[(String, Double)] =
+      contribs.flatMap { case (w, ts, restrict) =>
+        if (restrict.exists(!_.contains(id))) Nil
+        else ts.flatMap(t =>
+          postings.getOrElse(t, Map.empty).get(id).map { tf =>
+            (t, w * (idf(t) * (tf * (k1 + 1.0)) /
+              (tf + k1 * ((1.0 - b) + b * dl(id) / avgdl))))
+          })
+      }
+
+    private[golden] def parsedAccum(
+        clauses: Seq[graft.query.QueryParser.Clause],
+        dict: SynonymDict): ParsedAccum = {
       import graft.query.QueryParser._
       import scala.collection.mutable.ArrayBuffer
       // (weight, terms, restrictTo): contribution groups; restrictTo =
@@ -190,10 +264,6 @@ object GoldenBM25 {
       val mustSets = ArrayBuffer.empty[Set[Long]]
       val notDocs = scala.collection.mutable.Set.empty[Long]
       var matchNo = false
-      def docsWith(t: String): Set[Long] =
-        postings.getOrElse(t, Map.empty).keySet
-      def docsWithAny(ts: Seq[String]): Set[Long] =
-        ts.flatMap(t => postings.getOrElse(t, Map.empty).keys).toSet
       clauses.foreach { c =>
         val w = c.boost
         c match {
@@ -261,6 +331,9 @@ object GoldenBM25 {
                 }
               case Should => contribs ++= members.map(_._1)
             }
+          case FieldQ(_, _) =>
+            sys.error("field clause reached a single-model accum — " +
+              "use GoldenBM25.scoreParsedMulti")
           case exp =>
             val ts = expandClause(exp)
             exp.occur match {
@@ -272,23 +345,7 @@ object GoldenBM25 {
             }
         }
       }
-      if (matchNo || contribs.isEmpty) return Seq.empty
-      val candidates: Set[Long] =
-        if (mustSets.nonEmpty) mustSets.reduce(_ intersect _)
-        else contribs.flatMap { case (_, ts, r) =>
-          r.getOrElse(docsWithAny(ts))
-        }.toSet
-      (candidates -- notDocs).toSeq.filter(id => filter(byId(id))).map { id =>
-        val parts = contribs.flatMap { case (w, ts, restrict) =>
-          if (restrict.exists(!_.contains(id))) Nil
-          else ts.flatMap(t =>
-            postings.getOrElse(t, Map.empty).get(id).map { tf =>
-              (t, w * (idf(t) * (tf * (k1 + 1.0)) /
-                (tf + k1 * ((1.0 - b) + b * dl(id) / avgdl))))
-            })
-        }.sorted
-        Hit(id, parts.foldLeft(0.0)(_ + _._2))
-      }
+      ParsedAccum(contribs.toSeq, mustSets.toSeq, notDocs.toSet, matchNo)
     }
 
     /** Expansion-clause dictionary twin (independent predicate

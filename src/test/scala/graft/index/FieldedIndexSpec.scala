@@ -396,4 +396,62 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     // and the two duplicate rows were actually collapsed to one winner
     assert(a1.count(_._1 == "https://dup.example/p/1") == 1)
   }
+
+  test("fielded query strings (field: prefixes): cross-field parsed " +
+    "scoring is bit-identical to the golden multi-model composition") {
+    import graft.query.QueryParser
+    val models = Map("text" -> goldenText, "url" -> goldenUrl)
+    def g(q: String): Seq[(Long, Double)] = {
+      val byField = QueryParser.parseFielded(q).zipWithIndex.groupBy {
+        case (QueryParser.FieldQ(f, _), _) => f
+        case _ => "text"
+      }
+      GoldenBM25.scoreParsedMulti(byField.toSeq.sortBy(_._1).map {
+        case (f, cs) =>
+          (models(f), cs.sortBy(_._2).map {
+            case (QueryParser.FieldQ(_, c), _) => c
+            case (c, _) => c
+          }, SynonymDict.empty)
+      }).sortBy(h => (-h.score, h.docId)).take(10)
+        .map(h => (h.docId, h.score))
+    }
+    def e(q: String): Seq[(Long, Double)] =
+      fs.searchQuery(q, defaultField = "text", 10)
+        .select("doc_id", "score").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val queries = Seq(
+      "+spark url:7^2",             // MUST text + boosted url SHOULD
+      "+spark +url:7",              // cross-field AND
+      "+url:example spark^3 -fast", // default-field NOT + boost
+      "+spark url:(7 123)^2",       // field-scoped group
+      "spark url:zzznothing",       // absent fielded SHOULD term
+      "+text:spark -url:7",         // NOT in another field
+      "+spark inde* url:page")      // expansion + fielded term
+    val failures = queries.flatMap { q =>
+      val (ee, gg) = (e(q), g(q))
+      if (ee == gg) None else Some(s"<$q>: engine=$ee golden=$gg")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+    assert(e("+spark +url:7").nonEmpty, "cross-field AND must match")
+    // a MUST unsatisfiable in ANY field kills the whole query
+    assert(e("+url:zzznothing spark").isEmpty)
+    // unknown field fails loudly
+    intercept[IllegalArgumentException](
+      fs.searchQuery("+bogus:x", "text", 10))
+    // degenerate (no field prefixes) ≡ the single-index parsed path
+    val single = fs.searcher("text")
+      .scoreParsed(QueryParser.parse("+spark inde*"))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(e("+spark inde*") == single)
+    // explainQuery: the cross-field breakdown re-sums bit-identically to
+    // the served score, and both fields actually contribute rows
+    val (topId, topScore) = e("+spark url:7^2").head
+    val rows = fs.explainQuery("+spark url:7^2", topId, "text")
+      .select("field", "contrib").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows.map(_._1).distinct.sorted == Seq("text", "url"))
+    assert(rows.foldLeft(0.0)(_ + _._2) == topScore)
+  }
 }
