@@ -159,7 +159,7 @@ object Main {
               // clause operators replace every other mode flag
               rejects("parse", "phrase", "prefix", "fuzzy", "wildcard",
                 "range", "regexp", "mlt", "highlight", "should", "not",
-                "or", "slop")
+                "or", "slop", "group-by")
               s.searchQuery(opt("query"), k, start)
             }
             else if (opt.contains("explain")) {
@@ -167,44 +167,43 @@ object Main {
               // --explain <docId> under the parsed --query
               rejects("explain", "phrase", "prefix", "fuzzy", "wildcard",
                 "range", "regexp", "mlt", "highlight", "should", "not",
-                "or", "slop")
+                "or", "slop", "group-by")
               s.explainScore(opt("query"), opt("explain").toLong)
             }
             else if (opt.contains("phrase")) {
-              rejects("phrase", "or")
+              rejects("phrase", "or", "group-by")
               s.searchPhrase(opt("query"), k, start, notQuery = opt.get("not"),
                 slop = opt.getOrElse("slop", "0").toInt)
             }
             else if (opt.contains("prefix")) {
-              rejects("prefix", "not", "or")
+              rejects("prefix", "not", "or", "group-by")
               s.searchPrefix(opt("query"), k, start)
             } else if (opt.contains("fuzzy")) {
-              rejects("fuzzy", "not", "or")
+              rejects("fuzzy", "not", "or", "group-by")
               s.searchFuzzy(opt("query"), k,
                 maxEdits = opt.getOrElse("max-edits", "1").toInt,
                 start = start)
             } else if (opt.contains("wildcard")) {
-              rejects("wildcard", "not", "or")
+              rejects("wildcard", "not", "or", "group-by")
               s.searchWildcard(opt("query"), k, start)
             } else if (opt.contains("range")) {
-              rejects("range", "not", "or")
+              rejects("range", "not", "or", "group-by")
               s.searchTermRange(opt.get("lower"), opt.get("upper"), k, start)
             } else if (opt.contains("regexp")) {
-              rejects("regexp", "not", "or")
+              rejects("regexp", "not", "or", "group-by")
               s.searchRegexp(opt("query"), k, start)
             } else if (opt.contains("mlt")) {
-              rejects("mlt", "not", "or")
+              rejects("mlt", "not", "or", "group-by")
               s.searchMoreLikeThis(opt("query").toLong, k, start = start)
             } else if (opt.contains("highlight")) {
-              rejects("highlight", "not")
+              rejects("highlight", "not", "group-by")
               s.searchHighlight(opt("query"), k, start,
                 conjunctive = !opt.contains("or"))
             }
             else if (opt.contains("group-by")) {
               // grouped top-k (Lucene grouping module): groups = labels
               // of a build-time facet dim, ranked by best doc
-              rejects("group-by", "phrase", "prefix", "fuzzy", "wildcard",
-                "range", "regexp", "mlt", "highlight", "should", "not")
+              rejects("group-by", "should", "not")
               s.searchGrouped(opt("query"), opt("group-by"),
                 topGroups = opt.getOrElse("top-groups", "10").toInt,
                 docsPerGroup = opt.getOrElse("per-group", "3").toInt,
@@ -245,6 +244,12 @@ object Main {
           .mkString("[", ",", "]"))
 
       case "facets" =>
+        // the facet shapes are mutually exclusive — a second shape flag
+        // is an ERROR, not a silent winner (same contract as `search`)
+        val shapes = Seq("hier", "drill", "ranges").filter(opt.contains)
+        require(shapes.size <= 1,
+          s"--${shapes.mkString(" and --")} cannot combine — pick one " +
+            "facet shape")
         val s = new Searcher(spark, opt("index"), dictOf(opt))
         try {
           val limit = opt.getOrElse("limit", "10").toInt
@@ -254,8 +259,10 @@ object Main {
               // drill-sideways: --drill dim=label[,dim=label...]
               s.facetSearchDrillSideways(opt("query"),
                 opt("drill").split(',').map { kv =>
-                  val Array(d, l) = kv.split("=", 2)
-                  d -> l
+                  val parts = kv.split("=", 2)
+                  require(parts.length == 2 && parts.forall(_.nonEmpty),
+                    s"bad --drill spec <$kv> — expected dim=label")
+                  parts(0) -> parts(1)
                 }.toMap, limit = limit)
             else if (opt.contains("ranges"))
               // numeric range facets over a docstore column:
@@ -263,9 +270,14 @@ object Main {
               s.facetRangeSearch(opt("query"),
                 opt.getOrElse("value-col", "dl"),
                 opt("ranges").split(',').toSeq.map { spec =>
-                  val Array(label, bounds) = spec.split("=", 2)
-                  val Array(lo, hi) = bounds.split(":", 2)
-                  graft.query.Facets.RangeSpec(label, lo.toDouble, hi.toDouble)
+                  val lb = spec.split("=", 2)
+                  require(lb.length == 2,
+                    s"bad --ranges spec <$spec> — expected label=lo:hi")
+                  val bounds = lb(1).split(":", 2)
+                  require(bounds.length == 2,
+                    s"bad --ranges bounds <${lb(1)}> — expected lo:hi")
+                  graft.query.Facets.RangeSpec(lb(0),
+                    bounds(0).toDouble, bounds(1).toDouble)
                 })
             else s.facetSearch(opt("query"), limit = limit)
           out.show(100, truncate = false)
@@ -274,9 +286,11 @@ object Main {
       case "suggest" =>
         // dictionary suggesters: --complete = autocomplete (df-ranked;
         // `--prefix` is taken by search mode's flag), --fix = spell
-        // correction (dist, df desc, term)
+        // correction (dist, df desc, term) — exactly one of the two
         val s = new Searcher(spark, opt("index"), dictOf(opt))
         try {
+          require(opt.contains("fix") != opt.contains("complete"),
+            "suggest needs exactly one of --complete <prefix> / --fix <term>")
           val k = opt.getOrElse("k", "10").toInt
           val out =
             if (opt.contains("fix"))

@@ -607,6 +607,11 @@ object SparkEntry {
         "battery-field-query")
       val fsr = new graft.index.FieldedIndex.FieldedSearcher(s, root, fields)
       materialized(
+        // the k-cutoff inside searchQuery breaks rounded-score ties on
+        // ENGINE doc_id — which is url-sort order = (source, zero-padded
+        // original id) by construction — so the selection is structurally
+        // identical to the oracle's ORDER BY score DESC, source, doc_id
+        // LIMIT 10 (same argument as q_fielded)
         fsr.searchQuery("+spark src:src3^2 -vector", defaultField = "body",
             k = 10, roundScoresTo = Some(4))
           .join(fsr.searcher("body").docstore.select("doc_id", "url"),

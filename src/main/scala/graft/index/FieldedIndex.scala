@@ -424,7 +424,7 @@ object FieldedIndex {
       val f = sr.facetsTable.getOrElse(sys.error("no facets sidecar"))
         .where(col("dim") === dim).select("doc_id", "label")
       graft.query.Facets.facetMath(matchSetMulti(queries),
-        f.join(sr.docstore.select(col("doc_id"), col(valueCol)),
+        f.join(sr.valueSource(valueCol).select(col("doc_id"), col(valueCol)),
           Seq("doc_id")), valueCol)
     }
 
@@ -437,7 +437,8 @@ object FieldedIndex {
                          valueField: Option[String] = None): DataFrame = {
       val sr = sidecarSearcher(valueField)
       graft.query.Facets.rangeCounts(matchSetMulti(queries),
-        sr.docstore.select(col("doc_id"), col(valueCol)), valueCol, ranges)
+        sr.valueSource(valueCol).select(col("doc_id"), col(valueCol)),
+        valueCol, ranges)
     }
 
     /** Drill-sideways facet counts over a cross-field match set (the
@@ -484,27 +485,35 @@ object FieldedIndex {
       * gate globally (field-prefixed req keys can't collide), and
       * MUST_NOT doc sets exclude regardless of which field they came
       * from. A MUST unsatisfiable in ANY field ⇒ MatchNoDocs. */
-    def scoreQuery(q: String, defaultField: String,
-                   maxExpansions: Int = 1024): DataFrame = {
+    /** `field:` query string → per-field clause subsets in clause order,
+      * validated against the deployment's fields (the ONE grouping
+      * definition [[scoreQuery]] and [[explainQuery]] share). */
+    private def clausesByField(q: String, defaultField: String)
+        : Seq[(String, Seq[graft.query.QueryParser.Clause])] = {
       import graft.query.QueryParser
-      val clauses = QueryParser.parseFielded(q)
-      val byField = clauses.zipWithIndex.groupBy {
+      val byField = QueryParser.parseFielded(q).zipWithIndex.groupBy {
         case (QueryParser.FieldQ(f, _), _) => f
         case _ => defaultField
       }
       (byField.keySet + defaultField).foreach(f =>
         require(searchers.contains(f), s"unknown field '$f' — fields: " +
           searchers.keySet.toSeq.sorted.mkString(", ")))
+      byField.toSeq.sortBy(_._1).map { case (f, cs) =>
+        f -> cs.sortBy(_._2).map {
+          case (QueryParser.FieldQ(_, c), _) => c
+          case (c, _) => c
+        }
+      }
+    }
+
+    def scoreQuery(q: String, defaultField: String,
+                   maxExpansions: Int = 1024): DataFrame = {
       def emptyMatches: DataFrame = {
         val sp = spark
         import sp.implicits._
         Seq.empty[(Long, Int, Double)].toDF("doc_id", "matched", "score")
       }
-      val parts = byField.toSeq.sortBy(_._1).map { case (f, cs) =>
-        val inner = cs.sortBy(_._2).map {
-          case (QueryParser.FieldQ(_, c), _) => c
-          case (c, _) => c
-        }
+      val parts = clausesByField(q, defaultField).map { case (f, inner) =>
         searchers(f).parsedFrames(inner, maxExpansions, keyPrefix = f + ":")
       }
       if (parts.exists(_.matchNone)) return emptyMatches
@@ -544,18 +553,10 @@ object FieldedIndex {
       * surface: MUST gating / NOT exclusion are not applied. */
     def explainQuery(q: String, docId: Long, defaultField: String,
                      maxExpansions: Int = 1024): DataFrame = {
-      import graft.query.QueryParser
-      val byField = QueryParser.parseFielded(q).zipWithIndex.groupBy {
-        case (QueryParser.FieldQ(f, _), _) => f
-        case _ => defaultField
-      }
-      val frames = byField.toSeq.sortBy(_._1).flatMap { case (f, cs) =>
-        val inner = cs.sortBy(_._2).map {
-          case (QueryParser.FieldQ(_, c), _) => c
-          case (c, _) => c
-        }
-        searchers(f).parsedFrames(inner, maxExpansions, keyPrefix = f + ":")
-          .rows.map(_.withColumn("field", lit(f)))
+      val frames = clausesByField(q, defaultField).flatMap {
+        case (f, inner) =>
+          searchers(f).parsedFrames(inner, maxExpansions, keyPrefix = f + ":")
+            .rows.map(_.withColumn("field", lit(f)))
       }
       val sp = spark
       import sp.implicits._

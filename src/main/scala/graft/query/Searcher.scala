@@ -1599,11 +1599,17 @@ final class Searcher(
                       conjunctive: Boolean = true,
                       filter: Option[Column] = None): DataFrame = {
     val f = facetsOrFail.where(col("dim") === dim).select("doc_id", "label")
-    val vsrc = if (narrowSet.contains(valueCol)) docstoreNarrow else docstore
     Facets.facetMath(matchSet(query, conjunctive, filter),
-      f.join(vsrc.select(col("doc_id"), col(valueCol)), Seq("doc_id")),
-      valueCol)
+      f.join(valueSource(valueCol).select(col("doc_id"), col(valueCol)),
+        Seq("doc_id")), valueCol)
   }
+
+  /** The value-column source for facet math / range facets: the cached
+    * narrow frame when the column lives there (invariant 18 — dl/lang/
+    * url/warc_ts queries must hit the warm cache, not re-scan parquet),
+    * the full docstore otherwise. Shared with the fielded twins. */
+  private[graft] def valueSource(valueCol: String): DataFrame =
+    if (narrowSet.contains(valueCol)) docstoreNarrow else docstore
 
   /** Range facet counts over the match set (the Lucene Long/DoubleRange-
     * FacetCounts analog): numeric values from a docstore column (the
@@ -1612,11 +1618,10 @@ final class Searcher(
   def facetRangeSearch(query: String, valueCol: String,
                        ranges: Seq[Facets.RangeSpec],
                        conjunctive: Boolean = true,
-                       filter: Option[Column] = None): DataFrame = {
-    val vsrc = if (narrowSet.contains(valueCol)) docstoreNarrow else docstore
+                       filter: Option[Column] = None): DataFrame =
     Facets.rangeCounts(matchSet(query, conjunctive, filter),
-      vsrc.select(col("doc_id"), col(valueCol)), valueCol, ranges)
-  }
+      valueSource(valueCol).select(col("doc_id"), col(valueCol)),
+      valueCol, ranges)
 
   /** Drill-sideways facet counts over the match set (the Lucene
     * DrillSideways analog): each drilled dim's counts computed with

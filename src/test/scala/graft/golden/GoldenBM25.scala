@@ -55,7 +55,12 @@ object GoldenBM25 {
     }
   }
 
-  final class Model(docs: Seq[Doc], k1: Double = 1.2, b: Double = 0.75) {
+  /** `mode` is the model's query-time analyzer (Tokenizer.Text /
+    * Keyword) — a keyword-field model must analyze QUERIES with the
+    * keyword tokenizer too, or punctuation-only clauses diverge from
+    * the engine (text mode keeps "," as a term; keyword drops it). */
+  final class Model(docs: Seq[Doc], k1: Double = 1.2, b: Double = 0.75,
+                    mode: String = Tokenizer.Text) {
     private val nDocs: Long = docs.size.toLong
     private val avgdl: Double =
       if (nDocs == 0) 0.0 else docs.map(_.tokens.size.toLong).sum.toDouble / nDocs
@@ -75,7 +80,8 @@ object GoldenBM25 {
     }
 
     def analyze(query: String, dict: SynonymDict): Seq[String] =
-      dict.expand(Tokenizer.tokenize(query).toIndexedSeq).distinct.sorted
+      dict.expand(Tokenizer.tokenize(query, mode).toIndexedSeq)
+        .distinct.sorted
 
     /** All matches with scores; contributions summed in ascending term
       * order (the shared determinism contract). `minShouldMatch` (OR
@@ -146,7 +152,7 @@ object GoldenBM25 {
       * (positions are over the expanded token stream — the contract
       * shared with the engine's positional postings). */
     def analyzePhrase(phrase: String, dict: SynonymDict): Seq[String] =
-      dict.expand(Tokenizer.tokenize(phrase).toIndexedSeq)
+      dict.expand(Tokenizer.tokenize(phrase, mode).toIndexedSeq)
 
     /** DocIds with an ordered within-slop alignment: positions
       * p_0 < … < p_{m-1} with tokens(p_j) == terms(j) and every gap
@@ -321,10 +327,20 @@ object GoldenBM25 {
                     else Seq(((w2, ts, None), docsWithAny(ts)))
                 }
               }
+            // engine parity: a MUST group dies only when SOME member
+            // actually registered (analyzed to something) and none are
+            // satisfiable; a group whose EVERY member analyzed to
+            // nothing is DROPPED like any other empty-analysis clause
+            // (Searcher's lazyReq never allocates its requirement)
+            val anyRegistered = children.exists {
+              case TermQ(text, _, _) => analyze(text, dict).nonEmpty
+              case PhraseQ(text, _, _, _) => analyzePhrase(text, dict).nonEmpty
+              case _ => true // expansion predicates always register
+            }
             occur match {
               case MustNot => notDocs ++= members.flatMap(_._2)
               case Must =>
-                if (members.isEmpty) matchNo = true
+                if (members.isEmpty) { if (anyRegistered) matchNo = true }
                 else {
                   mustSets += members.flatMap(_._2).toSet
                   contribs ++= members.map(_._1)

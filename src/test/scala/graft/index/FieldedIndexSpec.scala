@@ -62,7 +62,8 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
     Tokenizer.tokenize(text).toVector
   })
   private lazy val goldenUrl = new GoldenBM25.Model(goldenDocs(p =>
-    Tokenizer.tokenize(p.url, Tokenizer.Keyword).toVector))
+    Tokenizer.tokenize(p.url, Tokenizer.Keyword).toVector),
+    mode = Tokenizer.Keyword)
 
   test("single-field search through the url field's keyword analyzer is " +
     "rank- and score-identical to its golden model") {
@@ -426,7 +427,11 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
       "+spark url:(7 123)^2",       // field-scoped group
       "spark url:zzznothing",       // absent fielded SHOULD term
       "+text:spark -url:7",         // NOT in another field
-      "+spark inde* url:page")      // expansion + fielded term
+      "+spark inde* url:page",      // expansion + fielded term
+      // a MUST group whose members ALL analyze to nothing (keyword
+      // analyzer drops punctuation) is DROPPED, not MatchNoDocs —
+      // engine lazyReq and golden anyRegistered must agree
+      "+url:(\\, \\.) spark")
     val failures = queries.flatMap { q =>
       val (ee, gg) = (e(q), g(q))
       if (ee == gg) None else Some(s"<$q>: engine=$ee golden=$gg")
