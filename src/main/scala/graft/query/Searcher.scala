@@ -286,6 +286,19 @@ final class Searcher(
 
   val maxDoc: Long = docCount
   def numDocs: Long = docCount - deadDocCount // S9: live doc count
+  /** Superseded + tombstoned doc count (reference numDeletedDocs,
+    * Searcher.java:698). */
+  def numDeletedDocs: Long = deadDocCount
+
+  // serving counters (reference totalSearchCnt / currentSearchCnt /
+  // isClosePossible, Searcher.java:162-163,1614-1634 — ops metrics and
+  // safe-close coordination); maintained by [[withServingConf]], the
+  // choke point every eager serving path passes through
+  private val totalSearches = new java.util.concurrent.atomic.AtomicLong(0)
+  private val activeSearches = new java.util.concurrent.atomic.AtomicInteger(0)
+  def totalSearchCount: Long = totalSearches.get
+  def activeSearchCount: Int = activeSearches.get
+  def isClosePossible: Boolean = activeSearches.get == 0
 
   /** Query analysis = the index-time chain (tokenize → uppercase →
     * synonym expand) + dedup; term order fixed by sort for the
@@ -346,13 +359,18 @@ final class Searcher(
     * window would also run non-adaptive — identical results, AQE is an
     * execution strategy). */
   private def withServingConf[T](f: => T): T = {
+    totalSearches.incrementAndGet()
+    activeSearches.incrementAndGet()
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "false")
     try f
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+    finally {
+      activeSearches.decrementAndGet()
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 

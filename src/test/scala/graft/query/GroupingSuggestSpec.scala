@@ -140,6 +140,12 @@ class GroupingSuggestSpec extends AnyFunSuite with SparkTestBase {
       assert(gotSpell.map(_._2).exists(_ == 1) && gotSpell.map(_._2).exists(_ == 2),
         "both edit distances must be exercised")
 
+      // serving counters (reference totalSearchCnt / isClosePossible):
+      // every eager serving call above counted; none is still active
+      assert(s.totalSearchCount >= 3)
+      assert(s.activeSearchCount == 0 && s.isClosePossible)
+      assert(s.numDeletedDocs == 0L && s.numDocs == s.maxDoc)
+
       // pipeline twins over the same corpus text
       val sp = spark
       import sp.implicits._
