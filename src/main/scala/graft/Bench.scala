@@ -135,6 +135,48 @@ object Bench {
     results += "bm25_batch_queries" -> batchQs.size.toDouble
     results += "bm25_batch_total_sec" ->
       time(searcher.searchBatch(batchQs, 10).collect())
+
+    // concurrent serving: the reference is a multi-threaded search
+    // server (per-request search counters, Searcher.java:1614-1634) —
+    // N client threads share ONE warm searcher; local[32] has the task
+    // slots to overlap the per-query jobs, so throughput should rise
+    // well past 1/avg_latency (jobs interleave at task granularity)
+    def concurrentWall(threads: Int): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      try {
+        val t0 = System.nanoTime()
+        val futs = qs.map(q => pool.submit(new Runnable {
+          def run(): Unit = runQ(q)
+        }))
+        futs.foreach(_.get())
+        (System.nanoTime() - t0) / 1e9
+      } finally pool.shutdown()
+    }
+    results += "bm25_concurrent_queries_per_sec_t4" ->
+      qs.size / concurrentWall(4)
+    results += "bm25_concurrent_queries_per_sec_t8" ->
+      qs.size / concurrentWall(8)
+
+    // reopen-after-append (DirectoryReader.openIfChanged analog) vs a
+    // cold open of the same 2-segment view: the reopen pays driver-side
+    // open work for the NEW segment only (BENCH.md has the 20-segment
+    // measurement where the gap is structural)
+    IndexBuilder.appendSegment(spark,
+      WebtextGen.df(spark, 43L, 20000), dict, root32, cfg)
+    val reopened = {
+      var s: Searcher = null
+      results += "searcher_reopen_sec" -> time { s = searcher.reopen() }
+      s
+    }
+    reopened.search("spark index", 10).collect() // serves the new view
+    reopened.close()
+    val coldOpened = {
+      var s: Searcher = null
+      results += "searcher_cold_open_sec" ->
+        time { s = new Searcher(spark, root32, dict) }
+      s
+    }
+    coldOpened.close()
     searcher.close()
 
     // ---- operator battery at the driver's SF dir ----

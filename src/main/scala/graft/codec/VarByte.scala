@@ -76,7 +76,37 @@ object VarByte {
     * last packed section). */
   val V3Pad = 16
 
-  @inline private def writeVLong(buf: ArrayBuffer[Byte], v0: Long): Unit = {
+  /** Growable PRIMITIVE byte buffer for the encode hot path.
+    * `ArrayBuffer[Byte]` is generic (backed by `Array[AnyRef]`) and boxes
+    * every element — one allocation per byte written, which made encode
+    * allocation-bound. Same `+=`/`++=` surface, primitive backing. */
+  final class ByteBuf(initial: Int = 64) {
+    private var arr = new Array[Byte](math.max(initial, 16))
+    private var len = 0
+    def length: Int = len
+    @inline private def ensure(extra: Int): Unit =
+      if (len + extra > arr.length) {
+        var cap = arr.length << 1
+        while (cap < len + extra) cap <<= 1
+        arr = java.util.Arrays.copyOf(arr, cap)
+      }
+    @inline def +=(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
+    @inline def ++=(bs: Array[Byte]): Unit = {
+      ensure(bs.length)
+      System.arraycopy(bs, 0, arr, len, bs.length)
+      len += bs.length
+    }
+    @inline def ++=(o: ByteBuf): Unit = {
+      ensure(o.len)
+      System.arraycopy(o.arr, 0, arr, len, o.len)
+      len += o.len
+    }
+    /** Reset length; backing bytes are overwritten on reuse, never read. */
+    def clear(): Unit = len = 0
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
+  }
+
+  @inline private def writeVLong(buf: ByteBuf, v0: Long): Unit = {
     var v = v0
     require(v >= 0, s"varint must be non-negative, got $v")
     while ((v & ~0x7FL) != 0L) {
@@ -129,7 +159,7 @@ object VarByte {
 
   /** Positions of one posting as varint deltas ([pos0][gap]*) — shared
     * by both body formats. */
-  @inline private def writePositions(body: ArrayBuffer[Byte],
+  @inline private def writePositions(body: ByteBuf,
                                      ps: Array[Int], tf: Int): Unit = {
     require(ps.length == tf, s"positions length ${ps.length} != tf $tf")
     var pPrev = 0
@@ -173,8 +203,8 @@ object VarByte {
     private var prevBlockLast = 0L
     private var first = true
     // accumulated BLOCK bytes (header prepended at finish)
-    private val blocks = new ArrayBuffer[Byte](blockSize * 4)
-    private val body = new ArrayBuffer[Byte](blockSize * 4)
+    private val blocks = new ByteBuf(blockSize * 4)
+    private val body = new ByteBuf(blockSize * 4)
     // chunk-level bounds — free for callers that need (max_tf, min_dl)
     // columns without a termBounds re-scan of the finished blob
     private var chunkMaxTf = 0
@@ -265,7 +295,7 @@ object VarByte {
     /** Seal the blob. The encoder must not be used afterwards. */
     def finish(): Array[Byte] = {
       flushBlock()
-      val out = new ArrayBuffer[Byte](blocks.length + 16 + V3Pad)
+      val out = new ByteBuf(blocks.length + 16 + V3Pad)
       out += Magic
       writeVLong(out, version.toLong)
       writeVLong(out, if (withPositions) FlagPositions else 0L)

@@ -271,12 +271,27 @@ object FieldedIndex {
     * conjunctive composition (the reference's BooleanQuery of per-field
     * clauses, `src/Searcher.java:734-736`). */
   final class FieldedSearcher(spark: SparkSession, root: String,
-                              fields: Seq[FieldSpec]) extends AutoCloseable {
+                              fields: Seq[FieldSpec],
+                              reuseFrom: Option[FieldedSearcher] = None)
+      extends AutoCloseable {
     val searchers: Map[String, Searcher] =
-      fields.map(f =>
-        f.name -> new Searcher(spark, fieldRoot(root, f.name), f.dict)).toMap
+      fields.map { f =>
+        val prior = reuseFrom.flatMap(_.searchers.get(f.name))
+          .filter(!_.isClosed)
+        f.name -> prior.map(_.reopen())
+          .getOrElse(new Searcher(spark, fieldRoot(root, f.name), f.dict))
+      }.toMap
 
     def searcher(field: String): Searcher = searchers(field)
+
+    /** Refresh every field's searcher at its current latest snapshot
+      * (the fielded twin of [[graft.query.Searcher.reopen]]): the
+      * coordinated lifecycle advances all field roots in lockstep, so a
+      * fielded refresh is N per-field reopens — each reusing its
+      * unchanged segments' relations. Close `this` once in-flight
+      * queries drain. */
+    def reopen(): FieldedSearcher =
+      new FieldedSearcher(spark, root, fields, reuseFrom = Some(this))
 
     /** Single-field BM25 top-k through that field's index + analyzer. */
     def searchField(field: String, query: String, k: Int, start: Int = 0,

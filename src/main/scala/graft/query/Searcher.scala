@@ -52,7 +52,10 @@ final class Searcher(
       * exactly that snapshot's segment + tombstone view (the reference
       * keeps superseded readers open across hot-swaps the same way,
       * Searcher.java:527-583). Fails loudly on an expired/unknown id. */
-    snapshotId: Option[Long] = None) extends AutoCloseable {
+    snapshotId: Option[Long] = None,
+    /** Set by [[reopen]] only: the predecessor searcher whose per-segment
+      * relations (and, when safe, document LRU) are carried over. */
+    reuseFrom: Option[Searcher] = None) extends AutoCloseable {
 
   import spark.implicits._
 
@@ -64,38 +67,55 @@ final class Searcher(
       .getOrElse(sys.error(s"no snapshot at $root"))
   }
 
+  /** Relations carried over from the predecessor (reopen path): a
+    * segment directory is immutable once its snapshot commits, so a
+    * segment present in BOTH snapshots can reuse the old searcher's
+    * relations — including their driver-side file indexes — making a
+    * refresh O(new segments) instead of O(all segments). */
+  private val reusedTables: Map[String, Searcher.SegTables] =
+    reuseFrom match {
+      case Some(old) if !old.isClosed && old.root == root =>
+        snapshot.segments.filter(old.segTables.contains)
+          .map(s => s -> old.segTables(s)).toMap
+      case _ => Map.empty
+    }
+
+  /** How many segments [[reopen]] carried over (ops/test visibility). */
+  val reusedSegmentCount: Int = reusedTables.size
+
   /** All per-segment relations, opened IN PARALLEL: each
     * `spark.read.parquet` pays a driver-side file listing + footer
     * read, and doing 5 tables × N segments serially made the cold ctor
     * the dominant open cost on churned roots (~5-7 s at 20 segments —
     * larger than the liveDocs derivation it precedes). A bounded pool
     * overlaps the listings; relation creation is driver-only and
-    * thread-safe. */
-  private case class SegTables(docstore: DataFrame, postings: DataFrame,
-                               termStats: DataFrame, stats: DataFrame,
-                               config: Option[IndexStore.SegmentConfig])
-  private val segTables: Map[String, SegTables] = {
+    * thread-safe. Reused segments skip the open entirely. */
+  private val segTables: Map[String, Searcher.SegTables] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(math.max(snapshot.segments.size, 1), 8))
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val futs = snapshot.segments.map(s => Future(s -> SegTables(
-        spark.read.parquet(IndexStore.docstorePath(root, s)),
-        IndexStore.readPostingsOrEmpty(spark, root, s),
-        spark.read.parquet(IndexStore.termStatsPath(root, s)),
-        spark.read.parquet(IndexStore.statsPath(root, s)),
-        IndexStore.readSegmentConfig(spark, root, s))))
-      Await.result(Future.sequence(futs), 10.minutes).toMap
-    } finally pool.shutdown()
+    val toOpen = snapshot.segments.filterNot(reusedTables.contains)
+    if (toOpen.isEmpty) reusedTables
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(math.max(toOpen.size, 1), 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val futs = toOpen.map(s => Future(s -> Searcher.SegTables(
+          spark.read.parquet(IndexStore.docstorePath(root, s)),
+          IndexStore.readPostingsOrEmpty(spark, root, s),
+          spark.read.parquet(IndexStore.termStatsPath(root, s)),
+          spark.read.parquet(IndexStore.statsPath(root, s)),
+          IndexStore.readSegmentConfig(spark, root, s))))
+        Await.result(Future.sequence(futs), 10.minutes).toMap ++ reusedTables
+      } finally pool.shutdown()
+    }
   }
 
   // allowMissingColumns: a legacy segment's stats lack `id_ceiling` while
   // a round-3 append's carry it — a strict unionByName would make a valid
   // mixed-version index unreadable (missing columns read as null, and
   // every consumer aggregates only columns present in both)
-  private def unionSegs(tableOf: SegTables => DataFrame): DataFrame =
+  private def unionSegs(tableOf: Searcher.SegTables => DataFrame): DataFrame =
     snapshot.segments.map(s => tableOf(segTables(s)))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
@@ -296,9 +316,11 @@ final class Searcher(
   // choke point every eager serving path passes through
   private val totalSearches = new java.util.concurrent.atomic.AtomicLong(0)
   private val activeSearches = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val closedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
   def totalSearchCount: Long = totalSearches.get
   def activeSearchCount: Int = activeSearches.get
   def isClosePossible: Boolean = activeSearches.get == 0
+  def isClosed: Boolean = closedFlag.get
 
   /** Query analysis = the index-time chain (tokenize → uppercase →
     * synonym expand) + dedup; term order fixed by sort for the
@@ -357,20 +379,50 @@ final class Searcher(
     * after (builds/compactions on the same session keep their setting;
     * a concurrent query on another thread of this session during the
     * window would also run non-adaptive — identical results, AQE is an
-    * execution strategy). */
+    * execution strategy). The flip is REFERENCE-COUNTED so concurrent
+    * serving threads can't race a mid-query restore: the first query in
+    * flips, the last one out restores the captured previous value. */
+  private val servingConfLock = new Object
+  private var servingDepth = 0
+  private var prevAdaptive: Option[String] = None
+  /** Per-thread nesting depth: serving paths compose (searchWand's
+    * small-df fallback calls [[search]], searchWithMeta wraps a search,
+    * …) and only the TOP-LEVEL entry is a request — admission control
+    * (closed check) and the serving counters apply there alone. A
+    * nested entry inside an already-admitted request must never be
+    * rejected: graceful close would otherwise kill the very in-flight
+    * query it is draining. */
+  private val servingEntryDepth = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
   private def withServingConf[T](f: => T): T = {
-    totalSearches.incrementAndGet()
-    activeSearches.incrementAndGet()
+    val depth: Int = servingEntryDepth.get
+    val topLevel = depth == 0
+    if (topLevel) {
+      require(!closedFlag.get, s"searcher at $root is closed")
+      totalSearches.incrementAndGet()
+      activeSearches.incrementAndGet()
+    }
+    servingEntryDepth.set(depth + 1)
     val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
+    servingConfLock.synchronized {
+      servingDepth += 1
+      if (servingDepth == 1) {
+        prevAdaptive = spark.conf.getOption(key)
+        spark.conf.set(key, "false")
+      }
+    }
     try f
     finally {
-      activeSearches.decrementAndGet()
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      servingConfLock.synchronized {
+        servingDepth -= 1
+        if (servingDepth == 0) prevAdaptive match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
       }
+      servingEntryDepth.set(depth)
+      if (topLevel) activeSearches.decrementAndGet()
     }
   }
 
@@ -1804,8 +1856,20 @@ final class Searcher(
     if (useCache) queryResultCache.getOrElseUpdate(key)(compute) else compute
   }
 
-  /** Document LRU (S8, reference doc cache :703-720). */
-  val documentCache = new LruCache[Long, org.apache.spark.sql.Row](1024)
+  /** Document LRU (S8, reference doc cache :703-720). Carried over by
+    * [[reopen]] ONLY when every predecessor segment is still in this
+    * snapshot (pure appends/deletes): doc_id → stored fields is then
+    * immutable — ids are never reused (append bases come from
+    * id_ceiling) and a tombstoned doc stays fetchable by id. A rebuild
+    * merge replaces segments AND re-assigns dense ids, so any reopen
+    * across it starts a fresh cache. */
+  val documentCache: LruCache[Long, org.apache.spark.sql.Row] =
+    reuseFrom match {
+      case Some(old) if !old.isClosed &&
+          old.snapshot.segments.toSet.subsetOf(snapshot.segments.toSet) =>
+        old.documentCache
+      case _ => new LruCache[Long, org.apache.spark.sql.Row](1024)
+    }
 
   def docCached(docIds: Seq[Long]): Seq[org.apache.spark.sql.Row] = {
     val missing = docIds.filter(id => documentCache.get(id).isEmpty)
@@ -1848,14 +1912,50 @@ final class Searcher(
     }
   }
 
-  override def close(): Unit = {
-    docstoreNarrow.unpersist()
-    termStats.unpersist()
-    deadDocs.unpersist()
-  }
+  /** Reopen at the CURRENT latest snapshot — the
+    * `DirectoryReader.openIfChanged` analog (the reference ctor's
+    * `refreshReader`/`refreshTaxoReader` reuse, Searcher.java:177-227).
+    * Per-segment relations present in both snapshots are carried over,
+    * so a refresh after an append pays driver-side open work for the NEW
+    * segments only; the document LRU survives when no existing segment
+    * was replaced (see [[documentCache]]). The query-result cache never
+    * carries — cached pages depend on the serving view. The caller keeps
+    * serving on `this` until the new searcher is warm, then
+    * [[close(drainMs:Long)* closes]] the old one (the reference's
+    * hot-swap discipline). */
+  def reopen(): Searcher =
+    new Searcher(spark, root, dict, k1, b, maxBroadcastDeadDocs,
+      snapshotId = None, reuseFrom = Some(this))
+
+  override def close(): Unit = close(drainMs = 10000L)
+
+  /** Graceful close (reference: `synchronized close` polls
+    * `isClosePossible` until in-flight searches drain,
+    * Searcher.java:527-583,1626): new searches are rejected immediately
+    * (LOUD require in the serving choke point); in-flight ones get up to
+    * `drainMs` to finish before the persisted frames are released.
+    * Idempotent; a second call is a no-op. */
+  def close(drainMs: Long): Unit =
+    if (closedFlag.compareAndSet(false, true)) {
+      val deadline = System.nanoTime + drainMs * 1000000L
+      while (activeSearches.get > 0 && System.nanoTime < deadline)
+        Thread.sleep(5)
+      docstoreNarrow.unpersist()
+      termStats.unpersist()
+      deadDocs.unpersist()
+    }
 }
 
 object Searcher {
+
+  /** One segment's five relations (docstore/postings/term_stats/stats +
+    * config), created once per open and shared across queries — and, via
+    * [[Searcher.reopen]], across searcher generations (segment dirs are
+    * immutable once their snapshot commits). */
+  private[query] final case class SegTables(
+      docstore: DataFrame, postings: DataFrame,
+      termStats: DataFrame, stats: DataFrame,
+      config: Option[IndexStore.SegmentConfig])
 
   /** A parsed clause subset resolved to foldable frames (the
     * cross-Searcher composition unit behind [[Searcher.scoreParsed]] and

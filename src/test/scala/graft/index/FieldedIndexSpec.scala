@@ -261,6 +261,33 @@ class FieldedIndexSpec extends AnyFunSuite with SparkTestBase {
       "doc_id collision after append-after-compact")
   }
 
+  test("fielded reopen: per-field searchers refresh with segment reuse " +
+    "and serve the appended view identically to a cold open") {
+    val r = tmpDir("graft-fldreopen-")
+    val cfg = IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2)
+    def mkFields = Seq(
+      FieldedIndex.FieldSpec("text", col("text")),
+      FieldedIndex.FieldSpec("url", col("url"),
+        analyzer = Tokenizer.Keyword))
+    FieldedIndex.buildFull(spark, WebtextGen.df(spark, 21L, 150),
+      mkFields, r, cfg)
+    val old = new FieldedIndex.FieldedSearcher(spark, r, mkFields)
+    val q = Map("text" -> "spark", "url" -> "example")
+    assert(old.searchMulti(q, 10).collect().nonEmpty)
+    FieldedIndex.append(spark, WebtextGen.df(spark, 22L, 60)
+      .withColumn("url", concat(lit("z-"), col("url"))), mkFields, r, cfg)
+    val fresh = old.reopen()
+    val cold = new FieldedIndex.FieldedSearcher(spark, r, mkFields)
+    try {
+      fresh.searchers.values.foreach { s =>
+        assert(s.snapshot.segments.size == 2 && s.reusedSegmentCount == 1)
+      }
+      assert(fresh.searchMulti(q, 10).collect().toSeq ==
+        cold.searchMulti(q, 10).collect().toSeq)
+      assert(fresh.searcher("text").docCount == 210)
+    } finally { fresh.close(); cold.close(); old.close() }
+  }
+
   test("randomized fielded lifecycle fuzz: interleaved append / delete / " +
     "compact keep cross-field alignment and the searchMulti view equal " +
     "to a driver-side model at every checkpoint") {

@@ -50,6 +50,73 @@ class ServingSpec extends AnyFunSuite with SparkTestBase {
     assert(timedOut.isEmpty)
   }
 
+  test("reopen after append reuses old segments + doc LRU and serves " +
+    "the new view (openIfChanged analog)") {
+    val dir = tmpDir("graft-reopen-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 11L, 300),
+      SynonymDict.empty, dir,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2), "reopen")
+    val s1 = new Searcher(spark, dir)
+    val before = s1.search("spark data", 10).collect()
+    assert(before.nonEmpty)
+    // warm the doc LRU so carry-over is observable
+    s1.docCached(before.take(3).map(_.getLong(0)).toSeq)
+    IndexBuilder.appendSegment(spark, WebtextGen.df(spark, 12L, 100),
+      SynonymDict.empty, dir)
+    val s2 = s1.reopen()
+    try {
+      assert(s2.snapshot.segments.size == 2)
+      assert(s2.reusedSegmentCount == 1) // the original segment carried
+      assert(s2.documentCache eq s1.documentCache) // pure append: ids immutable
+      assert(s2.docCount == 400 && s2.docCount == s1.docCount + 100)
+      // the refreshed view is bit-identical to a cold open
+      val cold = new Searcher(spark, dir)
+      try {
+        assert(s2.search("spark data", 10).collect().toSeq ==
+          cold.search("spark data", 10).collect().toSeq)
+      } finally cold.close()
+
+      // a rebuild merge replaces segments and re-assigns dense ids:
+      // reopen across it must NOT reuse relations or the doc cache
+      IndexBuilder.merge(spark, dir, SynonymDict.empty,
+        IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2))
+      val s3 = s2.reopen()
+      try {
+        assert(s3.snapshot.segments.size == 1)
+        assert(s3.reusedSegmentCount == 0)
+        assert(!(s3.documentCache eq s2.documentCache))
+        assert(s3.search("spark data", 10).collect().nonEmpty)
+      } finally s3.close()
+    } finally { s2.close(); s1.close() }
+  }
+
+  test("graceful close drains in-flight searches and rejects new ones") {
+    val dir = tmpDir("graft-close-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 13L, 300),
+      SynonymDict.empty, dir,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2), "close")
+    val s = new Searcher(spark, dir)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    val t = new Thread(() => {
+      rows = s.searchCached("spark index data", 10); done.set(true)
+    })
+    t.start()
+    // a cold query runs for ~seconds; observe it in flight, then close
+    val deadline = System.nanoTime + 30L * 1000000000L
+    while (s.activeSearchCount == 0 && !done.get &&
+      System.nanoTime < deadline) Thread.sleep(1)
+    s.close(drainMs = 60000L)
+    t.join(60000L)
+    // close waited: the in-flight query completed, was never cancelled
+    assert(done.get && rows.nonEmpty)
+    assert(s.isClosed && s.isClosePossible)
+    // new searches are rejected LOUDLY after close
+    intercept[IllegalArgumentException](s.search("spark", 5))
+    // idempotent second close
+    s.close()
+  }
+
   test("LRU eviction respects capacity") {
     val c = new LruCache[Int, Int](2)
     c.put(1, 1); c.put(2, 2)
