@@ -146,6 +146,13 @@ object Main {
         try {
           val k = opt.getOrElse("k", "10").toInt
           val start = opt.getOrElse("start", "0").toInt
+          // --warmup-file: replay a file-sourced warmup list before the
+          // query (the reference's warmup file on searcher swap)
+          opt.get("warmup-file").foreach { wf =>
+            val n = s.warmupFromFile(wf)
+            System.err.println(s"warmed up with $n quer${
+              if (n == 1) "y" else "ies"} from $wf")
+          }
           // a flag a mode cannot honor is an ERROR, not a silent no-op
           // (e.g. --prefix --not java would otherwise return docs the
           // user believes were excluded)

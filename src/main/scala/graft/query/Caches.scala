@@ -25,6 +25,12 @@ final class LruCache[K, V](capacity: Int) {
     case None => val v = compute; put(k, v); v
   }
   def size: Int = synchronized(map.size())
+  /** Snapshot of the keys, least- to most-recently used. */
+  def keys: Seq[K] = synchronized {
+    val out = Vector.newBuilder[K]
+    map.keySet.forEach(k => out += k)
+    out.result()
+  }
   def hits: Long = synchronized(hitCount)
   def misses: Long = synchronized(missCount)
   def clear(): Unit = synchronized(map.clear())

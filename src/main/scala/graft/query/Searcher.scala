@@ -319,6 +319,63 @@ final class Searcher(
   private val closedFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
   def totalSearchCount: Long = totalSearches.get
   def activeSearchCount: Int = activeSearches.get
+
+  /** Auto-captured warmup set (the reference records every served query
+    * for replay on searcher swap, `addWarmupQuery`
+    * Searcher.java:628-644,831): a bounded recency ring of the replayable
+    * descriptors of top-level search/searchWand/searchPhrase requests.
+    * Queries with a `filter` Column are NOT captured — a Column has no
+    * faithful string round-trip to replay from. */
+  private val warmupRing = new LruCache[Searcher.WarmupQuery, Unit](128)
+  private def captureWarmup(wq: => Searcher.WarmupQuery): Unit =
+    if (servingEntryDepth.get == 1) warmupRing.put(wq, ())
+  /** The captured warmup queries, least- to most-recently served. */
+  def warmupQueries: Seq[Searcher.WarmupQuery] = warmupRing.keys
+
+  /** Replay `queries` through the normal serving paths (the reference's
+    * `warmup()`, Searcher.java:585-626): materializes the persisted
+    * narrow frames, runs the term_stats probe, and fills the query
+    * pipeline's JIT/page-cache working set before the searcher takes
+    * traffic. Best-effort BY DEFINITION — a query that fails to replay
+    * (e.g. a phrase captured on a positional index replayed on a
+    * non-positional one) is skipped, never fails the swap. Returns the
+    * number successfully replayed. Replayed queries re-capture into THIS
+    * searcher's ring, so the warmup set survives swap chains. */
+  def warmup(queries: Seq[Searcher.WarmupQuery]): Int = {
+    var ok = 0
+    queries.foreach { w =>
+      try {
+        (w.mode match {
+          case "wand" => searchWand(w.query, w.k, w.start, w.conjunctive,
+            notQuery = w.notQuery, minShouldMatch = w.minShouldMatch)
+          case "exact" => search(w.query, w.k, w.start, w.conjunctive,
+            notQuery = w.notQuery, minShouldMatch = w.minShouldMatch)
+          case "phrase" => searchPhrase(w.query, w.k, w.start,
+            notQuery = w.notQuery, slop = w.slop)
+          case other => sys.error(s"unknown warmup mode '$other'")
+        }).collect()
+        ok += 1
+      } catch { case scala.util.control.NonFatal(_) => }
+    }
+    ok
+  }
+
+  /** Replay a file-sourced warmup list (the reference's warmup file,
+    * format `query␟mode␟sort␟start␟rows␟needScore`, Searcher.java:658-670
+    * — ours is the TAB-separated [[Searcher.WarmupQuery.parse]] form).
+    * Blank lines and `#` comments are skipped; malformed lines fail
+    * LOUDLY at parse, before any replay runs. */
+  def warmupFromFile(path: String): Int = {
+    val f = IndexStore.fs(spark, path)
+    val in = f.open(new org.apache.hadoop.fs.Path(path))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val parsed = text.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(Searcher.WarmupQuery.parse).toVector
+    warmup(parsed)
+  }
   def isClosePossible: Boolean = activeSearches.get == 0
   def isClosed: Boolean = closedFlag.get
 
@@ -954,6 +1011,8 @@ final class Searcher(
              filter: Option[Column] = None,
              notQuery: Option[String] = None,
              minShouldMatch: Int = 0): DataFrame = withServingConf {
+    if (filter.isEmpty) captureWarmup(Searcher.WarmupQuery(query, "exact",
+      conjunctive, k, start, 0, notQuery, minShouldMatch))
     val topk = score(query, conjunctive, filter, notQuery, minShouldMatch)
       .orderBy(col("score").desc, col("doc_id").asc)
       .offset(start).limit(k)
@@ -1044,6 +1103,8 @@ final class Searcher(
                  wandMinDf: Long = 500000,
                  notQuery: Option[String] = None,
                  minShouldMatch: Int = 0): DataFrame = withServingConf {
+    if (filter.isEmpty) captureWarmup(Searcher.WarmupQuery(query, "wand",
+      conjunctive, k, start, 0, notQuery, minShouldMatch))
     if (minShouldMatch > 0)
       return search(query, k, start, conjunctive, filter, notQuery,
         minShouldMatch)
@@ -1308,6 +1369,8 @@ final class Searcher(
     require(slop >= 0, s"slop must be >= 0, got $slop")
     require(positionsIndexed,
       "phrase queries need an index built with indexPositions = true")
+    if (filter.isEmpty) captureWarmup(Searcher.WarmupQuery(phrase, "phrase",
+      conjunctive = true, k, start, slop, notQuery, 0))
     val ordered = analyzePhrase(phrase)
     if (ordered.isEmpty || docCount == 0) return emptyPage
     val distinctTerms = ordered.distinct.sorted
@@ -1927,6 +1990,18 @@ final class Searcher(
     new Searcher(spark, root, dict, k1, b, maxBroadcastDeadDocs,
       snapshotId = None, reuseFrom = Some(this))
 
+  /** [[reopen]] + replay of THIS searcher's captured warmup set on the
+    * successor before it is returned — the reference's swap discipline
+    * (captured + file-sourced queries replayed on every searcher swap,
+    * Searcher.java:585-626,831). The successor is warm when the caller
+    * swaps it in; the replay re-captures, so the set survives chains of
+    * swaps. */
+  def reopenWarm(): Searcher = {
+    val s = reopen()
+    s.warmup(warmupQueries)
+    s
+  }
+
   override def close(): Unit = close(drainMs = 10000L)
 
   /** Graceful close (reference: `synchronized close` polls
@@ -1947,6 +2022,39 @@ final class Searcher(
 }
 
 object Searcher {
+
+  /** A replayable serving request for warmup capture/replay (the
+    * reference's warmup-query record: query + mode + sort + paging,
+    * Searcher.java:658-670). `mode` ∈ wand | exact | phrase; `slop`
+    * applies to phrase only, `minShouldMatch` to wand/exact only. */
+  final case class WarmupQuery(query: String, mode: String,
+                               conjunctive: Boolean, k: Int, start: Int,
+                               slop: Int, notQuery: Option[String],
+                               minShouldMatch: Int)
+
+  object WarmupQuery {
+    private val Modes = Set("wand", "exact", "phrase")
+    /** Parse one TAB-separated warmup line:
+      * `query<TAB>mode[<TAB>conjunctive[<TAB>k[<TAB>start[<TAB>slop[<TAB>notQuery[<TAB>msm]]]]]]`
+      * — trailing fields optional (defaults: conjunctive, k=10, start=0,
+      * slop=0, no NOT clause, msm=0); malformed input fails LOUDLY. */
+    def parse(line: String): WarmupQuery = {
+      val f = line.split('\t')
+      require(f.length >= 2 && f(0).nonEmpty,
+        s"warmup line needs at least query<TAB>mode: '$line'")
+      val mode = f(1)
+      require(Modes.contains(mode),
+        s"warmup mode must be one of ${Modes.mkString("/")}, got '$mode'")
+      def at(i: Int, dflt: String): String =
+        if (f.length > i && f(i).nonEmpty) f(i) else dflt
+      WarmupQuery(f(0), mode,
+        conjunctive = at(2, "true").toBoolean,
+        k = at(3, "10").toInt, start = at(4, "0").toInt,
+        slop = at(5, "0").toInt,
+        notQuery = Option(at(6, "")).filter(_.nonEmpty),
+        minShouldMatch = at(7, "0").toInt)
+    }
+  }
 
   /** One segment's five relations (docstore/postings/term_stats/stats +
     * config), created once per open and shared across queries — and, via

@@ -90,6 +90,68 @@ class ServingSpec extends AnyFunSuite with SparkTestBase {
     } finally { s2.close(); s1.close() }
   }
 
+  test("warmup capture + reopenWarm replay + file-sourced warmup (Q14)") {
+    val dir = tmpDir("graft-warm-")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, 17L, 300),
+      SynonymDict.empty, dir,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2,
+        indexPositions = true), "warm")
+    val s1 = new Searcher(spark, dir)
+    // top-level requests capture, in least- to most-recent order, deduped
+    s1.searchWand("spark data", 10, conjunctive = false).collect()
+    s1.search("index model", 5, conjunctive = false,
+      notQuery = Some("zebra")).collect()
+    s1.searchPhrase("spark data", 10, slop = 1).collect()
+    s1.searchWand("spark data", 10, conjunctive = false).collect() // re-run
+    val captured = s1.warmupQueries
+    assert(captured.size == 3, s"dedup failed: $captured")
+    assert(captured.map(_.mode) == Seq("exact", "phrase", "wand"),
+      "recency order: the re-run wand query must be most recent")
+    assert(captured.last ==
+      Searcher.WarmupQuery("spark data", "wand", conjunctive = false,
+        10, 0, 0, None, 0))
+    // filtered queries are NOT captured (Column has no replay form)
+    s1.searchWand("spark", 10, conjunctive = false,
+      filter = Some(org.apache.spark.sql.functions.col("lang") === "en"))
+      .collect()
+    assert(s1.warmupQueries.size == 3)
+
+    // reopenWarm: successor is pre-warmed with the captured set and
+    // serves identically to a cold open
+    IndexBuilder.appendSegment(spark, WebtextGen.df(spark, 18L, 50),
+      SynonymDict.empty, dir,
+      IndexBuilder.IndexConfig(numParts = 4, rangeParts = 2,
+        indexPositions = true))
+    val s2 = s1.reopenWarm()
+    val cold = new Searcher(spark, dir)
+    try {
+      assert(s2.totalSearchCount == 3, "replay must run the captured set")
+      assert(s2.warmupQueries.toSet == captured.toSet,
+        "replay re-captures so the set survives swap chains")
+      assert(s2.searchWand("spark data", 10, conjunctive = false)
+        .collect().toSeq ==
+        cold.searchWand("spark data", 10, conjunctive = false)
+          .collect().toSeq)
+    } finally { cold.close(); s2.close() }
+
+    // file-sourced warmup: parse + replay; malformed lines fail loudly
+    val wf = java.nio.file.Paths.get(tmpDir("graft-warmfile-"), "w.tsv")
+    java.nio.file.Files.writeString(wf,
+      "# comment\nspark data\twand\tfalse\n" +
+        "spark data\tphrase\ttrue\t5\t0\t1\n" +
+        "index model\texact\tfalse\t10\t0\t0\tzebra\t0\n")
+    val s3 = new Searcher(spark, dir)
+    try {
+      assert(s3.warmupFromFile(wf.toString) == 3)
+      assert(s3.warmupQueries.size == 3)
+      intercept[IllegalArgumentException](
+        Searcher.WarmupQuery.parse("query-without-mode"))
+      intercept[IllegalArgumentException](
+        Searcher.WarmupQuery.parse("q\tbogus-mode"))
+    } finally s3.close()
+    s1.close()
+  }
+
   test("graceful close drains in-flight searches and rejects new ones") {
     val dir = tmpDir("graft-close-")
     IndexBuilder.buildFull(spark, WebtextGen.df(spark, 13L, 300),
