@@ -71,10 +71,27 @@ object VarByte {
   val SupportedVersions: Set[Int] = Set(FormatV2, FormatV3)
   val FlagPositions = 1L
 
-  /** Trailing zero bytes on every v3 blob — licenses [[BitPack]]'s
-    * unconditional word-wide reads (it may read up to 15 bytes past the
-    * last packed section). */
+  /** Trailing zero bytes on every v3 blob that contains at least one
+    * PACKED block — licenses [[BitPack]]'s unconditional word-wide reads
+    * (it may read up to 15 bytes past the last packed section). A blob
+    * whose every block escaped to varint ([[V3EscapeMin]]) carries no
+    * pad: varint reads never overrun. */
   val V3Pad = 16
+
+  /** v3 blocks with fewer postings than this write VARINT bodies behind
+    * an escape marker instead of packed sections. Real term frequency
+    * distributions are Zipf: MOST blobs are tail terms with a handful of
+    * postings, where the packed layout LOSES — 3 width bytes + the
+    * 16-byte blob pad + per-section group alignment made a 3-posting v3
+    * blob 36 B vs 20 B at v2, ~40% slower to encode and ~2× slower to
+    * scan (measured, BENCH.md round 5). Full blocks (the big-list shape
+    * where unpack wins 4-5×) always pack; only short final/tail blocks
+    * escape. 64 = half the default block size. */
+  val V3EscapeMin = 64
+
+  /** Marks a v3 block body as varint-escaped (in place of the first
+    * width byte; real widths are ≤ 64, so 0xFF cannot collide). */
+  val V3EscapeMarker = 0xFF
 
   /** Growable PRIMITIVE byte buffer for the encode hot path.
     * `ArrayBuffer[Byte]` is generic (backed by `Array[AnyRef]`) and boxes
@@ -196,7 +213,10 @@ object VarByte {
     private val bdls = new Array[Int](blockSize)
     private val bposs: Array[Array[Int]] =
       if (withPositions) new Array(blockSize) else null
-    private val gaps: Array[Long] = if (v3) new Array[Long](blockSize) else null
+    // allocated on the first PACKED flush only: tail-term blobs (the
+    // Zipf majority) never pack, and a per-encoder 1KB alloc was a
+    // measured ~25% of their whole encode cost
+    private var gaps: Array[Long] = null
     private var inBlock = 0
     private var n = 0
     private var prev = 0L
@@ -209,6 +229,9 @@ object VarByte {
     // columns without a termBounds re-scan of the finished blob
     private var chunkMaxTf = 0
     private var chunkMinDl = Int.MaxValue
+    // did any block write packed sections? gates the blob-end pad —
+    // an all-escaped (tail-term) blob needs no word-overread slack
+    private var anyPacked = false
 
     def count: Int = n
     def maxTf: Int = chunkMaxTf
@@ -222,7 +245,6 @@ object VarByte {
         "positions presence must match the encoder's withPositions")
       val k = inBlock
       ids(k) = d; btfs(k) = tf; bdls(k) = dl
-      if (v3) gaps(k) = gap
       if (withPositions) bposs(k) = ps
       if (tf > chunkMaxTf) chunkMaxTf = tf
       if (dl < chunkMinDl) chunkMinDl = dl
@@ -240,14 +262,12 @@ object VarByte {
       var maxTf = 0
       var minDl = Int.MaxValue
       var maxDl = 0
-      var maxGap = 0L
       var k = 0
       while (k < bn) {
         if (btfs(k) > maxTf) maxTf = btfs(k)
         if (bdls(k) < minDl) minDl = bdls(k)
         if (v3) {
           if (bdls(k) > maxDl) maxDl = bdls(k)
-          if (gaps(k) > maxGap) maxGap = gaps(k)
         } else {
           writeVLong(body, gaps0(k))
           writeVLong(body, btfs(k).toLong)
@@ -257,15 +277,38 @@ object VarByte {
         k += 1
       }
       if (v3) {
-        val wGap = BitPack.width(maxGap)
-        val wTf = BitPack.width(maxTf.toLong)
-        val wDl = BitPack.width(maxDl.toLong)
-        body += wGap.toByte
-        body += wTf.toByte
-        body += wDl.toByte
-        body ++= BitPack.pack(gaps, 0, bn, wGap)
-        body ++= BitPack.packInts(btfs, 0, bn, wTf)
-        body ++= BitPack.packInts(bdls, 0, bn, wDl)
+        if (bn < V3EscapeMin) {
+          // tail/short block: varint triples behind the escape marker —
+          // the packed layout loses below this count (see V3EscapeMin)
+          body += V3EscapeMarker.toByte
+          var k2 = 0
+          while (k2 < bn) {
+            writeVLong(body, gaps0(k2))
+            writeVLong(body, btfs(k2).toLong)
+            writeVLong(body, bdls(k2).toLong)
+            k2 += 1
+          }
+        } else {
+          if (gaps == null) gaps = new Array[Long](blockSize)
+          var maxGap = 0L
+          var k2 = 0
+          while (k2 < bn) {
+            val g = gaps0(k2)
+            gaps(k2) = g
+            if (g > maxGap) maxGap = g
+            k2 += 1
+          }
+          val wGap = BitPack.width(maxGap)
+          val wTf = BitPack.width(maxTf.toLong)
+          val wDl = BitPack.width(maxDl.toLong)
+          body += wGap.toByte
+          body += wTf.toByte
+          body += wDl.toByte
+          body ++= BitPack.pack(gaps, 0, bn, wGap)
+          body ++= BitPack.packInts(btfs, 0, bn, wTf)
+          body ++= BitPack.packInts(bdls, 0, bn, wDl)
+          anyPacked = true
+        }
         if (withPositions) {
           var k3 = 0
           while (k3 < bn) {
@@ -286,10 +329,10 @@ object VarByte {
       inBlock = 0
     }
 
-    /** v2 writes gaps straight from ids (no gaps array allocated). */
+    /** Gap straight from ids — shared by v2 bodies, v3 escape bodies
+      * and the v3 pack-input fill. */
     @inline private def gaps0(k: Int): Long =
-      if (v3) gaps(k)
-      else if (k == 0) ids(0) - prevBlockLast
+      if (k == 0) ids(0) - prevBlockLast
       else ids(k) - ids(k - 1)
 
     /** Seal the blob. The encoder must not be used afterwards. */
@@ -302,7 +345,9 @@ object VarByte {
       writeVLong(out, n.toLong)
       writeVLong(out, blockSize.toLong)
       out ++= blocks
-      if (v3) out ++= new Array[Byte](V3Pad)
+      // pad ONLY when a packed section exists: BitPack's unpack loops
+      // read whole words unconditionally, varint bodies never overread
+      if (v3 && anyPacked) out ++= new Array[Byte](V3Pad)
       out.toArray
     }
   }
@@ -351,7 +396,22 @@ object VarByte {
                                      ids: Array[Long], tfs: Array[Int],
                                      dls: Array[Int], off: Int): Long = {
     val blob = r.bytes
-    val wGap = blob(r.pos) & 0xFF
+    val w0 = blob(r.pos) & 0xFF
+    if (w0 == V3EscapeMarker) {
+      // short-block escape: varint triples (see V3EscapeMin)
+      r.pos += 1
+      var prevId = prev
+      var k = 0
+      while (k < bn) {
+        prevId += r.readVLong()
+        ids(off + k) = prevId
+        tfs(off + k) = r.readVInt()
+        dls(off + k) = r.readVInt()
+        k += 1
+      }
+      return prevId
+    }
+    val wGap = w0
     val wTf = blob(r.pos + 1) & 0xFF
     val wDl = blob(r.pos + 2) & 0xFF
     var p = r.pos + 3

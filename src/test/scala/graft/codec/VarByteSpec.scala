@@ -150,6 +150,63 @@ class VarByteSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 short-block escape: blobs below V3EscapeMin carry varint " +
+    "bodies and no pad; boundary and mixed blobs round-trip") {
+    def enc(n: Int, ver: Int, blockSize: Int = 128,
+            withPos: Boolean = false): Array[Byte] = {
+      val ids = Array.tabulate(n)(i => i.toLong * 7 + 2)
+      val tfs = Array.tabulate(n)(i => 1 + i % 3)
+      val dls = Array.tabulate(n)(i => 50 + i % 100)
+      val pos =
+        if (withPos) Array.tabulate(n)(i =>
+          Array.tabulate(1 + i % 3)(j => j * 4 + i % 5))
+        else null
+      VarByte.encode(ids, tfs, dls, blockSize = blockSize,
+        positions = pos, version = ver)
+    }
+    // a tail-term v3 blob is v2 + 1 escape-marker byte — NOT +3 width
+    // bytes +16 pad (36 vs 20 B at 3 postings before the escape)
+    for (n <- Seq(1, 3, VarByte.V3EscapeMin - 1)) {
+      val b2 = enc(n, VarByte.FormatV2)
+      val b3 = enc(n, VarByte.FormatV3)
+      assert(b3.length == b2.length + 1,
+        s"n=$n: v3 ${b3.length} B vs v2 ${b2.length} B")
+      assert(VarByte.decode(b3)._1.toSeq == VarByte.decode(b2)._1.toSeq)
+    }
+    // at the boundary the block packs and the pad appears
+    val bMin = enc(VarByte.V3EscapeMin, VarByte.FormatV3,
+      blockSize = VarByte.V3EscapeMin)
+    assert(bMin.length >= VarByte.V3Pad)
+    // mixed blob: one full packed block + a short escaped tail block,
+    // with positions — every read surface agrees with v2
+    for (withPos <- Seq(false, true)) {
+      val n = 128 + 5
+      val b2 = enc(n, VarByte.FormatV2, withPos = withPos)
+      val b3 = enc(n, VarByte.FormatV3, withPos = withPos)
+      assert(VarByte.decode(b3)._1.toSeq == VarByte.decode(b2)._1.toSeq)
+      val (d2, t2, l2, p2) = VarByte.decodeWithPositions(b2)
+      val (d3, t3, l3, p3) = VarByte.decodeWithPositions(b3)
+      assert(d3.toSeq == d2.toSeq && t3.toSeq == t2.toSeq &&
+        l3.toSeq == l2.toSeq)
+      assert(p3.map(p => Option(p).map(_.toSeq)).toSeq ==
+        p2.map(p => Option(p).map(_.toSeq)).toSeq)
+      // cursor replay across the packed→escaped block transition
+      val c = new VarByte.Cursor(b3, wantPositions = withPos)
+      var i = 0
+      while (c.hasNext) {
+        c.advance()
+        assert(c.docId == d2(i) && c.tf == t2(i) && c.dl == l2(i))
+        if (withPos) assert(c.positions.toSeq == p2(i).toSeq)
+        i += 1
+      }
+      assert(i == n)
+      // candidate-skipping decode hits entries in BOTH body kinds
+      val want = Array(d2(3), d2(130))
+      val (sd, _, _) = VarByte.decodeForDocs(b3, want)
+      assert(sd.toSeq == want.toSeq)
+    }
+  }
+
   test("magic/version guard: foreign, pre-v2 or unknown-version bytes " +
     "fail loudly; unsupported encode version rejected") {
     intercept[IllegalArgumentException] {

@@ -179,6 +179,33 @@ class ServingSpec extends AnyFunSuite with SparkTestBase {
     s.close()
   }
 
+  test("concurrent serving: N threads on one searcher return exactly " +
+    "the sequential results (ref-counted AQE flip, shared caches)") {
+    val queries = Seq("spark index" -> true, "data search" -> false,
+      "lucene engine" -> false, "query model" -> false)
+    val prevAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val sequential = queries.map { case (q, conj) =>
+      searcher.searchWand(q, 10, conjunctive = conj).collect().toSeq
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      // 3 rounds × 4 queries racing on the same searcher
+      val futs = (1 to 3).flatMap(_ => queries).map { case (q, conj) =>
+        pool.submit(new java.util.concurrent.Callable[(String, Seq[org.apache.spark.sql.Row])] {
+          def call() = q -> searcher.searchWand(q, 10, conjunctive = conj)
+            .collect().toSeq
+        })
+      }
+      val byQuery = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      byQuery.foreach { case (q, rows) =>
+        val want = sequential(queries.indexWhere(_._1 == q))
+        assert(rows == want, s"concurrent result diverged for '$q'")
+      }
+      // the session-wide AQE flip was restored by the last query out
+      assert(spark.conf.getOption("spark.sql.adaptive.enabled") == prevAqe)
+    } finally pool.shutdown()
+  }
+
   test("LRU eviction respects capacity") {
     val c = new LruCache[Int, Int](2)
     c.put(1, 1); c.put(2, 2)
