@@ -444,11 +444,6 @@ object VarByte {
     var sIds: Array[Long] = null
     var sTfs: Array[Int] = null
     var sDls: Array[Int] = null
-    if (ver == FormatV3 && n > 0) {
-      val cap = math.min(blockSize, n)
-      sIds = new Array[Long](cap); sTfs = new Array[Int](cap)
-      sDls = new Array[Int](cap)
-    }
     var filled = 0
     var prevBlockLast = 0L
     while (filled < n) {
@@ -460,7 +455,17 @@ object VarByte {
       val h = BlockHeader(bn, bodyLen, maxTf, minDl, prevBlockLast,
         prevBlockLast + lastDelta, r.pos)
       if (onBlock(h)) {
-        if (ver == FormatV2) {
+        // a POSITION-FREE v3 ESCAPED body is byte-identical to a v2
+        // body, so both stream through the same varint loop — no
+        // scratch, no replay. Positional blobs differ (v2 interleaves
+        // positions per entry; v3 trails them after the triples), so
+        // those keep the decode-then-replay shape either way.
+        val streamVarint = ver == FormatV2 || (!withPos && {
+          val esc = (blob(r.pos) & 0xFF) == V3EscapeMarker
+          if (esc) r.pos += 1
+          esc
+        })
+        if (streamVarint) {
           var prev = prevBlockLast
           var k = 0
           while (k < bn) {
@@ -483,6 +488,11 @@ object VarByte {
             k += 1
           }
         } else {
+          if (sIds == null) {
+            val cap = math.min(blockSize, n)
+            sIds = new Array[Long](cap); sTfs = new Array[Int](cap)
+            sDls = new Array[Int](cap)
+          }
           readV3Sections(r, bn, prevBlockLast, sIds, sTfs, sDls, 0)
           var k = 0
           while (k < bn) {
