@@ -185,30 +185,32 @@ object Bench {
       catch { case _: Throwable => -1.0 })
     }
 
-    // ---- v3 bitpacked posting blocks: same build + query protocol on
-    // the SAME session (round-5 headline; v2 keys above stay the
-    // round-over-round comparables, the _v3 deltas are the evidence).
-    // Runs AFTER the battery so its build's GC/page-cache churn cannot
-    // pollute the per-entry battery timings. ----
-    val rootV3 = tmp()
-    val cfgV3 = cfg.copy(formatVersion = graft.codec.VarByte.FormatV3)
-    val tV3 = time(IndexBuilder.buildFull(spark,
-      WebtextGen.df(spark, 42L, benchDocs), dict, rootV3, cfgV3,
-      s"bench-v3(seed=42,n=$benchDocs)"))
-    results += "index_build_sec_local32_v3" -> tV3
-    results += "index_docs_per_sec_local32_v3" -> benchDocs / tV3
-    val searcherV3 = new Searcher(spark, rootV3, dict)
-    def runQ3(q: Q): Unit =
-      searcherV3.searchWand(q.query, 10, conjunctive = q.conjunctive,
+    // ---- v2 varint posting blocks: same build + query protocol on
+    // the SAME session. The engine default (and the headline keys
+    // above) is now v3; the _v2 keys are the round-over-round
+    // comparables against earlier rounds' headline numbers and prove
+    // the varint writer stays healthy. Runs AFTER the battery so its
+    // build's GC/page-cache churn cannot pollute the per-entry battery
+    // timings. ----
+    val rootV2 = tmp()
+    val cfgV2 = cfg.copy(formatVersion = graft.codec.VarByte.FormatV2)
+    val tV2 = time(IndexBuilder.buildFull(spark,
+      WebtextGen.df(spark, 42L, benchDocs), dict, rootV2, cfgV2,
+      s"bench-v2(seed=42,n=$benchDocs)"))
+    results += "index_build_sec_local32_v2" -> tV2
+    results += "index_docs_per_sec_local32_v2" -> benchDocs / tV2
+    val searcherV2 = new Searcher(spark, rootV2, dict)
+    def runQ2(q: Q): Unit =
+      searcherV2.searchWand(q.query, 10, conjunctive = q.conjunctive,
         filter = q.filterLang.map(l => col("lang") === l)).collect()
-    qs.foreach(runQ3) // warmup replay
-    val perQ3 = qs.map(q => q.name -> time(runQ3(q)))
-    results += "bm25_top10_avg_sec_v3" -> perQ3.map(_._2).sum / perQ3.size
-    results += "bm25_top10_max_sec_v3" -> perQ3.map(_._2).max
-    searcherV3.searchBatch(batchQs, 10).collect() // warm
-    results += "bm25_batch_total_sec_v3" ->
-      time(searcherV3.searchBatch(batchQs, 10).collect())
-    searcherV3.close()
+    qs.foreach(runQ2) // warmup replay
+    val perQ2 = qs.map(q => q.name -> time(runQ2(q)))
+    results += "bm25_top10_avg_sec_v2" -> perQ2.map(_._2).sum / perQ2.size
+    results += "bm25_top10_max_sec_v2" -> perQ2.map(_._2).max
+    searcherV2.searchBatch(batchQs, 10).collect() // warm
+    results += "bm25_batch_total_sec_v2" ->
+      time(searcherV2.searchBatch(batchQs, 10).collect())
+    searcherV2.close()
     spark.stop()
 
     // ---- N → 4N scaling pair: local[2] vs local[8], same input ----

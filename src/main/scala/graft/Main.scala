@@ -90,8 +90,9 @@ object Main {
       saltFanout = opt.getOrElse("salt-fanout", "8").toInt,
       indexPositions = opt.contains("positions"),
       buildFacets = opt.contains("facets"),
-      // --format-version 3 = FoR/bitpacked posting blocks (opt-in);
-      // `merge --rebuild --format-version 3` is the v2→v3 migration
+      // v3 (FoR/bitpacked) is the default; --format-version 2 pins the
+      // varint format. `merge --rebuild --format-version 3` is the
+      // v2→v3 migration for existing roots
       formatVersion = opt.getOrElse("format-version",
         graft.codec.VarByte.DefaultFormatVersion.toString).toInt)
 

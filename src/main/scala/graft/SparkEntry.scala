@@ -642,7 +642,10 @@ object SparkEntry {
         graft.index.FieldedIndex.FieldSpec("src", col("url"),
           analyzer = graft.analysis.Tokenizer.Keyword))
       val root = java.nio.file.Files.createTempDirectory("graft-flda-").toString
-      val cfg = IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4)
+      // pinned v2: the lifecycle probe keeps exercising the varint
+      // format end-to-end now that the engine default is v3
+      val cfg = IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+        formatVersion = graft.codec.VarByte.FormatV2)
       graft.index.FieldedIndex.buildFull(s,
         pagesOf(docs.filter(col("doc_id") % 3 =!= 0)), fields, root, cfg,
         "battery-fielded-base")
@@ -688,8 +691,11 @@ object SparkEntry {
         lit("2026-01-01 00:00:00").cast("timestamp").as("warc_ts"),
         lit(null).cast("binary").as("html"), col("text"), col("lang"))
       val root = java.nio.file.Files.createTempDirectory("graft-jidx-").toString
+      // pinned v2: keeps explicit varint-format coverage in the DuckDB
+      // battery now that the engine default is v3
       IndexBuilder.buildFull(s, pages, SynonymDict.empty, root,
-        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4),
+        IndexBuilder.IndexConfig(numParts = 8, rangeParts = 4,
+          formatVersion = graft.codec.VarByte.FormatV2),
         "battery-json-index")
       IndexBuilder.buildJsonSidecar(s, root, docs.select(
         format_string("doc://%06d", col("doc_id")).as("url"),

@@ -64,9 +64,13 @@ object VarByte {
   val FormatV2 = 2
   val FormatV3 = 3
   /** Version new indexes write unless `IndexConfig.formatVersion` opts
-    * into another — v3 is opt-in this round (rollout posture: readers
-    * everywhere accept both before any writer flips). */
-  val DefaultFormatVersion: Int = FormatV2
+    * into another. v3 became the default once it dominated v2 on every
+    * measured axis (BENCH.md round 5): big-list store-free scan 1.66×,
+    * full decode 4-5× on packed blocks, and — after the short-block
+    * escape — tail-blob encode/scan/size at v2 parity and full-build
+    * throughput at-or-above v2. Readers accept both; v2 stays
+    * writable via `IndexConfig.formatVersion = FormatV2`. */
+  val DefaultFormatVersion: Int = FormatV3
   /** Versions every read path accepts. */
   val SupportedVersions: Set[Int] = Set(FormatV2, FormatV3)
   val FlagPositions = 1L
