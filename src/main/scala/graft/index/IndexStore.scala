@@ -136,9 +136,21 @@ object IndexStore {
     * amplification for this table — queries are term-pruned and blobs
     * are decoded whole. Dictionary encoding is disabled: blobs are
     * unique byte strings (a dictionary only buffers heap to then fall
-    * back) and terms repeat at most a handful of times per part file. */
+    * back) and terms repeat at most a handful of times per part file.
+    *
+    * `parquet.block.size` alone is NOT enough: parquet-mr only CHECKS
+    * the buffered size every `parquet.page.size.row.check.min` records
+    * (default 100 — and `checkBlockSizeReached` reuses the page-check
+    * cadence), so 100 multi-MB positional blob rows buffer into one
+    * row group before the first check fires. The 20M-doc dress hit
+    * exactly this: an 82 MB first row group on a 16 MB block.size,
+    * and the read-back scan OOM'd 8g at 32 tasks (vector doubling ×
+    * whole-group batches). Checking every ≥4 rows bounds the overshoot
+    * at ~4 largest rows over the 16 MB target. */
   val postingsWriteOptions: Map[String, String] = Map(
     "parquet.block.size" -> (16L << 20).toString,
+    "parquet.page.size.row.check.min" -> "4",
+    "parquet.page.size.row.check.max" -> "64",
     "parquet.enable.dictionary" -> "false")
 
   /** Collection-stats row from the cnt/sdl/mx metrics observed during a

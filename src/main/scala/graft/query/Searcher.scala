@@ -495,15 +495,17 @@ final class Searcher(
 
   private def foldScores(perTerm: DataFrame,
                          keys: Seq[String] = Seq("doc_id"),
-                         withReq: Boolean = false): DataFrame = {
+                         withReq: Boolean = false,
+                         pivotTerms: Option[Seq[String]] = None): DataFrame = {
     // query-time clause boosts ([[scoreParsed]]) ride as a `weight`
     // multiplier when the per-term rows carry one; paths without the
-    // column keep the invariant-3 arithmetic shape literally untouched
-    val contrib =
-      if (perTerm.columns.contains("weight")) col("weight") * contribBase
-      else contribBase
+    // column keep the invariant-3 arithmetic shape literally untouched.
+    // Weighted rows never pivot: a zero/negative weight could break the
+    // `+0.0 is exact` argument in [[Searcher.foldPrepared]].
+    val weighted = perTerm.columns.contains("weight")
+    val contrib = if (weighted) col("weight") * contribBase else contribBase
     Searcher.foldPrepared(perTerm.withColumn("contrib", contrib), keys,
-      withReq)
+      withReq, if (weighted) None else pivotTerms)
   }
 
   /** The non-scoring filter clause (Q1): narrow-column predicates
@@ -562,7 +564,8 @@ final class Searcher(
     val restricted = applyMatchSetRestrictions(decoded, filter)
     foldScores(among.fold(restricted)(c =>
       restricted.join(c.select("doc_id"), Seq("doc_id"), "left_semi")),
-      withReq = required.nonEmpty)
+      withReq = required.nonEmpty,
+      pivotTerms = Some(idfs.map(_.term)))
   }
 
   /** Doc set containing ANY of the given index-present NOT terms
@@ -1158,6 +1161,18 @@ final class Searcher(
     if (idfs.size == 1 || idfs.map(_.df).sum < wandMinDf)
       return search(query, k, start, conjunctive, filter, notQuery)
 
+    // head-only OR pre-gate (pure economics — the exact fallback is
+    // always correct): when even the RAREST term's df exceeds the
+    // rescore cap, every term is a head term and the θ seeded from one
+    // term's kth score prunes almost nothing of the others — the
+    // candidate job would shuffle ~Σdf ids through a distinct only to
+    // trip the cap and fall back anyway (measured on the 20M dress:
+    // a 3-head-term OR emitted ~55M candidate rows, then fell back).
+    // Genuinely mixed queries (any term with df ≤ maxRescore) keep the
+    // full WAND pipeline — that asymmetry is WAND's actual win.
+    if (!conjunctive && idfs.map(_.df).min > maxRescore)
+      return search(query, k, start, conjunctive, filter, notQuery)
+
     // per-term upper bounds straight from the cached term_stats lookup —
     // no extra job, no posting-file touch
     val ubs: Map[String, Double] = idfs.map { i =>
@@ -1219,7 +1234,8 @@ final class Searcher(
         ds.indices.iterator.map(i => (t, ds(i), tfs(i), dls(i)))
       }.toDF("term", "doc_id", "tf", "dl")
       .join(broadcast(idfDf), Seq("term"))
-    val scored = foldScores(restrict(rescored))
+    val scored = foldScores(restrict(rescored),
+      pivotTerms = Some(idfs.map(_.term)))
     val page =
       (if (conjunctive) scored.filter(col("matched") === terms.size) else scored)
         .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
@@ -1329,7 +1345,11 @@ final class Searcher(
             col("p.tf").as("tf"), col("p.dl").as("dl")))
       .join(broadcast(qtDf), Seq("term"))
     val scored = foldScores(applyMatchSetRestrictions(decoded, None),
-        keys = Seq("query_id", "doc_id"))
+        keys = Seq("query_id", "doc_id"),
+        // pivot over the UNION of the batch's terms: within a
+        // (query_id, doc_id) group only that query's terms occur, and
+        // absent-term columns add an exact +0.0
+        pivotTerms = Some(qTerm.map(_._2)))
       .withColumnRenamed("score", "score0")
     val must =
       if (conjunctive)
@@ -1390,7 +1410,7 @@ final class Searcher(
       })
     val idfDf = idfs.map(i => (i.term, i.idf)).toDF("term", "idf")
     val perTerm = aligned.join(broadcast(idfDf), Seq("term"))
-    val page = foldScores(perTerm)
+    val page = foldScores(perTerm, pivotTerms = Some(idfs.map(_.term)))
       .orderBy(col("score").desc, col("doc_id").asc).offset(start).limit(k)
     fetchPage(page)
   }
@@ -2086,6 +2106,11 @@ object Searcher {
   private[graft] val matchNoDocs: ParsedFrames =
     ParsedFrames(None, 0, Nil, matchNone = true)
 
+  /** Above this many distinct query terms the pivoted fold would widen
+    * the aggregation buffer past ~0.5 KB/group; the list fold takes
+    * over. 64 ≫ any real query (Lucene's default maxClauseCount spirit). */
+  private[graft] val MaxPivotTerms = 64
+
   /** THE fold (invariant 11, one definition for every exact path): sum
     * each key group's pre-computed `contrib` values in ascending
     * (term, contrib) order — bit-identical to the golden model — with
@@ -2093,22 +2118,67 @@ object Searcher {
     * count riding the SAME aggregation. Static because cross-field
     * unions fold rows owned by several Searchers: each row's contrib was
     * computed with its owner's stats, the fold itself has no instance
-    * state. */
+    * state.
+    *
+    * Two physical shapes, one arithmetic:
+    *
+    *  - `pivotTerms = Some(ts)` (every standard search path — the term
+    *    set is known at plan time): each term's contrib pivots into its
+    *    own fixed-width aggregation column and the score is the
+    *    ascending-term left fold `((0.0 + c_t1) + c_t2) + …` with
+    *    absent terms contributing +0.0 — EXACTLY the same IEEE sum as
+    *    the sorted list fold, because BM25 contribs are strictly
+    *    positive so no partial sum is -0.0 and `x + 0.0 ≡ x`. This
+    *    keeps the whole fold inside codegen'd fixed-width hash
+    *    aggregation whose memory is TaskMemoryManager-governed (spills
+    *    under pressure). The 20M-doc dress proved the need: head-term
+    *    queries fold ~60M rows into ~20M groups, and the list shape
+    *    below buffered 60M (term, contrib) structs through
+    *    object/sort-based aggregation — JVM-object memory the manager
+    *    cannot see — and OOM'd a flat 8g heap at 32 concurrent tasks.
+    *
+    *  - `pivotTerms = None` (dynamic/weighted folds: parsed-query
+    *    clause weights, cross-field merged pairs, req-clause gating):
+    *    collect the group's (term, contrib) pairs, sort, fold. Volumes
+    *    on these paths are expansion-capped.
+    *
+    * A term may appear at most once per key group on every caller's
+    * path (chunk rows split disjoint doc ranges; doc_ids are unique
+    * across segments via id_ceiling append bases), which both shapes
+    * rely on for `matched`. */
   private[graft] def foldPrepared(perTerm: DataFrame,
                                   keys: Seq[String] = Seq("doc_id"),
-                                  withReq: Boolean = false): DataFrame = {
-    val extraAggs =
-      Seq(sort_array(collect_list(struct(col("term"), col("contrib"))))
-        .as("__parts")) ++
-      (if (withReq)
-         Seq(size(collect_set(col("req_clause"))).as("matched_req"))
-       else Nil)
-    perTerm
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).cast("int").as("matched"), extraAggs: _*)
-      .withColumn("score",
-        aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
-      .select(keys.map(col) ++ Seq(col("matched")) ++
-        (if (withReq) Seq(col("matched_req")) else Nil) :+ col("score"): _*)
+                                  withReq: Boolean = false,
+                                  pivotTerms: Option[Seq[String]] = None)
+      : DataFrame = {
+    val pivot = pivotTerms.map(_.distinct.sorted)
+      .filter(ts => ts.nonEmpty && ts.size <= MaxPivotTerms && !withReq)
+    pivot match {
+      case Some(ts) =>
+        val pivots = ts.zipWithIndex.map { case (t, i) =>
+          sum(when(col("term") === lit(t), col("contrib"))).as(s"__c$i")
+        }
+        val score = ts.indices.foldLeft(lit(0.0d))((acc, i) =>
+          acc + coalesce(col(s"__c$i"), lit(0.0d)))
+        perTerm
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).cast("int").as("matched"), pivots: _*)
+          .withColumn("score", score)
+          .select(keys.map(col) ++ Seq(col("matched"), col("score")): _*)
+      case None =>
+        val extraAggs =
+          Seq(sort_array(collect_list(struct(col("term"), col("contrib"))))
+            .as("__parts")) ++
+          (if (withReq)
+             Seq(size(collect_set(col("req_clause"))).as("matched_req"))
+           else Nil)
+        perTerm
+          .groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).cast("int").as("matched"), extraAggs: _*)
+          .withColumn("score",
+            aggregate(col("__parts"), lit(0.0d), (acc, x) => acc + x("contrib")))
+          .select(keys.map(col) ++ Seq(col("matched")) ++
+            (if (withReq) Seq(col("matched_req")) else Nil) :+ col("score"): _*)
+    }
   }
 }

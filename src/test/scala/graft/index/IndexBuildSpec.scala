@@ -139,4 +139,37 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("term") === "SPARK").select("df").head().getLong(0)
     assert(dfSum == dfGlobal)
   }
+
+  test("postings write options bound row groups near 16 MB even for " +
+    "multi-MB blob rows (20M-dress OOM regression: parquet-mr checks " +
+    "block size only every page.size.row.check.min records)") {
+    import spark.implicits._
+    // 40 × 4 MB rows = 160 MB: without the early size check the first
+    // check fires at 100 records and the whole file is ONE row group,
+    // which the vectorized reader materializes per task on read.
+    // Random bytes defeat snappy so buffered ≈ on-disk size.
+    val rows = (0 until 40).map { i =>
+      val b = new Array[Byte](4 << 20)
+      new java.util.Random(i).nextBytes(b)
+      (i, b)
+    }
+    val dir = tmpDir("graft-rg-") + "/postings"
+    rows.toDF("term", "blob").repartition(1)
+      .write.options(IndexStore.postingsWriteOptions).parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val sizes = blocks.asScala.map(_.getTotalByteSize).toSeq
+      assert(sizes.size >= 5, s"expected >=5 row groups, got ${sizes.size}")
+      // 16 MB target + up to check.min(4) more multi-MB rows of slack
+      assert(sizes.forall(_ <= (36L << 20)),
+        s"row group overshot: ${sizes.map(_ >> 20).mkString(",")} MB")
+    } finally reader.close()
+  }
 }
