@@ -33,4 +33,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench on a ~89 GiB heap (block manager logged 53.2 GiB storage),
   // which is exactly the GC-collapse regime — 5.5k docs/s instead of 43k.
   s"-Xmx${sys.env.getOrElse("GRAFT_XMX", "8g")}",
+  // posting blobs and reader batch vectors are multi-MB byte arrays; at
+  // the default ~4 MB G1 regions (8g heap) every one of them is a
+  // HUMONGOUS allocation and 32 allocation-heavy threads fragment the
+  // heap into premature OOM (20M-doc dress, head-term phrase leg). 16 MB
+  // regions put the 2-3 MB steady-state allocations back on the normal
+  // TLAB path.
+  "-XX:G1HeapRegionSize=16m",
 )

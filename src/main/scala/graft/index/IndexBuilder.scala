@@ -51,7 +51,15 @@ object IndexBuilder {
                                       // is ever O(df) (every query path
                                       // handles multi-row terms — a
                                       // multi-segment index is that
-                                      // shape already)
+                                      // shape already). POSITIONAL
+                                      // builds use effectiveMaxBlob-
+                                      // Postings (≤ 1<<17): position
+                                      // payloads made 512k-posting rows
+                                      // ~10 MB — single parquet VALUES
+                                      // the vectorized reader must hold
+                                      // contiguous, which fragmented
+                                      // and OOM'd the 20M dress's 8g
+                                      // heap on head-term phrase scans
       flushEntries: Long = 2L << 20, // RAM posting-buffer flush threshold
                                      // (Lucene ramBufferSize analog,
                                      // ~32 MB of buffer arrays per task).
@@ -93,6 +101,17 @@ object IndexBuilder {
                                        // config.json; readers accept
                                        // both, compaction requires
                                        // uniformity (mixed -> rebuild)
+
+  /** The blob-row cap the encode paths actually apply: positional
+    * payloads multiply bytes-per-posting ~4-8×, so positional builds
+    * tighten the cap to keep every parquet blob VALUE in the low MBs
+    * (a 512k-posting positional row was ~10 MB — see maxBlobPostings).
+    * A user-lowered cap is always respected. */
+  implicit final class CfgOps(private val cfg: IndexConfig) extends AnyVal {
+    def effectiveMaxBlobPostings: Int =
+      if (cfg.indexPositions) math.min(cfg.maxBlobPostings, 1 << 17)
+      else cfg.maxBlobPostings
+  }
 
   /** One build-time facet dimension (the reference's facet field config,
     * `/root/reference/LuceneSearchEngine/src/Indexer.java:157-172` —
@@ -864,7 +883,7 @@ object IndexBuilder {
     // MERGES decoded fragments, never concatenates. Single-fragment terms
     // — the Zipf tail, i.e. almost all terms — reuse the fragment bytes
     // as the final blob with zero re-encode.
-    val maxBlob = cfg.maxBlobPostings
+    val maxBlob = cfg.effectiveMaxBlobPostings
     val postings: Dataset[PostingRow] = pending
       .repartition(numParts, col("part"))
       .sortWithinPartitions("part", "term", "min_doc")
@@ -898,7 +917,7 @@ object IndexBuilder {
     // is the only consumer of the merged blobs.
     val mode = if (resume && done.nonEmpty) "append" else "overwrite"
     postings.toDF().write.mode(mode).partitionBy("part")
-      .options(IndexStore.postingsWriteOptions)
+      .options(IndexStore.postingsWriteOptionsFor(cfg.indexPositions))
       .parquet(IndexStore.postingsPath(root, seg))
     lap("postings_encode_write")
 
@@ -1446,7 +1465,7 @@ object IndexBuilder {
       .sortWithinPartitions("part", "term")
       .as[(Int, String, Long, Int, Int, Array[Byte])]
 
-    val maxBlob = cfg.maxBlobPostings
+    val maxBlob = cfg.effectiveMaxBlobPostings
     val merged: Dataset[CompactRow] =
       if (deadCount == 0)
         // no dead docs: single-source blobs pass through byte-identical;
@@ -1505,7 +1524,7 @@ object IndexBuilder {
     merged.toDF()
       .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
       .write.mode("overwrite").partitionBy("part")
-      .options(IndexStore.postingsWriteOptions)
+      .options(IndexStore.postingsWriteOptionsFor(withPos))
       .parquet(IndexStore.postingsPath(root, seg))
     lap("postings_blob_merge_write")
     val written = IndexStore.readPostingsOrEmpty(spark, root, seg)

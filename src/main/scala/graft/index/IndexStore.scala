@@ -153,6 +153,18 @@ object IndexStore {
     "parquet.page.size.row.check.max" -> "64",
     "parquet.enable.dictionary" -> "false")
 
+  /** Positional variant: position payloads make blob VALUES ~4-8×
+    * bigger, and the read side pays whole-row-group batches on every
+    * phrase-term scan — halving the group bound halves the per-task
+    * batch memory where it is most precious (the 20M dress's head-term
+    * phrase ran 32 concurrent positional blob scans). Everything else
+    * matches [[postingsWriteOptions]]. */
+  val postingsWriteOptionsPositional: Map[String, String] =
+    postingsWriteOptions + ("parquet.block.size" -> (8L << 20).toString)
+
+  def postingsWriteOptionsFor(positional: Boolean): Map[String, String] =
+    if (positional) postingsWriteOptionsPositional else postingsWriteOptions
+
   /** Collection-stats row from the cnt/sdl/mx metrics observed during a
     * segment's docstore write — the single copy of the (doc_count,
     * sum_dl, avgdl, id_ceiling) layout that built AND compacted segments

@@ -55,7 +55,12 @@ final class Searcher(
     snapshotId: Option[Long] = None,
     /** Set by [[reopen]] only: the predecessor searcher whose per-segment
       * relations (and, when safe, document LRU) are carried over. */
-    reuseFrom: Option[Searcher] = None) extends AutoCloseable {
+    reuseFrom: Option[Searcher] = None,
+    /** Summed-df gate between the two phrase-alignment shapes (see
+      * [[Searcher.PhraseJoinMinDf]]); a parameter so specs can force
+      * the chain-join path on small corpora. */
+    phraseJoinMinDf: Long = Searcher.PhraseJoinMinDf)
+    extends AutoCloseable {
 
   import spark.implicits._
 
@@ -1447,6 +1452,17 @@ final class Searcher(
         rows.join(rare, Seq("doc_id"), "left_semi")
       } else rows
     val restricted = restrict(rows0)
+    // volume gate (same economics class as wandMinDf, invariant 24):
+    // the collect_list alignment below holds each doc's (term, tf, dl,
+    // positions) structs as aggregation-object state — unmanaged JVM
+    // memory. Fine at bench volumes (one shuffle, fastest locally);
+    // fatal when every phrase term is a head term at 20M+ docs (the
+    // 20M dress OOM'd 8g folding ~40M position-bearing structs). Past
+    // the gate, alignment runs as a position-level chain join: all
+    // fixed-width rows, TaskMemoryManager-governed, spills instead of
+    // dying.
+    if (idfs.map(_.df).sum > phraseJoinMinDf)
+      return phraseChainAligned(ordered, restricted, slop)
     val byDoc = restricted.groupBy("doc_id")
       .agg(collect_list(
         struct(col("term"), col("tf"), col("dl"), col("positions"))).as("es"))
@@ -1471,6 +1487,42 @@ final class Searcher(
       .select(col("doc_id"), explode(col("es")).as("e"))
       .select(col("doc_id"), col("e.term").as("term"),
         col("e.tf").as("tf"), col("e.dl").as("dl"))
+  }
+
+  /** Scale-path phrase alignment (see the gate in
+    * [[phraseAlignedRows]]): the ∃-chain
+    * `p_0 < … < p_{m-1}, p_j − p_{j−1} ∈ [1, 1+slop]` evaluated as a
+    * cascade of (doc_id, position) equi-joins — step j explodes the
+    * surviving chain heads by the `[1, 1+slop]` offsets and joins
+    * term_j's exploded positions, deduping (doc, p) per step so chains
+    * stay a set, not a product. Identical match semantics to the
+    * nested-exists alignment (any witness chain ⇔ any join path;
+    * PhraseSpec pins both paths against the golden model), identical
+    * output rows: (doc_id, term, tf, dl) for every distinct phrase term
+    * of every aligned doc. Everything here is fixed-width rows through
+    * managed shuffles — no per-group object state, so head-term phrases
+    * at 10^8-posting volumes spill instead of OOM. */
+  private def phraseChainAligned(ordered: Seq[String],
+                                 restricted: DataFrame,
+                                 slop: Int): DataFrame = {
+    def posOf(t: String): DataFrame =
+      restricted.where(col("term") === t)
+        .select(col("doc_id"), explode(col("positions")).as("p"))
+    var chain = posOf(ordered.head)
+    for (j <- 1 until ordered.length) {
+      val next = posOf(ordered(j)).withColumnRenamed("p", "pn")
+      chain = chain
+        .withColumn("off",
+          explode(sequence(lit(1), lit(1 + slop))))
+        .withColumn("pn", col("p") + col("off"))
+        .select("doc_id", "pn")
+        .join(next, Seq("doc_id", "pn"), "left_semi")
+        .withColumnRenamed("pn", "p")
+        .distinct()
+    }
+    val matched = chain.select("doc_id").distinct()
+    restricted.join(matched, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("term"), col("tf"), col("dl"))
   }
 
   /** Hit metadata (Q12): totalHits, maxScore alongside the page. */
@@ -2110,6 +2162,14 @@ object Searcher {
     * the aggregation buffer past ~0.5 KB/group; the list fold takes
     * over. 64 ≫ any real query (Lucene's default maxClauseCount spirit). */
   private[graft] val MaxPivotTerms = 64
+
+  /** Above this summed df the phrase alignment switches from the
+    * single-shuffle collect_list shape (fastest locally, but per-group
+    * OBJECT state) to the position-level chain join (all managed,
+    * spillable — the 20M-dress survival path). 4M rows of positional
+    * structs ≈ low hundreds of MB of aggregation objects across 32
+    * tasks — comfortably inside the measured-safe band. */
+  private[graft] val PhraseJoinMinDf = 4000000L
 
   /** THE fold (invariant 11, one definition for every exact path): sum
     * each key group's pre-computed `contrib` values in ascending

@@ -184,6 +184,33 @@ class PhraseSpec extends AnyFunSuite with SparkTestBase {
     assert(failures.isEmpty, failures.mkString(","))
   }
 
+  test("chain-join alignment (the head-term scale path) is rank- and " +
+    "score-identical to the collect_list path and golden across slops") {
+    // phraseJoinMinDf = 0 forces EVERY phrase through phraseChainAligned
+    val chained = new Searcher(spark, root, dict, phraseJoinMinDf = 0L)
+    try {
+      val sampled = goldenDocs.filter(_.tokens.size >= 8).take(4).flatMap { d =>
+        Seq(d.tokens.slice(3, 5).mkString(" "), d.tokens.slice(2, 5).mkString(" "))
+      }
+      val fixed = Seq("spark index", "spark spark", "zzzq unknownterm", "search")
+      val failures = for {
+        ph <- (sampled ++ fixed).distinct
+        slop <- 0 to 2
+        c = chained.searchPhrase(ph, K, slop = slop)
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        l = searcher.searchPhrase(ph, K, slop = slop)
+          .select("doc_id", "score").collect()
+          .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        g = golden.phraseTopK(golden.analyzePhrase(ph, dict), K, slop = slop)
+          .map(h => (h.docId, h.score))
+        if c != l || c != g
+      } yield s"'$ph' slop=$slop: chain=${c.take(3)} list=${l.take(3)} " +
+        s"golden=${g.take(3)}"
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally chained.close()
+  }
+
   override def afterAll(): Unit = {
     searcher.close()
     super.afterAll()
