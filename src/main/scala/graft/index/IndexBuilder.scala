@@ -686,7 +686,8 @@ object IndexBuilder {
         col("text"), col("dl"))
       .observe(docObs, count(lit(1)).as("cnt"),
         sum(col("dl").cast("long")).as("sdl"), max(col("doc_id")).as("mx"))
-      .write.mode("overwrite").parquet(IndexStore.docstorePath(root, seg))
+      .write.mode("overwrite").options(IndexStore.docstoreWriteOptions)
+      .parquet(IndexStore.docstorePath(root, seg))
     lap("analyze_docstore")
 
     val docstore = spark.read.parquet(IndexStore.docstorePath(root, seg))
@@ -1457,12 +1458,23 @@ object IndexBuilder {
     val deadCount: Long = deadSorted.length.toLong
     lap("dead_scan")
 
+    // coalesce AFTER the part-hash repartition + sort: each compact
+    // task runs the whole read-merge-write pipeline and transiently
+    // holds a row-group read batch, cursor buffers, an output chunk
+    // and a buffering parquet writer (~60-80 MB unmanaged) — 32
+    // concurrent pipelines OOM'd the 20M dress's flat 8g JVM. A
+    // quarter of the parallelism bounds per-JVM transients; coalesce
+    // concatenates WHOLE hash partitions, so all rows of a (part,
+    // term) stay contiguous and runGrouped's merge is unaffected.
+    val compactTasks =
+      math.max(8, spark.sparkContext.defaultParallelism / 4)
     val allPostings = targets
       .map(IndexStore.readPostingsOrEmpty(spark, root, _))
       .reduce(_ unionByName _)
       .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
       .repartition(numParts, col("part"))
       .sortWithinPartitions("part", "term")
+      .coalesce(compactTasks)
       .as[(Int, String, Long, Int, Int, Array[Byte])]
 
     val maxBlob = cfg.effectiveMaxBlobPostings
@@ -1563,7 +1575,7 @@ object IndexBuilder {
     liveDocs
       .observe(docObs, count(lit(1)).as("cnt"),
         sum(col("dl").cast("long")).as("sdl"), max(col("doc_id")).as("mx"))
-      .write.mode("overwrite")
+      .write.mode("overwrite").options(IndexStore.docstoreWriteOptions)
       .parquet(IndexStore.docstorePath(root, seg))
     val (docCount, _, _) =
       IndexStore.writeStatsFromObservation(spark, root, seg, docObs.get)

@@ -231,6 +231,18 @@ final class Searcher(
         case None => df
       }
     }.reduce(_ unionByName _)
+      // bound the CONCURRENCY of blob scans, not their volume: each
+      // scan task transiently holds a whole row-group batch plus the
+      // vb_decode output for a multi-MB blob (~30-60 MB of unmanaged
+      // heap) while the fold/join stages above rightfully absorb most
+      // of the managed pool. 32 such tasks on one flat-8g JVM was the
+      // 20M-dress head-term OOM regime (exact fold over a 2-segment
+      // view died allocating 3 WORDS); a quarter of the parallelism
+      // caps per-JVM transients and costs little wall — streaming
+      // decode is memory-bandwidth-bound past ~16 threads on one box
+      // (BENCH.md scaling ladder), and on a cluster the bound scales
+      // with total cores. Downstream shuffles restore full parallelism.
+      .coalesce(math.max(8, spark.sparkContext.defaultParallelism / 4))
 
   /** Global per-term stats across segments (term_stats is per segment):
     * df, ttf, and the term-level WAND bound inputs (max tf, min dl). */
@@ -1505,8 +1517,20 @@ final class Searcher(
   private def phraseChainAligned(ordered: Seq[String],
                                  restricted: DataFrame,
                                  slop: Int): DataFrame = {
+    // bound the CONCURRENCY of the fat scans, not their volume: each
+    // positional-blob scan task transiently holds a whole row-group
+    // batch + the decoded position arrays (~40 MB unmanaged) while the
+    // chain's sort-merge joins rightfully absorb most of the managed
+    // pool — 32 concurrent fat tasks on one 8g JVM is the OOM regime
+    // the 20M dress hit. A quarter of the cluster parallelism keeps
+    // whole-cluster scan throughput (250 tasks at 1000 cores) while
+    // capping per-JVM transients; the downstream joins re-shuffle to
+    // full parallelism regardless.
+    val scanTasks =
+      math.max(8, spark.sparkContext.defaultParallelism / 4)
+    val bounded = restricted.coalesce(scanTasks)
     def posOf(t: String): DataFrame =
-      restricted.where(col("term") === t)
+      bounded.where(col("term") === t)
         .select(col("doc_id"), explode(col("positions")).as("p"))
     var chain = posOf(ordered.head)
     for (j <- 1 until ordered.length) {
@@ -1521,7 +1545,7 @@ final class Searcher(
         .distinct()
     }
     val matched = chain.select("doc_id").distinct()
-    restricted.join(matched, Seq("doc_id"), "left_semi")
+    bounded.join(matched, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("term"), col("tf"), col("dl"))
   }
 
