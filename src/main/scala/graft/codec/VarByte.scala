@@ -90,7 +90,9 @@ object VarByte {
     * blob 36 B vs 20 B at v2, ~40% slower to encode and ~2× slower to
     * scan (measured, BENCH.md round 5). Full blocks (the big-list shape
     * where unpack wins 4-5×) always pack; only short final/tail blocks
-    * escape. 64 = half the default block size. */
+    * escape. 64 = half the default block size; encoders apply
+    * min(V3EscapeMin, blockSize) so FULL blocks always pack under a
+    * small configured blockSize. */
   val V3EscapeMin = 64
 
   /** Marks a v3 block body as varint-escaped (in place of the first
@@ -281,9 +283,12 @@ object VarByte {
         k += 1
       }
       if (v3) {
-        if (bn < V3EscapeMin) {
+        if (bn < math.min(V3EscapeMin, blockSize)) {
           // tail/short block: varint triples behind the escape marker —
-          // the packed layout loses below this count (see V3EscapeMin)
+          // the packed layout loses below this count (see V3EscapeMin).
+          // min(_, blockSize): a FULL block always packs even under a
+          // small configured blockSize — otherwise blockSize < 64 would
+          // silently disable bitpacking for the whole index
           body += V3EscapeMarker.toByte
           var k2 = 0
           while (k2 < bn) {

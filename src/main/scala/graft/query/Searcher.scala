@@ -1178,16 +1178,18 @@ final class Searcher(
     if (idfs.size == 1 || idfs.map(_.df).sum < wandMinDf)
       return search(query, k, start, conjunctive, filter, notQuery)
 
-    // head-only OR pre-gate (pure economics — the exact fallback is
+    // head-only pre-gate (pure economics — the exact fallback is
     // always correct): when even the RAREST term's df exceeds the
-    // rescore cap, every term is a head term and the θ seeded from one
-    // term's kth score prunes almost nothing of the others — the
-    // candidate job would shuffle ~Σdf ids through a distinct only to
-    // trip the cap and fall back anyway (measured on the 20M dress:
-    // a 3-head-term OR emitted ~55M candidate rows, then fell back).
-    // Genuinely mixed queries (any term with df ≤ maxRescore) keep the
-    // full WAND pipeline — that asymmetry is WAND's actual win.
-    if (!conjunctive && idfs.map(_.df).min > maxRescore)
+    // rescore cap, the pipeline is guaranteed to fall back — for AND
+    // the candidate list IS the rarest term's postings (length > cap
+    // by definition); for OR the θ seeded from one head term's kth
+    // score prunes almost nothing of the others, and the candidate
+    // job shuffles ~Σdf ids through a distinct only to trip the cap
+    // (measured on the 20M dress: a 3-head-term OR emitted ~55M
+    // candidate rows, then fell back). Genuinely mixed queries (any
+    // term with df ≤ maxRescore) keep the full WAND pipeline — that
+    // asymmetry is WAND's actual win.
+    if (idfs.map(_.df).min > maxRescore)
       return search(query, k, start, conjunctive, filter, notQuery)
 
     // per-term upper bounds straight from the cached term_stats lookup —
@@ -1528,7 +1530,15 @@ final class Searcher(
     // full parallelism regardless.
     val scanTasks =
       math.max(8, spark.sparkContext.defaultParallelism / 4)
-    val bounded = restricted.coalesce(scanTasks)
+    // materialize the DECODED narrow rows ONCE: the chain references
+    // them once per phrase step plus once for the output join, and
+    // without this each reference re-scans and re-decodes the fattest
+    // blobs in the index. localCheckpoint (same precedent as
+    // searchWithMeta's one-evaluation contract) spills to disk under
+    // pressure and is reclaimed by the ContextCleaner when the page
+    // escapes; invariant 17 forbids persisting BLOB rows, and these
+    // are the post-decode fixed-width+positions rows.
+    val bounded = restricted.coalesce(scanTasks).localCheckpoint(true)
     def posOf(t: String): DataFrame =
       bounded.where(col("term") === t)
         .select(col("doc_id"), explode(col("positions")).as("p"))
@@ -2084,7 +2094,8 @@ final class Searcher(
     * hot-swap discipline). */
   def reopen(): Searcher =
     new Searcher(spark, root, dict, k1, b, maxBroadcastDeadDocs,
-      snapshotId = None, reuseFrom = Some(this))
+      snapshotId = None, reuseFrom = Some(this),
+      phraseJoinMinDf = phraseJoinMinDf)
 
   /** [[reopen]] + replay of THIS searcher's captured warmup set on the
     * successor before it is returned — the reference's swap discipline
@@ -2187,6 +2198,13 @@ object Searcher {
     * over. 64 ≫ any real query (Lucene's default maxClauseCount spirit). */
   private[graft] val MaxPivotTerms = 64
 
+  /** UTF-8 binary string order — what Spark's UTF8String (and therefore
+    * sort_array in the list fold) compares by. */
+  private[graft] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Above this summed df the phrase alignment switches from the
     * single-shuffle collect_list shape (fastest locally, but per-group
     * OBJECT state) to the position-level chain join (all managed,
@@ -2235,7 +2253,12 @@ object Searcher {
                                   withReq: Boolean = false,
                                   pivotTerms: Option[Seq[String]] = None)
       : DataFrame = {
-    val pivot = pivotTerms.map(_.distinct.sorted)
+    // sorted in UTF-8 BINARY order — Spark's string ordering, hence
+    // sort_array's — NOT JVM String order (UTF-16 code units): the two
+    // diverge for supplementary-plane terms vs U+E000..U+FFFF, and a
+    // shape-dependent fold order would break the bit-identity between
+    // the pivot and list folds exactly where ties are decided.
+    val pivot = pivotTerms.map(_.distinct.sorted(Utf8Ordering))
       .filter(ts => ts.nonEmpty && ts.size <= MaxPivotTerms && !withReq)
     pivot match {
       case Some(ts) =>

@@ -177,6 +177,20 @@ class VarByteSpec extends AnyFunSuite {
     val bMin = enc(VarByte.V3EscapeMin, VarByte.FormatV3,
       blockSize = VarByte.V3EscapeMin)
     assert(bMin.length >= VarByte.V3Pad)
+    // a FULL block under a small configured blockSize packs too —
+    // blockSize < V3EscapeMin must not silently disable bitpacking
+    // (threshold is min(V3EscapeMin, blockSize))
+    val bSmallFull = enc(32, VarByte.FormatV3, blockSize = 32)
+    assert((32 until bSmallFull.length - VarByte.V3Pad).nonEmpty &&
+      (bSmallFull.length - VarByte.V3Pad until bSmallFull.length)
+        .forall(i => bSmallFull(i) == 0),
+      "full 32-posting block at blockSize=32 must pack (pad present)")
+    assert(VarByte.decode(bSmallFull)._1.toSeq ==
+      VarByte.decode(enc(32, VarByte.FormatV2, blockSize = 32))._1.toSeq)
+    // and a short TAIL under the small blockSize still escapes
+    val bSmallTail = enc(3, VarByte.FormatV3, blockSize = 32)
+    val bSmallTailV2 = enc(3, VarByte.FormatV2, blockSize = 32)
+    assert(bSmallTail.length == bSmallTailV2.length + 1)
     // mixed blob: one full packed block + a short escaped tail block,
     // with positions — every read surface agrees with v2
     for (withPos <- Seq(false, true)) {
