@@ -108,8 +108,11 @@ object Main {
         val pages = spark.read.parquet(opt("input"))
         val rep =
           if (cmd == "build")
+            // --resume: per-partition checkpoint resume (north rule) —
+            // posting partitions already manifest-complete are kept,
+            // only the missing ones rebuild
             IndexBuilder.buildFull(spark, pages, dictOf(opt), opt("index"),
-              cfgOf(opt), opt("input"))
+              cfgOf(opt), opt("input"), resume = opt.contains("resume"))
           else
             IndexBuilder.appendSegment(spark, pages, dictOf(opt), opt("index"),
               cfgOf(opt), opt("input"))

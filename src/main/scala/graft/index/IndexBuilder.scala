@@ -965,9 +965,11 @@ object IndexBuilder {
     * pay the O(corpus) window on roots built by this version. */
   def buildFull(spark: SparkSession, pages: DataFrame, dict: SynonymDict,
                 root: String, cfg: IndexConfig = IndexConfig(),
-                inputSnapshot: String = ""): BuildReport = {
+                inputSnapshot: String = "",
+                resume: Boolean = false): BuildReport = {
     val seg = "seg-000000"
-    val report = buildSegment(spark, pages, dict, root, seg, 0L, cfg, inputSnapshot)
+    val report = buildSegment(spark, pages, dict, root, seg, 0L, cfg,
+      inputSnapshot, resume)
     IndexStore.writeSnapshot(spark, root,
       IndexStore.Snapshot(0L, Seq(seg), Seq.empty, dead = Some(Seq.empty)))
     report
