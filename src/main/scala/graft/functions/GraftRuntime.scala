@@ -56,6 +56,40 @@ object GraftRuntime {
     new GenericArrayData(out)
   }
 
+  /** text → dl (post-expansion token count) WITHOUT materializing the
+    * per-term tf map — the docstore pass needs ONLY dl, and building the
+    * LinkedHashMap + struct array per doc just to read its length was
+    * measurable build-phase cost. With no synonym dictionary the count
+    * needs no token strings at all (a codepoint walk counting separator
+    * transitions); with one, expansion can change the count in ways only
+    * `SynonymDict.expand` knows, so the tokens materialize and expand
+    * exactly as [[tfPairs]] does. Identity `docLen == tfPairs(...).dl`
+    * is pinned by ExpressionsSpec. */
+  def docLen(dict: SynonymDict, text: UTF8String, mode: String): Int =
+    if (!dict.isEmpty)
+      dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Tokenizer.tokenize(text.toString, mode))).length
+    else {
+      val s = text.toString
+      val keyword = mode == Tokenizer.Keyword
+      require(keyword || mode == Tokenizer.Text,
+        s"unknown analyzer mode '$mode'")
+      var count = 0
+      var inTok = false
+      var i = 0
+      val n = s.length
+      while (i < n) {
+        val cp = s.codePointAt(i)
+        val isSep =
+          if (keyword) !Character.isLetterOrDigit(cp)
+          else Character.isWhitespace(cp)
+        if (isSep) inTok = false
+        else if (!inTok) { count += 1; inTok = true }
+        i += Character.charCount(cp)
+      }
+      count
+    }
+
   /** text → ARRAY<STRUCT<term, tf, dl, positions ARRAY<INT>>>: the
     * positional twin of [[tfPairs]] for builds with `indexPositions`.
     * `positions` are the term's 0-based indexes in the post-expansion
@@ -133,6 +167,39 @@ object GraftRuntime {
       i += 1
     }
     dp / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
+  }
+
+  /** Nearest-centroid index by squared L2 — the IVF coarse-quantizer
+    * assignment as one native loop instead of an interpreted
+    * `aggregate(zip_with(...))` HOF tree per centroid (k × dim boxed
+    * lambda evaluations per row). Arithmetic is IDENTICAL to the HOF
+    * formulation: per centroid, Σ (x−y)² accumulated in index order from
+    * 0.0; argmin by strict `<` so the first minimum wins — the
+    * `foldLeft(when(d < best.d, ...))` contract. */
+  def vecNearestCentroid(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var bestI = 0
+    var bestD = l2sq(v, cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val d = l2sq(v, cents(i))
+      if (d < bestD) { bestD = d; bestI = i }
+      i += 1
+    }
+    bestI
+  }
+
+  private def l2sq(v: ArrayData, c: Array[Double]): Double = {
+    val n = v.numElements()
+    require(n == c.length,
+      s"vec_nearest_centroid: length mismatch $n vs ${c.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = v.getDouble(i) - c(i)
+      acc += d * d
+      i += 1
+    }
+    acc
   }
 
   /** blob → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>> */

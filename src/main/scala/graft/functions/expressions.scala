@@ -124,6 +124,30 @@ case class QubeTfPosExpr(child: Expression, dict: graft.analysis.SynonymDict,
     copy(child = newChild)
 }
 
+/** `qube_dl(text STRING) → INT` — the post-expansion token count alone
+  * (the docstore pass's `dl`), skipping [[QubeTfExpr]]'s per-term tf map
+  * when only the length is needed. Identity with `qube_tf(...)(1).dl` is
+  * spec-pinned. */
+case class QubeDlExpr(child: Expression, dict: graft.analysis.SynonymDict,
+    mode: String = graft.analysis.Tokenizer.Text)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_dl"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.docLen(dict,
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val dictRef = ctx.addReferenceObj("synDict", dict,
+      classOf[graft.analysis.SynonymDict].getName)
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.GraftRuntime.docLen($dictRef, $c, "$mode")""")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vb_decode_pos(blob)` — [[VbDecodeExpr]] plus per-posting positions
   * (the phrase path's decode, columnar so it stays in codegen). */
 case class VbDecodePosExpr(child: Expression) extends UnaryExpression
@@ -171,6 +195,29 @@ case class VecCosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_nearest_centroid(v ARRAY<DOUBLE>) → INT` — IVF coarse-quantizer
+  * assignment with the centroid matrix as a plan-embedded reference
+  * object; same arithmetic as the HOF argmin it replaces (strict `<`,
+  * index-ordered Σ(x−y)²), ~2 orders of magnitude less per-row overhead. */
+case class VecNearestCentroidExpr(child: Expression,
+    cents: Array[Array[Double]]) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_nearest_centroid"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.vecNearestCentroid(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftRuntime.vecNearestCentroid($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vb_decode(blob BINARY) → ARRAY<STRUCT<doc_id BIGINT, tf INT, dl INT>>`
   * — posting-blob decode for the query path (SURVEY.md §2.11 UDTF row).
   * `dl` rides in the posting (norms-colocation) so scoring never joins
@@ -211,11 +258,16 @@ object graftFunctions {
   def qube_tf_pos(c: Column, dict: graft.analysis.SynonymDict,
                   mode: String = graft.analysis.Tokenizer.Text): Column =
     col(QubeTfPosExpr(expr(c), dict, mode))
+  def qube_dl(c: Column, dict: graft.analysis.SynonymDict,
+              mode: String = graft.analysis.Tokenizer.Text): Column =
+    col(QubeDlExpr(expr(c), dict, mode))
   def normalize_sort_key(c: Column): Column = col(NormalizeSortKeyExpr(expr(c)))
   def vb_decode(c: Column): Column = col(VbDecodeExpr(expr(c)))
   def vb_decode_pos(c: Column): Column = col(VbDecodePosExpr(expr(c)))
   def vec_cosine(a: Column, b: Column): Column =
     col(VecCosineExpr(expr(a), expr(b)))
+  def vec_nearest_centroid(v: Column, cents: Array[Array[Double]]): Column =
+    col(VecNearestCentroidExpr(expr(v), cents))
 
   /** Register for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

@@ -483,23 +483,20 @@ object IndexBuilder {
     touched
   }
 
-  /** Dedup+id-assign sort key: (url asc, warc_ts desc, text desc nulls
-    * last) — the first row of each url run is the latest-wins winner. */
-  private[index] final case class SortKey(url: String, tsMs: Long,
-                                          text: String)
+  /** Dedup+id-assign sort key: (url asc, warc_ts desc). The exact
+    * (url, warc_ts) tie-break — text desc, nulls last — is applied
+    * STREAMING in the assignment pass over each url run's head group
+    * (the contiguous prefix sharing the max ts), so the shuffle key no
+    * longer carries the full document text a second time (the value row
+    * already ships it once — guide §2.3: keys carry metadata, not
+    * payloads). Winner identical by construction. */
+  private[index] final case class SortKey(url: String, tsMs: Long)
   private[index] object SortKey {
     implicit val ord: Ordering[SortKey] = new Ordering[SortKey] {
       def compare(a: SortKey, b: SortKey): Int = {
-        var c = a.url.compareTo(b.url)
-        if (c != 0) return c
-        c = java.lang.Long.compare(b.tsMs, a.tsMs) // ts desc
-        if (c != 0) return c
-        (a.text, b.text) match { // text desc, nulls last
-          case (null, null) => 0
-          case (null, _) => 1
-          case (_, null) => -1
-          case (x, y) => y.compareTo(x)
-        }
+        val c = a.url.compareTo(b.url)
+        if (c != 0) c
+        else java.lang.Long.compare(b.tsMs, a.tsMs) // ts desc
       }
     }
   }
@@ -561,20 +558,42 @@ object IndexBuilder {
     val urlIdx = schema.fieldIndex("url")
     val tsIdx = schema.fieldIndex("warc_ts")
     val tieIdx = schema.fieldIndex(tieCol)
-    val rawRdd = df.rdd
-    val keyed = rawRdd.map { r =>
-      // datetime-API-agnostic: rows carry java.sql.Timestamp by default
-      // but java.time.Instant under spark.sql.datetime.java8API.enabled
-      // — a typed getAs would CCE the whole build under that config
-      val tsMs = r.get(tsIdx) match {
-        case null => Long.MinValue
-        case t: Timestamp => t.getTime
-        case i: java.time.Instant => i.toEpochMilli
+    val nFields = schema.fields.length
+    // the shuffle ships (SortKey(url, tsMs), UnsafeRow bytes): compact
+    // Tungsten row bytes instead of Java-serialized external Rows (the
+    // previous shape paid a full external-Row materialization on the map
+    // side plus generic object serialization on every shuffle write AND
+    // both shuffle reads — measured CPU, worst on the low-thread scaling
+    // legs). InternalRow timestamps are epoch-MICROS longs, floor-divided
+    // to ms so the ordering is bit-compatible with the previous
+    // Timestamp.getTime / Instant.toEpochMilli path (and independent of
+    // spark.sql.datetime.java8API.enabled by construction).
+    val keyed = org.apache.spark.sql.graft.Bridge.internalRdd(df)
+      .mapPartitions { it =>
+        val toUnsafe = org.apache.spark.sql.catalyst.expressions
+          .UnsafeProjection.create(schema)
+        it.map { r =>
+          val u = r match {
+            case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow => ur
+            case other => toUnsafe(other)
+          }
+          val url = u.getUTF8String(urlIdx).toString
+          val tsMs =
+            if (u.isNullAt(tsIdx)) Long.MinValue
+            else Math.floorDiv(u.getLong(tsIdx), 1000L)
+          (SortKey(url, tsMs), u.copy().getBytes)
+        }
       }
-      (SortKey(r.getString(urlIdx), tsMs, r.getString(tieIdx)), r)
-    }
+    // boundary sampling over a url-ONLY projection: Catalyst prunes every
+    // other column from the sample pass (the full-row rdd forced a
+    // complete materialization of text/html just to sample urls — at
+    // parquet inputs the pruned scan reads one narrow column). Boundaries
+    // only affect partition balance, never results: ids come from the
+    // per-partition counts + offsets over the contiguous url ranges, so
+    // ANY boundary choice yields the same dense url-ordered assignment.
     val urlRp = new org.apache.spark.RangePartitioner(
-      math.max(rangeParts, 1), rawRdd.map(r => (r.getString(urlIdx), null)))
+      math.max(rangeParts, 1),
+      df.select(col("url")).rdd.map(r => (r.getString(0), null)))
     val sorted = keyed.repartitionAndSortWithinPartitions(
       new UrlRangePartitioner(urlRp))
     val counts = sorted.mapPartitions { it =>
@@ -588,23 +607,70 @@ object IndexBuilder {
       counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
     }
     val bcOff = spark.sparkContext.broadcast(offsets)
+    // streaming dedup + assignment: rows arrive (url asc, ts desc); each
+    // url run's winner is the text-desc (nulls last) best of its HEAD
+    // group — the contiguous prefix sharing the run's max ts — exactly
+    // the old (url, ts desc, text desc) sort's first row, with O(1)
+    // state (current best bytes + its tie string, extracted lazily only
+    // when a same-ts duplicate actually appears).
     val ids = sorted.mapPartitions { it =>
-      var next = bcOff.value.getOrElse(TaskContext.getPartitionId(), 0L)
-      var prev: String = null
-      it.flatMap { case (_, r) =>
-        if (r.getString(urlIdx) == prev) Iterator.empty
-        else {
-          prev = r.getString(urlIdx)
-          val out = org.apache.spark.sql.Row.fromSeq(next +: r.toSeq)
-          next += 1
-          Iterator.single(out)
+      var nextId = bcOff.value.getOrElse(TaskContext.getPartitionId(), 0L)
+      new Iterator[InternalRow] {
+        private var curUrl: String = null
+        private var headTs = 0L
+        private var bestBytes: Array[Byte] = null
+        private var bestTie: String = null
+        private var bestTieSet = false
+        private var out: InternalRow = null
+        private def tieOf(bytes: Array[Byte]): String = {
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .UnsafeRow(nFields)
+          row.pointTo(bytes, bytes.length)
+          if (row.isNullAt(tieIdx)) null
+          else row.getUTF8String(tieIdx).toString
+        }
+        private def emit(): InternalRow = {
+          val row = new org.apache.spark.sql.catalyst.expressions
+            .UnsafeRow(nFields)
+          row.pointTo(bestBytes, bestBytes.length)
+          val joined = new org.apache.spark.sql.catalyst.expressions
+            .JoinedRow(
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(Array[Any](nextId)), row)
+          nextId += 1
+          joined
+        }
+        private def advance(): Unit = {
+          while (out == null && it.hasNext) {
+            val (k, bytes) = it.next()
+            if (curUrl == null || k.url != curUrl) {
+              if (curUrl != null) out = emit()
+              curUrl = k.url; headTs = k.tsMs
+              bestBytes = bytes; bestTie = null; bestTieSet = false
+            } else if (k.tsMs == headTs) {
+              if (!bestTieSet) { bestTie = tieOf(bestBytes); bestTieSet = true }
+              val t = tieOf(bytes)
+              if (t != null && (bestTie == null || t.compareTo(bestTie) > 0)) {
+                bestBytes = bytes; bestTie = t
+              }
+            } // else: older version inside the url run — a loser, skip
+          }
+          if (out == null && bestBytes != null) {
+            out = emit()
+            bestBytes = null; curUrl = null
+          }
+        }
+        def hasNext: Boolean = { if (out == null) advance(); out != null }
+        def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = out; out = null; r
         }
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType, nullable = false) +: schema.fields)
-    spark.createDataFrame(ids, outSchema)
+    org.apache.spark.sql.graft.Bridge.fromInternal(spark, ids, outSchema)
   }
 
   /** Analysis chain over the id-assigned pages: byte-identical text per
@@ -627,6 +693,18 @@ object IndexBuilder {
         col("text"), qube_tf(col("text"), dict, mode).as("tf_pairs"))
       .withColumn("dl", // try_: an empty-field doc has an EMPTY tf array
         coalesce(try_element_at(col("tf_pairs"), lit(1)).getField("dl"), lit(0)))
+
+  /** [[analyze]] when only `dl` is needed (the docstore pass): `qube_dl`
+    * counts the post-expansion tokens without building the per-term tf
+    * map — identical `dl` by the spec-pinned `docLen == tfPairs.dl`
+    * identity, measurably cheaper per doc. */
+  private def analyzeDlOnly(pages: DataFrame, dict: SynonymDict,
+                            mode: String): DataFrame =
+    pages
+      .withColumn("text",
+        coalesce(col("text"), extract_text(col("html")), lit("")))
+      .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
+        col("text"), qube_dl(col("text"), dict, mode).as("dl"))
 
   /** Build one complete segment under `root/segments/<seg>` and return
     * its report. `resume = true` skips posting partitions already present
@@ -681,7 +759,7 @@ object IndexBuilder {
     // at 10^12 docs a separate stats agg would re-scan the docstore; as
     // observed metrics they cost nothing.
     val docObs = org.apache.spark.sql.Observation()
-    analyze(idPages, dict, cfg.analyzer)
+    analyzeDlOnly(idPages, dict, cfg.analyzer)
       .select(col("doc_id"), col("url"), col("warc_ts"), col("lang"),
         col("text"), col("dl"))
       .observe(docObs, count(lit(1)).as("cnt"),
@@ -778,14 +856,25 @@ object IndexBuilder {
     val flushEntries = cfg.flushEntries
     val fragRdd = org.apache.spark.sql.graft.Bridge.internalRdd(analyzedRows)
       .mapPartitions { rows =>
-        val head = bcHead.value
+        // UTF8String-keyed buffers: the scan's transient term views probe
+        // the map with zero allocation (hashCode/equals are byte-wise over
+        // the view); only a MISS clones the bytes into a stable key. The
+        // previous String keys paid a decode + String alloc per posting
+        // occurrence (~|corpus tokens| allocations per build pass).
+        val head: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+          val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+          bcHead.value.foreach(t =>
+            s.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+          s
+        }
         // Lucene's ramBufferSize analog: the RAM posting buffers FLUSH as
         // fragments every `flushEntries` postings, so per-task memory is
         // bounded no matter how large the input partition is (a flush
         // happens only between documents, so fragment doc sets stay
         // disjoint and the reduce-side k-way merge is unaffected)
         new Iterator[InternalRow] {
-          private var bufs = new java.util.HashMap[String, Array[FragBuf]]()
+          private var bufs = new java.util.HashMap[
+            org.apache.spark.unsafe.types.UTF8String, Array[FragBuf]]()
           private var entries = 0L
           private var pending: Iterator[InternalRow] = Iterator.empty
           // STREAMING flush: detach the buffer map and encode it ONE term
@@ -796,7 +885,8 @@ object IndexBuilder {
           // fragment tasks ran concurrently (round-5 10M dress).
           private def flush(): Unit = {
             val old = bufs
-            bufs = new java.util.HashMap[String, Array[FragBuf]]()
+            bufs = new java.util.HashMap[
+              org.apache.spark.unsafe.types.UTF8String, Array[FragBuf]]()
             entries = 0L
             val it = old.entrySet().iterator()
             pending = new Iterator[InternalRow] {
@@ -804,11 +894,10 @@ object IndexBuilder {
               def hasNext: Boolean = {
                 while (!inner.hasNext && it.hasNext) {
                   val e = it.next()
-                  val term = e.getKey
+                  val termUtf = e.getKey
+                  val term = termUtf.toString // once per (term, flush)
                   val shards = e.getValue
                   it.remove() // buffer becomes collectible once encoded
-                  val termUtf =
-                    org.apache.spark.unsafe.types.UTF8String.fromString(term)
                   inner = shards.iterator.zipWithIndex
                     .filter(_._1.nonEmpty).map { case (buf, salt) =>
                       val (ids, tfs, dls, poss) = buf.sorted()
@@ -837,12 +926,14 @@ object IndexBuilder {
               var cost = 0L
               while (i < n) {
                 val s = arr.getStruct(i, nFields)
-                val term = s.getUTF8String(0).toString
-                var shards = bufs.get(term)
+                val termView = s.getUTF8String(0) // view into the scan row
+                var shards = bufs.get(termView)
                 if (shards == null) {
                   shards = Array.fill(
-                    if (head.contains(term)) fanout else 1)(new FragBuf(withPos))
-                  bufs.put(term, shards)
+                    if (head.contains(termView)) fanout
+                    else 1)(new FragBuf(withPos))
+                  // clone: the view's buffer is reused by the next row
+                  bufs.put(termView.clone(), shards)
                 }
                 val shard =
                   if (shards.length == 1) shards(0)

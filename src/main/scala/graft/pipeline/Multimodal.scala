@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // javax.imageio defaults to DISK-backed stream caches: every
+  // ImageIO.read/write call materializes (and deletes) a temp file even
+  // when the source/sink is an in-memory byte array. Flip to memory-
+  // cached streams once per JVM — same bytes, no per-call filesystem
+  // round-trip (this was also the round-5 q_video_frames/q_image_decode
+  // "drift": temp-file churn is maximally sensitive to disk co-tenancy).
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
                                  byte_sum: Long, head_crc: Long,

@@ -128,7 +128,7 @@ object TextOps {
     val terms = queryTerms.map(graft.analysis.Tokenizer.foldCase).distinct.sorted
     val scored = bm25ScoresSelect(docs, idCol, textCol,
       _.filter(col("term").isin(terms: _*)), filter, roundTo, notTerms,
-      boundedTerms = true)
+      boundedTerms = true, pivotTerms = Some(terms))
     if (conjunctive) scored.filter(col("matched") === terms.size)
     else if (minShouldMatch > 0) scored.filter(col("matched") >= minShouldMatch)
     else scored
@@ -151,7 +151,8 @@ object TextOps {
                                selectTf: DataFrame => DataFrame,
                                filter: Option[Column], roundTo: Int,
                                notTerms: Seq[String],
-                               boundedTerms: Boolean): DataFrame = {
+                               boundedTerms: Boolean,
+                               pivotTerms: Option[Seq[String]] = None): DataFrame = {
     val tf = termFrequencies(docs, idCol, textCol)
     val dl = docLengths(docs, idCol, textCol)
     val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
@@ -177,12 +178,40 @@ object TextOps {
       else matched1.join(
         tf.filter(col("term").isin(notFolded: _*)).select(idCol).distinct(),
         Seq(idCol), "left_anti")
-    matched.groupBy(idCol)
-      .agg(count(lit(1)).as("matched"),
-        sort_array(collect_list(struct(col("term"), col("contrib")))).as("__p"))
-      .withColumn("score", round(
-        aggregate(col("__p"), lit(0.0d), (acc, x) => acc + x("contrib")), roundTo))
-      .select(col(idCol), col("matched"), col("score"))
+    pivotTerms match {
+      case Some(ts) =>
+        // plan-time-known term set (every literal-terms query): pivot each
+        // term's contribution into a fixed-width column and sum ascending
+        // as a column expression — a DECLARATIVE aggregate with map-side
+        // partial aggregation (the collect_list shape below ships one
+        // (term, contrib) struct per matched (doc, term) through an
+        // object-hash aggregate with no partial combine). Bit-identical:
+        // contribs are strictly positive finite doubles (idf > 0, tf > 0)
+        // and the fold adds them in the SAME ascending term order, so the
+        // `+ 0.0` for a missing term is exact — the Searcher.foldPrepared
+        // argument, round 5.
+        val sortedTerms = ts.distinct.sorted
+        val aggs = count(lit(1)).as("matched") +:
+          sortedTerms.zipWithIndex.map { case (t, i) =>
+            sum(when(col("term") === t, col("contrib"))).as(s"__c$i")
+          }
+        val total = sortedTerms.indices
+          .map(i => coalesce(col(s"__c$i"), lit(0.0d)))
+          .reduceOption(_ + _).getOrElse(lit(0.0d))
+        matched.groupBy(idCol)
+          .agg(aggs.head, aggs.tail: _*)
+          .withColumn("score", round(total, roundTo))
+          .select(col(idCol), col("matched"), col("score"))
+      case None =>
+        // expansion paths (prefix/fuzzy/regexp/range/MLT): the term set is
+        // data-dependent, so the order-pinned object fold stays
+        matched.groupBy(idCol)
+          .agg(count(lit(1)).as("matched"),
+            sort_array(collect_list(struct(col("term"), col("contrib")))).as("__p"))
+          .withColumn("score", round(
+            aggregate(col("__p"), lit(0.0d), (acc, x) => acc + x("contrib")), roundTo))
+          .select(col(idCol), col("matched"), col("score"))
+    }
   }
 
   /** Multi-term-query expansion over a raw (id, text) table — the
@@ -389,16 +418,44 @@ object TextOps {
     * (no shuffle); signatures verified in tests against exact Jaccard. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame = {
+    // permutation constants hoisted out of the UDF (they are pure
+    // functions of the index); the per-row body runs primitive loops —
+    // identical values to the original sliding/Set/map formulation,
+    // without the per-shingle Seq/String-churn (distinct-shingle hashes
+    // dedup via a primitive-friendly HashSet, min computed in place)
+    val as = Array.tabulate(k)(i => permConst(i * 2))
+    val bs = Array.tabulate(k)(i => permConst(i * 2 + 1))
     val sigUdf = udf { toks: Seq[String] =>
-      val sh = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
-      if (sh.isEmpty) Array.fill(k)(Long.MaxValue)
+      val t = toks.toArray
+      if (t.length < n) Array.fill(k)(Long.MaxValue)
       else {
-        val hs = sh.toArray.map(s => polyHash(s, 31L, MinhashPrime))
-        Array.tabulate(k) { i =>
-          val a = permConst(i * 2)
-          val b = permConst(i * 2 + 1)
-          hs.map(h => (a * h + b) % MinhashPrime).min
+        val seen = new java.util.HashSet[String]()
+        val out = Array.fill(k)(Long.MaxValue)
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        var any = false
+        while (i <= t.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(t(i + j))
+            j += 1
+          }
+          val s = sb.toString
+          if (seen.add(s)) {
+            any = true
+            val h = polyHash(s, 31L, MinhashPrime)
+            var p = 0
+            while (p < k) {
+              val v = (as(p) * h + bs(p)) % MinhashPrime
+              if (v < out(p)) out(p) = v
+              p += 1
+            }
+          }
+          i += 1
         }
+        if (!any) Array.fill(k)(Long.MaxValue) else out
       }
     }
     docs.select(col(idCol), sigUdf(qube_tokenize(col(textCol))).as("sig"))
@@ -462,11 +519,19 @@ object TextOps {
   val SimhashBits = 62
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val simUdf = udf { toks: Seq[String] =>
+      // tf count via a primitive-int map instead of groupBy(identity)'s
+      // Map[String, Seq[String]] materialization — identical weights
+      val counts = new java.util.HashMap[String, Integer]()
+      toks.foreach(t => counts.merge(t, 1,
+        (a: Integer, b: Integer) => Integer.valueOf(a + b)))
       val acc = new Array[Int](SimhashBits)
-      toks.groupBy(identity).foreach { case (t, g) =>
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val t = e.getKey
         val h = polyHash(t, 31L, MinhashPrime) * 2147483648L +
           polyHash(t, 37L, SimhashPrime2)
-        val w = g.size
+        val w = e.getValue
         var j = 0
         while (j < SimhashBits) {
           if (((h >>> j) & 1L) == 1L) acc(j) += w else acc(j) -= w
@@ -532,21 +597,29 @@ object TextOps {
     var iter = 0
     var changed = true
     while (changed && iter < maxIters) {
+      // each union leg tags whether the row is the node's OWN prior label
+      // (exactly one per id) so the old label rides through the min-agg —
+      // change detection then folds into the checkpoint job as an
+      // observed metric instead of a separate join + count job per round
       val prop = labels.join(edges, labels("id") === edges("src"))
-        .select(col("dst").as("id"), col("keep_id"))
-      val combined = labels.union(prop).groupBy("id")
-        .agg(min("keep_id").as("keep_id"))
+        .select(col("dst").as("id"), col("keep_id"), lit(false).as("__own"))
+      val combined = labels.withColumn("__own", lit(true)).union(prop)
+        .groupBy("id")
+        .agg(min("keep_id").as("keep_id"),
+          min(when(col("__own"), col("keep_id"))).as("__old"))
       // pointer doubling: keep_id := keep_id's keep_id (every keep_id is
       // itself a node id, so the inner join is total); monotone because
       // the followed label is never larger
+      val obs = org.apache.spark.sql.Observation()
       val next = combined
         .join(combined.select(col("id").as("__kid"),
           col("keep_id").as("__kk")), col("keep_id") === col("__kid"))
-        .select(col("id"), col("__kk").as("keep_id"))
+        .select(col("id"), col("__kk").as("keep_id"), col("__old"))
+        .observe(obs, sum(when(col("keep_id") < col("__old"), 1L)
+          .otherwise(0L)).as("__changed"))
+        .select(col("id"), col("keep_id"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.withColumnRenamed("keep_id", "__old"), Seq("id"))
-        .where(col("keep_id") < col("__old")).limit(1).count() > 0
+      changed = obs.get("__changed").asInstanceOf[Long] > 0
       labels = next
       iter += 1
     }

@@ -176,20 +176,15 @@ object VectorOps {
     centroids
   }
 
-  /** Index of the nearest centroid by squared L2 (map-only expression). */
-  def nearestCentroid(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val v = toDouble(vecCol)
-    val dists = centroids.map { c =>
-      aggregate(zip_with(v, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-    }
-    // argmin via a fold over (bestIdx, bestDist)
-    dists.zipWithIndex.foldLeft(struct(lit(0).as("i"), dists(0).as("d"))) {
-      case (best, (d, i)) =>
-        when(d < best.getField("d"), struct(lit(i).as("i"), d.as("d")))
-          .otherwise(best)
-    }.getField("i")
-  }
+  /** Index of the nearest centroid by squared L2 (map-only expression).
+    * Native codegen loop ([[graft.functions.VecNearestCentroidExpr]]):
+    * the previous k × dim `aggregate(zip_with(...))` HOF tree evaluated
+    * interpreted lambdas per element — same arithmetic (index-ordered
+    * Σ(x−y)² from 0.0, strict-`<` argmin, first minimum wins), orders of
+    * magnitude less per-row cost. */
+  def nearestCentroid(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.graftFunctions.vec_nearest_centroid(toDouble(vecCol),
+      centroids)
 
   /** IVF ANN top-k: assign every row to its nearest centroid (map-only),
     * probe only the `nprobe` centroids closest to the query, exact cosine
