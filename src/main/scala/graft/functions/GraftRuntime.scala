@@ -43,14 +43,31 @@ object GraftRuntime {
       if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
       else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))
     val dl = expanded.length
-    val m = new java.util.LinkedHashMap[String, Int]()
-    expanded.foreach(t => m.put(t, m.getOrDefault(t, 0) + 1))
-    val out = new Array[Any](m.size)
-    val it = m.entrySet().iterator()
+    if (dl == 0) return new GenericArrayData(new Array[Any](0))
+    // open-addressing tf count (linear probing, power-of-two capacity):
+    // the LinkedHashMap formulation boxed an Integer per token put —
+    // measured as the dominant term of this hot loop (build passes run
+    // it once per doc per pass). Same output: first-occurrence term
+    // order via the `order` slots, identical counts.
+    val cap = Integer.highestOneBit(math.max(4, dl * 2 - 1)) * 2
+    val mask = cap - 1
+    val keys = new Array[String](cap)
+    val counts = new Array[Int](cap)
+    val order = new Array[Int](dl)
+    var uniq = 0
+    val it0 = expanded.iterator
+    while (it0.hasNext) {
+      val t = it0.next()
+      var h = t.hashCode & mask
+      while (keys(h) != null && !keys(h).equals(t)) h = (h + 1) & mask
+      if (keys(h) == null) { keys(h) = t; order(uniq) = h; uniq += 1 }
+      counts(h) += 1
+    }
+    val out = new Array[Any](uniq)
     var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      out(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue, dl)
+    while (i < uniq) {
+      val slot = order(i)
+      out(i) = InternalRow(UTF8String.fromString(keys(slot)), counts(slot), dl)
       i += 1
     }
     new GenericArrayData(out)
@@ -105,21 +122,33 @@ object GraftRuntime {
       if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
       else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))
     val dl = expanded.length
-    val m = new java.util.LinkedHashMap[String, IntVec]()
+    if (dl == 0) return new GenericArrayData(new Array[Any](0))
+    // same open-addressing shape as [[tfPairs]], with an IntVec of
+    // positions per slot instead of a count
+    val cap = Integer.highestOneBit(math.max(4, dl * 2 - 1)) * 2
+    val mask = cap - 1
+    val keys = new Array[String](cap)
+    val poss = new Array[IntVec](cap)
+    val order = new Array[Int](dl)
+    var uniq = 0
     var p = 0
-    expanded.foreach { t =>
-      var buf = m.get(t)
-      if (buf == null) { buf = new IntVec(); m.put(t, buf) }
-      buf.add(p)
+    val it0 = expanded.iterator
+    while (it0.hasNext) {
+      val t = it0.next()
+      var h = t.hashCode & mask
+      while (keys(h) != null && !keys(h).equals(t)) h = (h + 1) & mask
+      if (keys(h) == null) {
+        keys(h) = t; poss(h) = new IntVec(); order(uniq) = h; uniq += 1
+      }
+      poss(h).add(p)
       p += 1
     }
-    val out = new Array[Any](m.size)
-    val it = m.entrySet().iterator()
+    val out = new Array[Any](uniq)
     var i = 0
-    while (it.hasNext) {
-      val e = it.next()
-      val ps = e.getValue
-      out(i) = InternalRow(UTF8String.fromString(e.getKey), ps.size, dl,
+    while (i < uniq) {
+      val slot = order(i)
+      val ps = poss(slot)
+      out(i) = InternalRow(UTF8String.fromString(keys(slot)), ps.size, dl,
         new GenericArrayData(ps.toArray))
       i += 1
     }
@@ -196,6 +225,38 @@ object GraftRuntime {
     val it = seen.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** One sign-LSH bucket per seed — the `transform(aggregate(...))` HOF
+    * tree as a native loop. Arithmetic identical to the HOF formulation:
+    * per seed, fold planes as `acc·2 + (dot ≥ 0 ? 1 : 0)` with each dot
+    * an index-ordered Σ x·y from 0.0. */
+  def lshBucketsPerSeed(v: ArrayData,
+                        planesBySeed: Array[Array[Array[Double]]]): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](planesBySeed.length)
+    var s = 0
+    while (s < planesBySeed.length) {
+      val planes = planesBySeed(s)
+      var acc = 0L
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        // mirror zip_with's length semantics: equal dims in practice
+        // (planes are generated at the embedding dim); require loudly
+        // rather than silently truncating
+        require(n == plane.length,
+          s"lsh_buckets: dim mismatch $n vs ${plane.length}")
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += v.getDouble(i) * plane(i); i += 1 }
+        acc = acc * 2 + (if (d >= 0) 1L else 0L)
+        p += 1
+      }
+      out(s) = acc
+      s += 1
+    }
     new GenericArrayData(out)
   }
 

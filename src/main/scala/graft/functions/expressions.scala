@@ -215,6 +215,30 @@ case class QubeShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `vec_lsh_buckets(v ARRAY<DOUBLE>) → ARRAY<BIGINT>` — one sign-LSH
+  * bucket per seed with the seeded hyperplanes as a plan-embedded
+  * reference object; same arithmetic as the interpreted
+  * `transform(aggregate(zip_with(...)))` tree it replaces. */
+case class VecLshBucketsExpr(child: Expression,
+    planesBySeed: Array[Array[Array[Double]]]) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_lsh_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.lshBucketsPerSeed(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planesBySeed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planesBySeed", planesBySeed, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftRuntime.lshBucketsPerSeed($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vec_nearest_centroid(v ARRAY<DOUBLE>) → INT` — IVF coarse-quantizer
   * assignment with the centroid matrix as a plan-embedded reference
   * object; same arithmetic as the HOF argmin it replaces (strict `<`,
@@ -290,6 +314,8 @@ object graftFunctions {
     col(VecNearestCentroidExpr(expr(v), cents))
   def qube_shingles(c: Column, n: Int): Column =
     col(QubeShinglesExpr(expr(c), n))
+  def vec_lsh_buckets(v: Column, planesBySeed: Array[Array[Array[Double]]]): Column =
+    col(VecLshBucketsExpr(expr(v), planesBySeed))
 
   /** Register for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

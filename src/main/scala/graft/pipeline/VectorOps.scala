@@ -75,13 +75,14 @@ object VectorOps {
     * sign vector yields the identical bucketing, so candidates (and the
     * oracle's) are unchanged. */
   def lshBucketsPerSeed(vecCol: Column,
-                        planesBySeed: Seq[Array[Array[Double]]]): Column = {
-    val litPlanes = typedLit(planesBySeed.map(_.map(_.toSeq).toSeq))
-    val v = toDouble(vecCol)
-    transform(litPlanes, seedPlanes =>
-      aggregate(seedPlanes, lit(0L), (acc, p) =>
-        acc * 2 + when(dot(v, p) >= 0, lit(1L)).otherwise(lit(0L))))
-  }
+                        planesBySeed: Seq[Array[Array[Double]]]): Column =
+    // native codegen loop ([[graft.functions.VecLshBucketsExpr]]) — the
+    // previous transform/aggregate HOF tree interpreted seeds×planes×dim
+    // lambda evaluations per row; arithmetic identical (per seed,
+    // acc·2 + sign bit, each dot an index-ordered Σ x·y from 0.0), so
+    // the oracle's inlined-constants replay is unaffected
+    graft.functions.graftFunctions.vec_lsh_buckets(toDouble(vecCol),
+      planesBySeed.toArray)
 
   /** Embedding-cosine near-duplicate pairs ≥ threshold — the vector leg
     * of the dedup family. `nPlanes = 0` is the exact all-pairs baseline
