@@ -228,6 +228,61 @@ object GraftRuntime {
     new GenericArrayData(out)
   }
 
+  /** Ordered within-slop phrase match over the tokenized text — the
+    * native twin of the nested-`exists` HOF cascade in
+    * [[graft.pipeline.TextOps.phraseTopK]]: positions p_0 < … < p_{m−1}
+    * with tokens(p_j) = terms(j) and every gap p_j − p_{j−1} ∈
+    * [1, 1+slop]. Exact DFS transcription of the `from(j, prev)`
+    * recursion (same search order, same early-true), so the match set is
+    * identical by construction. */
+  def phraseMatch(text: UTF8String, terms: Array[String],
+                  slop: Int): Boolean = {
+    val toks = Tokenizer.tokenize(text.toString, Tokenizer.Text)
+    val m = terms.length
+    val n = toks.length
+    if (m == 0 || n < m) return false
+    def from(j: Int, prev: Int): Boolean = { // 1-based positions
+      if (j == m) return true
+      var p = prev + 1
+      val hi = prev + 1 + slop
+      while (p <= hi) {
+        if (p <= n && toks(p - 1) == terms(j) && from(j + 1, p)) return true
+        p += 1
+      }
+      false
+    }
+    var i = 1
+    val lim = n - (m - 1)
+    while (i <= lim) {
+      if (toks(i - 1) == terms(0) && from(1, i)) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Per-set token-occurrence counts in ONE tokenize pass — the native
+    * replacement for `explode(tokens).groupBy(id).agg(sum(when(isin)))`
+    * shapes (langId / qualityScore), which shuffled the token stream
+    * just to count stopword hits per doc. */
+  def setHits(text: UTF8String,
+              sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val toks = Tokenizer.tokenize(text.toString, Tokenizer.Text)
+    val out = new Array[Any](sets.length)
+    var s = 0
+    while (s < sets.length) {
+      val set = sets(s)
+      var hits = 0L
+      var i = 0
+      while (i < toks.length) {
+        if (set.contains(toks(i))) hits += 1
+        i += 1
+      }
+      out(s) = hits
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One sign-LSH bucket per seed — the `transform(aggregate(...))` HOF
     * tree as a native loop. Arithmetic identical to the HOF formulation:
     * per seed, fold planes as `acc·2 + (dot ≥ 0 ? 1 : 0)` with each dot

@@ -215,6 +215,59 @@ case class QubeShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `qube_phrase_match(text) → BOOLEAN` — ordered within-slop phrase
+  * containment as one native pass (the nested-exists HOF cascade was
+  * interpreted per token). Terms ride as a plan-embedded reference
+  * object. */
+case class QubePhraseMatchExpr(child: Expression, terms: Seq[String],
+    slop: Int) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_phrase_match"
+  private lazy val termArr = terms.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.phraseMatch(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      termArr, slop)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseTerms", terms.toArray,
+      "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftRuntime.phraseMatch($c, $ref, $slop)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `qube_set_hits(text) → ARRAY<BIGINT>` — per-set token-occurrence
+  * counts in one tokenize pass; replaces token-stream-shuffling
+  * stopword-hit aggregations. */
+case class QubeSetHitsExpr(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "qube_set_hits"
+  @transient private lazy val hashSets: Array[java.util.HashSet[String]] =
+    sets.map { s =>
+      val h = new java.util.HashSet[String]()
+      s.foreach(h.add)
+      h
+    }.toArray
+  override protected def nullSafeEval(input: Any): Any =
+    GraftRuntime.setHits(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], hashSets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hitSets", hashSets,
+      "java.util.HashSet[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftRuntime.setHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `vec_lsh_buckets(v ARRAY<DOUBLE>) → ARRAY<BIGINT>` — one sign-LSH
   * bucket per seed with the seeded hyperplanes as a plan-embedded
   * reference object; same arithmetic as the interpreted
@@ -316,6 +369,10 @@ object graftFunctions {
     col(QubeShinglesExpr(expr(c), n))
   def vec_lsh_buckets(v: Column, planesBySeed: Array[Array[Array[Double]]]): Column =
     col(VecLshBucketsExpr(expr(v), planesBySeed))
+  def qube_phrase_match(c: Column, terms: Seq[String], slop: Int): Column =
+    col(QubePhraseMatchExpr(expr(c), terms, slop))
+  def qube_set_hits(c: Column, sets: Seq[Seq[String]]): Column =
+    col(QubeSetHitsExpr(expr(c), sets))
 
   /** Register for `spark.sql` use. */
   def register(spark: SparkSession): Unit = {

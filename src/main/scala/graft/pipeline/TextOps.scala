@@ -119,24 +119,14 @@ object TextOps {
   def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
                  phrase: Seq[String], k: Int, slop: Int = 0): DataFrame = {
     val terms = phrase.map(graft.analysis.Tokenizer.foldCase)
-    val m = terms.size
-    val toks = qube_tokenize(col(textCol))
     // ordered within-slop alignment: positions p_0 < … < p_{m-1} with
     // tokens(p_j) = terms(j) and every gap p_j − p_{j−1} ≤ 1 + slop
     // (per-gap proximity; slop = 0 is exact adjacency — NOT Lucene's
     // total-edit-distance slop, the contract is pinned by the golden
-    // model). Nested exists over candidate positions; try_element_at
-    // keeps out-of-range probes null-safe under ANSI; guarded so
-    // sequence() stays ascending even for short docs.
-    def from(j: Int, prev: Column): Column =
-      if (j == m) lit(true)
-      else exists(sequence(prev + lit(1), prev + lit(1 + slop)),
-        i => coalesce(try_element_at(toks, i) === lit(terms(j)), lit(false))
-          && from(j + 1, i))
-    val cond = when(size(toks) >= m,
-      exists(sequence(lit(1), size(toks) - (m - 1)),
-        i => try_element_at(toks, i) === lit(terms.head) && from(1, i)))
-      .otherwise(lit(false))
+    // model). One native pass (`qube_phrase_match` — the exact DFS
+    // transcription of the previous nested-exists HOF cascade, which
+    // interpreted a lambda tree per token position).
+    val cond = qube_phrase_match(col(textCol), terms, slop)
     bm25TopK(docs, idCol, textCol, terms.distinct, k, conjunctive = true,
       filter = Some(cond))
   }
@@ -335,11 +325,20 @@ object TextOps {
   /** Language-ID by stopword-hit heuristic (n-gram-free deterministic
     * variant; SQL-expressible so the DuckDB oracle can replay it). */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = tokens(docs, idCol, textCol)
-    def hits(ws: Seq[String]) = sum(when(col("term").isin(ws: _*), 1L).otherwise(0L))
-    t.groupBy(idCol).agg(
-        hits(enStop).as("en_hits"), hits(deStop).as("de_hits"),
-        hits(esStop).as("es_hits"))
+    // per-doc native counting (one tokenize pass, three set probes per
+    // token) instead of explode + groupBy — the old shape shuffled the
+    // whole token stream to count stopword hits. Row set identical: the
+    // groupBy emitted one row per doc WITH tokens, so token-less docs
+    // stay excluded (the `qube_dl > 0` guard — a codepoint walk, no
+    // token materialization).
+    docs
+      .where(qube_dl(col(textCol), graft.analysis.SynonymDict.empty) > 0)
+      .select(col(idCol),
+        qube_set_hits(col(textCol), Seq(enStop, deStop, esStop)).as("__h"))
+      .select(col(idCol),
+        element_at(col("__h"), 1).as("en_hits"),
+        element_at(col("__h"), 2).as("de_hits"),
+        element_at(col("__h"), 3).as("es_hits"))
       .withColumn("lang_pred",
         when(col("en_hits") >= col("de_hits") && col("en_hits") >= col("es_hits"), "en")
           .when(col("de_hits") >= col("es_hits"), "de")
@@ -353,17 +352,19 @@ object TextOps {
     val nTokens = size(qube_tokenize(t)).cast("double")
     val nChars = length(t).cast("double")
     val punct = (length(t) - length(regexp_replace(t, "[^a-zA-Z0-9 ]", ""))).cast("double")
+    // stopword ratio per doc from one native set-hit pass — the old
+    // shape exploded the token stream, shuffled it into a groupBy and
+    // joined back. Same values: hits/count over the same tokens, and
+    // token-less docs take the joined-null → 0.0 fill both ways.
+    val swHits = element_at(
+      qube_set_hits(t, Seq(enStop)), 1).cast("double")
     docs.select(
         col(idCol),
         nTokens.as("n_tokens"),
         round(punct / greatest(nChars, lit(1.0)), 4).as("punct_ratio"),
-        round(nChars / greatest(nTokens, lit(1.0)), 4).as("chars_per_token"))
-      .join(
-        tokens(docs, idCol, textCol).groupBy(idCol)
-          .agg(round(sum(when(col("term").isin(enStop: _*), 1.0).otherwise(0.0)) /
-            count(lit(1)), 4).as("stopword_ratio")),
-        Seq(idCol), "left")
-      .na.fill(0.0, Seq("stopword_ratio"))
+        round(nChars / greatest(nTokens, lit(1.0)), 4).as("chars_per_token"),
+        when(nTokens > 0, round(swHits / nTokens, 4))
+          .otherwise(0.0).as("stopword_ratio"))
       .withColumn("quality", round(
         lit(0.5) * least(col("n_tokens") / lit(100.0), lit(1.0)) +
           lit(0.5) * (lit(1.0) - col("punct_ratio")), 4))
