@@ -65,6 +65,75 @@ final class SynonymDict(
     m
   }
 
+  /** UTF8String twin of [[byFirst]] for the byte-native analysis chain:
+    * same entries with keys and flattened outputs pre-encoded to UTF-8
+    * once per JVM. Candidate order is longest-first as in [[byFirst]];
+    * among equal-length same-first-token keys order is irrelevant (two
+    * distinct keys of equal length cannot both match one span). */
+  @transient private lazy val byFirstU8
+      : java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[SynonymDict.U8Rule]] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val m = new java.util.HashMap[UTF8String, Array[SynonymDict.U8Rule]]()
+    entries.toSeq.groupBy(_._1.head).foreach { case (first, es) =>
+      val rules = es.sortBy(-_._1.length).map { case (k, e) =>
+        new SynonymDict.U8Rule(
+          k.iterator.map(UTF8String.fromString).toArray,
+          e.outputs.iterator.flatMap(_.tokens).map(UTF8String.fromString).toArray,
+          e.keepOrig)
+      }.toArray
+      m.put(UTF8String.fromString(first), rules)
+    }
+    m
+  }
+
+  /** UTF8String twin of [[expand]] — the exact greedy recursion with the
+    * String probe replaced by a byte-equality probe (identical matches:
+    * UTF-8 encoding is injective on tokenizer output, so String equality
+    * ⟺ byte equality). Emit order identical: keepOrig originals first,
+    * then outputs flattened in rule order. */
+  def expandU8(tokens: Array[org.apache.spark.unsafe.types.UTF8String])
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    if (entries.isEmpty) return tokens
+    val idx = byFirstU8
+    val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](
+      tokens.length + 8)
+    var i = 0
+    val n = tokens.length
+    while (i < n) {
+      val cands = idx.get(tokens(i))
+      var matched: SynonymDict.U8Rule = null
+      if (cands != null) {
+        var c = 0
+        while (matched == null && c < cands.length) {
+          val r = cands(c)
+          if (r.key.length <= n - i) {
+            var k = 1 // first token already matched by the hash probe
+            var ok = true
+            while (ok && k < r.key.length) {
+              if (!r.key(k).equals(tokens(i + k))) ok = false else k += 1
+            }
+            if (ok) matched = r
+          }
+          c += 1
+        }
+      }
+      if (matched != null) {
+        if (matched.keepOrig) {
+          var k = i
+          while (k < i + matched.key.length) { out.add(tokens(k)); k += 1 }
+        }
+        var e = 0
+        while (e < matched.emit.length) { out.add(matched.emit(e)); e += 1 }
+        i += matched.key.length
+      } else {
+        out.add(tokens(i))
+        i += 1
+      }
+    }
+    out.toArray(
+      new Array[org.apache.spark.unsafe.types.UTF8String](out.size))
+  }
+
   /** Greedy earliest-longest expansion over an (already case-folded)
     * token sequence. Pure; deterministic output order: keepOrig originals
     * first, then outputs in rule order. */
@@ -109,6 +178,14 @@ final class SynonymDict(
 }
 
 object SynonymDict {
+
+  /** Pre-encoded rule for the UTF8String dispatch: key tokens, flattened
+    * emit tokens (outputs in rule order), keepOrig. Plain class (never
+    * Dataset-encoded), rebuilt per JVM inside the transient index. */
+  private[analysis] final class U8Rule(
+      val key: Array[org.apache.spark.unsafe.types.UTF8String],
+      val emit: Array[org.apache.spark.unsafe.types.UTF8String],
+      val keepOrig: Boolean)
 
   val empty: SynonymDict = new SynonymDict(Map.empty, 0)
 

@@ -15,18 +15,188 @@ object GraftRuntime {
   def extractText(html: Array[Byte]): UTF8String =
     UTF8String.fromString(TextExtract.extractText(html))
 
-  def tokenize(text: UTF8String): ArrayData = tokenize(text, Tokenizer.Text)
+  // ---- UTF-8-native tokenization -----------------------------------------
+  //
+  // The String path (Tokenizer.tokenize) decodes the whole text to a
+  // java.lang.String, materializes a String per token, then re-encodes
+  // each token to UTF-8 — three allocations plus two full transcodes per
+  // token on the hottest loop the engine has (every build pass and every
+  // on-the-fly text operator tokenizes each document). The native path
+  // walks the UTF-8 bytes directly and emits UTF8String tokens: one
+  // allocation per token, zero transcodes. Byte-identity with the String
+  // path is pinned by U8TokenizerSpec (valid UTF-8 round-trips exactly;
+  // Character.isWhitespace/isLetterOrDigit/toUpperCase see the same
+  // codepoints either way). Malformed UTF-8 — impossible for strings read
+  // from parquet, possible for raw fromBytes callers — falls back to the
+  // String path wholesale so java.lang.String's U+FFFD replacement
+  // semantics are inherited unchanged.
 
-  def tokenize(text: UTF8String, mode: String): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString, mode)
-    val out = new Array[Any](toks.length)
-    var i = 0
-    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
-    new GenericArrayData(out)
+  private val U8_EMPTY = new Array[UTF8String](0)
+
+  /** Decode one UTF-8 codepoint at byte `i`: `cp | (len << 24)`, or -1 on
+    * malformed input (truncated, bad continuation, overlong, surrogate,
+    * out of range — exactly the sequences java.lang.String replaces). */
+  private def decodeCp(in: Array[Byte], i: Int, n: Int): Int = {
+    val b0 = in(i) & 0xFF
+    if (b0 < 0x80) return b0 | (1 << 24)
+    if ((b0 & 0xE0) == 0xC0) {
+      if (i + 1 >= n) return -1
+      val b1 = in(i + 1)
+      if ((b1 & 0xC0) != 0x80) return -1
+      val cp = ((b0 & 0x1F) << 6) | (b1 & 0x3F)
+      if (cp < 0x80) return -1
+      return cp | (2 << 24)
+    }
+    if ((b0 & 0xF0) == 0xE0) {
+      if (i + 2 >= n) return -1
+      val b1 = in(i + 1); val b2 = in(i + 2)
+      if ((b1 & 0xC0) != 0x80 || (b2 & 0xC0) != 0x80) return -1
+      val cp = ((b0 & 0x0F) << 12) | ((b1 & 0x3F) << 6) | (b2 & 0x3F)
+      if (cp < 0x800 || (cp >= 0xD800 && cp <= 0xDFFF)) return -1
+      return cp | (3 << 24)
+    }
+    if ((b0 & 0xF8) == 0xF0) {
+      if (i + 3 >= n) return -1
+      val b1 = in(i + 1); val b2 = in(i + 2); val b3 = in(i + 3)
+      if ((b1 & 0xC0) != 0x80 || (b2 & 0xC0) != 0x80 || (b3 & 0xC0) != 0x80)
+        return -1
+      val cp = ((b0 & 0x07) << 18) | ((b1 & 0x3F) << 12) |
+        ((b2 & 0x3F) << 6) | (b3 & 0x3F)
+      if (cp < 0x10000 || cp > 0x10FFFF) return -1
+      return cp | (4 << 24)
+    }
+    -1
   }
 
-  def normalizeSortKey(s: UTF8String): UTF8String =
-    UTF8String.fromString(Tokenizer.normalizeSortKey(s.toString))
+  /** Standard UTF-8 encode of `cp` into `buf` at `pos`; returns the new
+    * position. Caller guarantees 4 bytes of headroom. */
+  private def encodeCp(buf: Array[Byte], pos: Int, cp: Int): Int = {
+    if (cp < 0x80) { buf(pos) = cp.toByte; pos + 1 }
+    else if (cp < 0x800) {
+      buf(pos) = (0xC0 | (cp >> 6)).toByte
+      buf(pos + 1) = (0x80 | (cp & 0x3F)).toByte
+      pos + 2
+    } else if (cp < 0x10000) {
+      buf(pos) = (0xE0 | (cp >> 12)).toByte
+      buf(pos + 1) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+      buf(pos + 2) = (0x80 | (cp & 0x3F)).toByte
+      pos + 3
+    } else {
+      buf(pos) = (0xF0 | (cp >> 18)).toByte
+      buf(pos + 1) = (0x80 | ((cp >> 12) & 0x3F)).toByte
+      buf(pos + 2) = (0x80 | ((cp >> 6) & 0x3F)).toByte
+      buf(pos + 3) = (0x80 | (cp & 0x3F)).toByte
+      pos + 4
+    }
+  }
+
+  /** Tokenize + uppercase fold straight off the UTF-8 bytes. Always
+    * returns the token array (native fast path, String fallback on
+    * malformed input). */
+  def tokensU8(text: UTF8String, mode: String): Array[UTF8String] = {
+    val keyword = mode == Tokenizer.Keyword
+    require(keyword || mode == Tokenizer.Text, s"unknown analyzer mode '$mode'")
+    val native = tokensU8Native(text, keyword)
+    if (native != null) native
+    else {
+      val toks = Tokenizer.tokenize(text.toString, mode)
+      val out = new Array[UTF8String](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+      out
+    }
+  }
+
+  /** The native pass; null signals malformed UTF-8 (caller falls back). */
+  private def tokensU8Native(text: UTF8String,
+                             keyword: Boolean): Array[UTF8String] = {
+    val in = text.getBytes
+    val n = in.length
+    var out = U8_EMPTY
+    var nOut = 0
+    var buf = new Array[Byte](64)
+    var tokLen = 0
+    var i = 0
+    while (i < n) {
+      val packed = decodeCp(in, i, n)
+      if (packed < 0) return null
+      val cp = packed & 0xFFFFFF
+      val isSep =
+        if (keyword) !Character.isLetterOrDigit(cp)
+        else Character.isWhitespace(cp)
+      if (isSep) {
+        if (tokLen > 0) {
+          if (nOut == out.length)
+            out = java.util.Arrays.copyOf(out, math.max(8, nOut * 2))
+          out(nOut) =
+            UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, tokLen))
+          nOut += 1
+          tokLen = 0
+        }
+      } else {
+        // ASCII fast path: a-z folds by subtraction, all other ASCII is
+        // uppercase-invariant; beyond ASCII the codepoint table decides.
+        val up =
+          if (cp >= 'a' && cp <= 'z') cp - 32
+          else if (cp < 0x80) cp
+          else Character.toUpperCase(cp)
+        if (tokLen + 4 > buf.length)
+          buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+        tokLen = encodeCp(buf, tokLen, up)
+      }
+      i += (packed >>> 24)
+    }
+    if (tokLen > 0) {
+      if (nOut == out.length)
+        out = java.util.Arrays.copyOf(out, math.max(8, nOut * 2))
+      out(nOut) =
+        UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, tokLen))
+      nOut += 1
+    }
+    if (nOut == out.length) out else java.util.Arrays.copyOf(out, nOut)
+  }
+
+  def tokenize(text: UTF8String): ArrayData = tokenize(text, Tokenizer.Text)
+
+  def tokenize(text: UTF8String, mode: String): ArrayData =
+    new GenericArrayData(tokensU8(text, mode).asInstanceOf[Array[Any]])
+
+  def normalizeSortKey(s: UTF8String): UTF8String = {
+    val native = normalizeSortKeyNative(s)
+    if (native != null) native
+    else UTF8String.fromString(Tokenizer.normalizeSortKey(s.toString))
+  }
+
+  /** Byte-native trim + fullwidth fold + uppercase (A4). String.trim
+    * strips chars <= U+0020 — single-byte in UTF-8, so the byte-level
+    * trim is exact; a multi-byte sequence can never end in a <= 0x20
+    * byte, so trimming cannot split one. null on malformed input. */
+  private def normalizeSortKeyNative(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    var lo = 0
+    var hi = in.length
+    while (lo < hi && (in(lo) & 0xFF) <= 0x20) lo += 1
+    while (hi > lo && (in(hi - 1) & 0xFF) <= 0x20) hi -= 1
+    var buf = new Array[Byte]((hi - lo) + 8)
+    var len = 0
+    var i = lo
+    while (i < hi) {
+      val packed = decodeCp(in, i, hi)
+      if (packed < 0) return null
+      var cp = packed & 0xFFFFFF
+      if (cp >= 0xFF01 && cp <= 0xFF5E) cp = cp - 0xFF01 + 0x21
+      else if (cp == 0x3000) cp = 0x20
+      val up =
+        if (cp >= 'a' && cp <= 'z') cp - 32
+        else if (cp < 0x80) cp
+        else Character.toUpperCase(cp)
+      if (len + 4 > buf.length)
+        buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      len = encodeCp(buf, len, up)
+      i += (packed >>> 24)
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+  }
 
   /** text → ARRAY<STRUCT<term STRING, tf INT, dl INT>>: tokenize + synonym
     * expand + per-doc tf count + field length, in ONE pass with no
@@ -38,10 +208,8 @@ object GraftRuntime {
     tfPairs(dict, text, Tokenizer.Text)
 
   def tfPairs(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString, mode)
-    val expanded: Seq[String] =
-      if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
-      else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))
+    val toks = tokensU8(text, mode)
+    val expanded = if (dict.isEmpty) toks else dict.expandU8(toks)
     val dl = expanded.length
     if (dl == 0) return new GenericArrayData(new Array[Any](0))
     // open-addressing tf count (linear probing, power-of-two capacity):
@@ -51,23 +219,24 @@ object GraftRuntime {
     // order via the `order` slots, identical counts.
     val cap = Integer.highestOneBit(math.max(4, dl * 2 - 1)) * 2
     val mask = cap - 1
-    val keys = new Array[String](cap)
+    val keys = new Array[UTF8String](cap)
     val counts = new Array[Int](cap)
     val order = new Array[Int](dl)
     var uniq = 0
-    val it0 = expanded.iterator
-    while (it0.hasNext) {
-      val t = it0.next()
+    var ti = 0
+    while (ti < dl) {
+      val t = expanded(ti)
       var h = t.hashCode & mask
       while (keys(h) != null && !keys(h).equals(t)) h = (h + 1) & mask
       if (keys(h) == null) { keys(h) = t; order(uniq) = h; uniq += 1 }
       counts(h) += 1
+      ti += 1
     }
     val out = new Array[Any](uniq)
     var i = 0
     while (i < uniq) {
       val slot = order(i)
-      out(i) = InternalRow(UTF8String.fromString(keys(slot)), counts(slot), dl)
+      out(i) = InternalRow(keys(slot), counts(slot), dl)
       i += 1
     }
     new GenericArrayData(out)
@@ -83,29 +252,53 @@ object GraftRuntime {
     * exactly as [[tfPairs]] does. Identity `docLen == tfPairs(...).dl`
     * is pinned by ExpressionsSpec. */
   def docLen(dict: SynonymDict, text: UTF8String, mode: String): Int =
-    if (!dict.isEmpty)
-      dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        Tokenizer.tokenize(text.toString, mode))).length
+    if (!dict.isEmpty) dict.expandU8(tokensU8(text, mode)).length
     else {
-      val s = text.toString
       val keyword = mode == Tokenizer.Keyword
       require(keyword || mode == Tokenizer.Text,
         s"unknown analyzer mode '$mode'")
-      var count = 0
-      var inTok = false
-      var i = 0
-      val n = s.length
-      while (i < n) {
-        val cp = s.codePointAt(i)
-        val isSep =
-          if (keyword) !Character.isLetterOrDigit(cp)
-          else Character.isWhitespace(cp)
-        if (isSep) inTok = false
-        else if (!inTok) { count += 1; inTok = true }
-        i += Character.charCount(cp)
+      val native = docLenNative(text, keyword)
+      if (native >= 0) native
+      else { // malformed UTF-8: count over the U+FFFD-replaced String
+        val s = text.toString
+        var count = 0
+        var inTok = false
+        var i = 0
+        val n = s.length
+        while (i < n) {
+          val cp = s.codePointAt(i)
+          val isSep =
+            if (keyword) !Character.isLetterOrDigit(cp)
+            else Character.isWhitespace(cp)
+          if (isSep) inTok = false
+          else if (!inTok) { count += 1; inTok = true }
+          i += Character.charCount(cp)
+        }
+        count
       }
-      count
     }
+
+  /** Separator-transition count over the raw UTF-8 bytes (no token or
+    * String materialization at all); -1 on malformed input. */
+  private def docLenNative(text: UTF8String, keyword: Boolean): Int = {
+    val in = text.getBytes
+    val n = in.length
+    var count = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val packed = decodeCp(in, i, n)
+      if (packed < 0) return -1
+      val cp = packed & 0xFFFFFF
+      val isSep =
+        if (keyword) !Character.isLetterOrDigit(cp)
+        else Character.isWhitespace(cp)
+      if (isSep) inTok = false
+      else if (!inTok) { count += 1; inTok = true }
+      i += (packed >>> 24)
+    }
+    count
+  }
 
   /** text → ARRAY<STRUCT<term, tf, dl, positions ARRAY<INT>>>: the
     * positional twin of [[tfPairs]] for builds with `indexPositions`.
@@ -117,24 +310,21 @@ object GraftRuntime {
     tfPairsPos(dict, text, Tokenizer.Text)
 
   def tfPairsPos(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString, mode)
-    val expanded: Seq[String] =
-      if (dict.isEmpty) scala.collection.immutable.ArraySeq.unsafeWrapArray(toks)
-      else dict.expand(scala.collection.immutable.ArraySeq.unsafeWrapArray(toks))
+    val toks = tokensU8(text, mode)
+    val expanded = if (dict.isEmpty) toks else dict.expandU8(toks)
     val dl = expanded.length
     if (dl == 0) return new GenericArrayData(new Array[Any](0))
     // same open-addressing shape as [[tfPairs]], with an IntVec of
     // positions per slot instead of a count
     val cap = Integer.highestOneBit(math.max(4, dl * 2 - 1)) * 2
     val mask = cap - 1
-    val keys = new Array[String](cap)
+    val keys = new Array[UTF8String](cap)
     val poss = new Array[IntVec](cap)
     val order = new Array[Int](dl)
     var uniq = 0
     var p = 0
-    val it0 = expanded.iterator
-    while (it0.hasNext) {
-      val t = it0.next()
+    while (p < dl) {
+      val t = expanded(p)
       var h = t.hashCode & mask
       while (keys(h) != null && !keys(h).equals(t)) h = (h + 1) & mask
       if (keys(h) == null) {
@@ -148,7 +338,7 @@ object GraftRuntime {
     while (i < uniq) {
       val slot = order(i)
       val ps = poss(slot)
-      out(i) = InternalRow(UTF8String.fromString(keys(slot)), ps.size, dl,
+      out(i) = InternalRow(keys(slot), ps.size, dl,
         new GenericArrayData(ps.toArray))
       i += 1
     }
@@ -204,27 +394,25 @@ object GraftRuntime {
     * never collide across docs because the id rides along), one whole
     * shuffle cheaper, and no interpreted slice/concat_ws HOF tree per
     * shingle. */
+  private val U8_SPACE = UTF8String.fromString(" ")
+
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString, Tokenizer.Text)
+    val toks = tokensU8(text, Tokenizer.Text)
     if (toks.length < n) return new GenericArrayData(new Array[Any](0))
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val win = new Array[UTF8String](n)
     var i = 0
     while (i <= toks.length - n) {
-      sb.setLength(0)
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
+      while (j < n) { win(j) = toks(i + j); j += 1 }
+      // concatWs over non-null inputs = the " "-joined StringBuilder bytes
+      seen.add(UTF8String.concatWs(U8_SPACE, win: _*))
       i += 1
     }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
 
@@ -235,9 +423,9 @@ object GraftRuntime {
     * [1, 1+slop]. Exact DFS transcription of the `from(j, prev)`
     * recursion (same search order, same early-true), so the match set is
     * identical by construction. */
-  def phraseMatch(text: UTF8String, terms: Array[String],
+  def phraseMatch(text: UTF8String, terms: Array[UTF8String],
                   slop: Int): Boolean = {
-    val toks = Tokenizer.tokenize(text.toString, Tokenizer.Text)
+    val toks = tokensU8(text, Tokenizer.Text)
     val m = terms.length
     val n = toks.length
     if (m == 0 || n < m) return false
@@ -246,7 +434,8 @@ object GraftRuntime {
       var p = prev + 1
       val hi = prev + 1 + slop
       while (p <= hi) {
-        if (p <= n && toks(p - 1) == terms(j) && from(j + 1, p)) return true
+        if (p <= n && toks(p - 1).equals(terms(j)) && from(j + 1, p))
+          return true
         p += 1
       }
       false
@@ -254,7 +443,7 @@ object GraftRuntime {
     var i = 1
     val lim = n - (m - 1)
     while (i <= lim) {
-      if (toks(i - 1) == terms(0) && from(1, i)) return true
+      if (toks(i - 1).equals(terms(0)) && from(1, i)) return true
       i += 1
     }
     false
@@ -265,8 +454,8 @@ object GraftRuntime {
     * shapes (langId / qualityScore), which shuffled the token stream
     * just to count stopword hits per doc. */
   def setHits(text: UTF8String,
-              sets: Array[java.util.HashSet[String]]): ArrayData = {
-    val toks = Tokenizer.tokenize(text.toString, Tokenizer.Text)
+              sets: Array[java.util.HashSet[UTF8String]]): ArrayData = {
+    val toks = tokensU8(text, Tokenizer.Text)
     val out = new Array[Any](sets.length)
     var s = 0
     while (s < sets.length) {

@@ -225,14 +225,16 @@ case class QubePhraseMatchExpr(child: Expression, terms: Seq[String],
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "qube_phrase_match"
-  private lazy val termArr = terms.toArray
+  @transient private lazy val termArr =
+    terms.iterator.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+      .toArray
   override protected def nullSafeEval(input: Any): Any =
     GraftRuntime.phraseMatch(
       input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
       termArr, slop)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("phraseTerms", terms.toArray,
-      "java.lang.String[]")
+    val ref = ctx.addReferenceObj("phraseTerms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
     defineCodeGen(ctx, ev,
       c => s"graft.functions.GraftRuntime.phraseMatch($c, $ref, $slop)")
   }
@@ -249,10 +251,12 @@ case class QubeSetHitsExpr(child: Expression, sets: Seq[Seq[String]])
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "qube_set_hits"
-  @transient private lazy val hashSets: Array[java.util.HashSet[String]] =
+  @transient private lazy val hashSets
+      : Array[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]] =
     sets.map { s =>
-      val h = new java.util.HashSet[String]()
-      s.foreach(h.add)
+      val h = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      s.foreach(t =>
+        h.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
       h
     }.toArray
   override protected def nullSafeEval(input: Any): Any =
