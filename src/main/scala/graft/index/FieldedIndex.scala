@@ -81,6 +81,45 @@ object FieldedIndex {
     IndexStore.fs(spark, root)
       .delete(new org.apache.hadoop.fs.Path(s"$root/_build"), true)
 
+  /** Run one task per field on a small thread pool so later fields'
+    * Spark jobs back-fill the stragglers (and the driver-side planning
+    * gaps) of earlier ones — the guide's "overlap independent jobs"
+    * shape. Per-field work here is independent by construction: each
+    * task reads the shared persisted id-pages frame and writes only
+    * under its own field root, and the build path mutates no session
+    * state, so overlap changes scheduling only, never bytes. 2-3 jobs
+    * in flight is plenty (more just contend for executors), hence the
+    * pool cap. `invokeAll` blocks until EVERY task has finished, so a
+    * failing field never leaves a sibling's write racing the caller's
+    * cleanup; the first failure rethrows its original cause. */
+  private def perFieldParallel[A](fields: Seq[FieldSpec])
+                                 (work: (FieldSpec, Int) => A)
+      : Map[String, A] = {
+    if (fields.size <= 1)
+      fields.map(f => f.name -> work(f, 0)).toMap
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(fields.size, 3))
+      try {
+        val tasks = new java.util.ArrayList[
+          java.util.concurrent.Callable[(String, A)]]()
+        fields.zipWithIndex.foreach { case (f, i) =>
+          tasks.add(() => f.name -> work(f, i))
+        }
+        val done = pool.invokeAll(tasks) // waits for ALL, even on failure
+        val out = Map.newBuilder[String, A]
+        done.forEach { fut =>
+          out += (try fut.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          })
+        }
+        out.result()
+      } finally pool.shutdown()
+    }
+  }
+
   private def snapshotOf(spark: SparkSession, root: String,
                          field: String): IndexStore.Snapshot = {
     val fr = fieldRoot(root, field)
@@ -116,7 +155,7 @@ object FieldedIndex {
       : Map[String, IndexBuilder.BuildReport] = {
     require(fields.nonEmpty, "fielded build needs at least one field")
     val (shared, assignMs) = assignShared(spark, pages, fields, root, 0L, cfg)
-    val reports = fields.zipWithIndex.map { case (f, i) =>
+    val reports = perFieldParallel(fields) { (f, i) =>
       val fr = fieldRoot(root, f.name)
       val seg = "seg-000000"
       val rep = IndexBuilder.buildSegmentFromIdPages(spark,
@@ -127,8 +166,8 @@ object FieldedIndex {
           if (i == 0) Seq("sort_dedup_assign" -> assignMs) else Nil)
       IndexStore.writeSnapshot(spark, fr,
         IndexStore.Snapshot(0L, Seq(seg), Seq.empty, dead = Some(Seq.empty)))
-      f.name -> rep
-    }.toMap
+      rep
+    }
     dropBuildDir(spark, root)
     reports
   }
@@ -153,21 +192,27 @@ object FieldedIndex {
         snaps(f.name))).max
     val (shared, assignMs) =
       assignShared(spark, pages, fields, root, nextBase, cfg)
+    // the delta-segment builds are independent per field root — overlap
+    // them; the snapshot advancement below stays SEQUENTIAL because the
+    // superseded-id fan-out is write-once-copy-N in field order
+    val reports = perFieldParallel(fields) { (f, i) =>
+      val snap = snaps(f.name)
+      IndexBuilder.buildSegmentFromIdPages(spark,
+        fieldPages(shared, f), f.dict, fieldRoot(root, f.name),
+        f"seg-${snap.id + 1}%06d", cfg.copy(analyzer = f.analyzer),
+        s"$inputSnapshot field=${f.name}",
+        prePhases =
+          if (i == 0) Seq("sort_dedup_assign" -> assignMs) else Nil)
+    }
     // the superseded-id batch is a pure function of (url, warc_ts,
     // doc_id) triples, which are IDENTICAL across field roots — compute
     // it once on the first field and fan it as a byte copy (the same
     // write-once-copy-N shape as the coordinated tombstones)
     var fannedDead: Option[Option[String]] = None
-    val reports = fields.zipWithIndex.map { case (f, i) =>
+    fields.foreach { f =>
       val fr = fieldRoot(root, f.name)
       val snap = snaps(f.name)
       val seg = f"seg-${snap.id + 1}%06d"
-      val rep = IndexBuilder.buildSegmentFromIdPages(spark,
-        fieldPages(shared, f), f.dict, fr, seg,
-        cfg.copy(analyzer = f.analyzer),
-        s"$inputSnapshot field=${f.name}",
-        prePhases =
-          if (i == 0) Seq("sort_dedup_assign" -> assignMs) else Nil)
       val advanced = (snap.dead, fannedDead) match {
         case (None, _) => // legacy root: no sidecar to maintain
           IndexStore.Snapshot(snap.id + 1, snap.segments :+ seg,
@@ -193,8 +238,7 @@ object FieldedIndex {
             snap.tombstones, Some(batches ++ batchName.toSeq))
       }
       IndexStore.writeSnapshot(spark, fr, advanced)
-      f.name -> rep
-    }.toMap
+    }
     dropBuildDir(spark, root)
     reports
   }
@@ -258,13 +302,13 @@ object FieldedIndex {
         IndexStore.readSegmentConfig(spark, fr, s))
       IndexBuilder.layoutUniform(stored, snaps(f.name).segments.size)
     }
-    fields.map { f =>
+    perFieldParallel(fields) { (f, _) =>
       val fr = fieldRoot(root, f.name)
       val fcfg = cfg.copy(analyzer = f.analyzer)
-      f.name -> (if (uniformAll)
+      if (uniformAll)
         IndexBuilder.mergeCompact(spark, fr, f.dict, fcfg, maxBroadcastDeadIds)
-      else IndexBuilder.merge(spark, fr, f.dict, fcfg))
-    }.toMap
+      else IndexBuilder.merge(spark, fr, f.dict, fcfg)
+    }
   }
 
   /** Searcher over a fielded index: per-field search plus cross-field
