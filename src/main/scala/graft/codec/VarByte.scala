@@ -735,6 +735,61 @@ object VarByte {
     }
   }
 
+  /** Σ tf over every posting in the blob — the per-blob ttf input when
+    * term_stats is DERIVED from written blobs instead of a tokenize
+    * pass. Same Reader walk as [[decode]] (v3 unpacks each block's
+    * sections into O(blockSize) scratch), positions read-and-discarded;
+    * allocation-free per posting for the same reason decode is. */
+  def sumTf(blob: Array[Byte]): Long = {
+    val (r, ver, flags) = openReader(blob)
+    val withPos = (flags & FlagPositions) != 0L
+    val n = r.readVInt()
+    val blockSize = r.readVInt()
+    var acc = 0L
+    var filled = 0
+    var prev = 0L
+    val v3 = ver == FormatV3
+    val sIds: Array[Long] =
+      if (v3 && n > 0) new Array(math.min(blockSize, n)) else null
+    val sTfs: Array[Int] =
+      if (v3 && n > 0) new Array(math.min(blockSize, n)) else null
+    val sDls: Array[Int] =
+      if (v3 && n > 0) new Array(math.min(blockSize, n)) else null
+    while (filled < n) {
+      val bn = r.readVInt()
+      r.readVInt() // bodyLen
+      r.readVInt(); r.readVInt(); r.readVLong() // maxTf, minDl, lastDelta
+      if (ver == FormatV2) {
+        var k = 0
+        while (k < bn) {
+          r.readVLong() // docId gap
+          val tf = r.readVInt()
+          r.readVInt() // dl
+          acc += tf
+          if (withPos) {
+            var j = 0
+            while (j < tf) { r.readVLong(); j += 1 }
+          }
+          k += 1
+        }
+      } else {
+        prev = readV3Sections(r, bn, prev, sIds, sTfs, sDls, 0)
+        var k = 0
+        while (k < bn) {
+          val tf = sTfs(k)
+          acc += tf
+          if (withPos) {
+            var j = 0
+            while (j < tf) { r.readVLong(); j += 1 }
+          }
+          k += 1
+        }
+      }
+      filled += bn
+    }
+    acc
+  }
+
   /** (max tf, min dl) across blocks from headers only — the term-level
     * WAND upper bound inputs. */
   def termBounds(blob: Array[Byte]): (Int, Int) = {

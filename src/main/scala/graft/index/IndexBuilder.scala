@@ -93,6 +93,22 @@ object IndexBuilder {
                                        // dispatch, Indexer.java:420);
                                        // recorded in config.json so the
                                        // query side analyzes identically
+      headSampleDocs: Long = 1L << 16, // corpora > 2× this derive the
+                                       // salting head set from a
+                                       // tokenized SAMPLE of this many
+                                       // docs and term_stats from the
+                                       // written posting blobs, removing
+                                       // a full tokenize pass; smaller
+                                       // builds keep the exact
+                                       // term_stats-first pipeline.
+                                       // Salting is LAYOUT-only (the
+                                       // Searcher probes every salt of
+                                       // every term), so the sampled
+                                       // estimate can never change a
+                                       // result — and a fixed absolute
+                                       // sample detects exactly the
+                                       // terms whose posting volume is
+                                       // material at any corpus scale
       formatVersion: Int = VarByte.DefaultFormatVersion)
                                        // posting blob body format: v2 =
                                        // varint, v3 = FoR/bitpacked
@@ -769,6 +785,22 @@ object IndexBuilder {
     lap("analyze_docstore")
 
     val docstore = spark.read.parquet(IndexStore.docstorePath(root, seg))
+    // the docstore write above has completed, so its observed metrics
+    // are available now; captured once — the stats row below reuses it
+    val docObsRow = docObs.get
+    val builtDocs = docObsRow.get("cnt") match {
+      case Some(n: Long) => n
+      case _ => 0L
+    }
+    // Large corpora derive term_stats from the WRITTEN posting blobs
+    // (df/bounds are stored per row, ttf is one VarByte.sumTf walk) and
+    // the salting head set from a tokenized sample — removing one of the
+    // build's three tokenize passes. Small builds keep the exact
+    // term_stats-first pipeline: at ≤ 2× the sample size the sample IS
+    // most of the corpus, so nothing is saved. See IndexConfig
+    // .headSampleDocs for why the sampled head set can never change a
+    // query result (layout-only).
+    val sampledStats = builtDocs > 2L * math.max(1L, cfg.headSampleDocs)
 
     // (doc_id, dl, term, tf): a per-row qube_tf over the pre-extracted
     // docstore text + a native explode — shuffle-free (SURVEY.md §3.1).
@@ -788,13 +820,15 @@ object IndexBuilder {
     // ttf = total term frequency; max_tf/min_dl are the term-level
     // block-max WAND upper-bound inputs, kept here so the query planner
     // gets (idf, df, bounds) in ONE tiny driver lookup per query
-    val termStats = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("ttf"),
-        max("tf").cast("int").as("max_tf"), min("dl").cast("int").as("min_dl"))
     val termObs = org.apache.spark.sql.Observation()
-    termStats.observe(termObs, count(lit(1)).as("terms"))
-      .write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
-    lap("term_stats")
+    if (!sampledStats) {
+      val termStats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("ttf"),
+          max("tf").cast("int").as("max_tf"), min("dl").cast("int").as("min_dl"))
+      termStats.observe(termObs, count(lit(1)).as("terms"))
+        .write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
+      lap("term_stats")
+    }
 
     // build-time facet sidecar (reference facet fields, Indexer.java:
     // 277-364): config-driven dims — flat label + hierarchical path per
@@ -815,7 +849,7 @@ object IndexBuilder {
     // stats row from the metrics observed during the docstore write — no
     // job; layout shared with mergeCompact via IndexStore
     val (docCount, sumDl, idCeiling) =
-      IndexStore.writeStatsFromObservation(spark, root, seg, docObs.get)
+      IndexStore.writeStatsFromObservation(spark, root, seg, docObsRow)
     lap("collection_stats")
 
     // --- map-side posting fragments + skew-salted shuffle + merge ---
@@ -829,10 +863,29 @@ object IndexBuilder {
     // term_stats — are salted into saltFanout shards by doc hash so no
     // single posting partition holds an entire head term.
     val headSet: Set[String] =
-      spark.read.parquet(IndexStore.termStatsPath(root, seg))
-        .filter(col("df") >= cfg.saltDf)
-        .orderBy(col("df").desc).limit(cfg.maxSaltedTerms)
-        .select("term").collect().map(_.getString(0)).toSet
+      if (!sampledStats)
+        spark.read.parquet(IndexStore.termStatsPath(root, seg))
+          .filter(col("df") >= cfg.saltDf)
+          .orderBy(col("df").desc).limit(cfg.maxSaltedTerms)
+          .select("term").collect().map(_.getString(0)).toSet
+      else {
+        // sampled estimate with a 4× safety margin on the threshold:
+        // over-inclusion salts a tail term into fanout small fragments
+        // (harmless), under-inclusion needs a true head term to draw
+        // < saltDf·frac/4 of an expected ≥ saltDf·frac sample hits —
+        // exponentially unlikely, and the more a term's volume matters
+        // the more certain its inclusion. The fixed seed keeps builds
+        // deterministic for a given input layout.
+        val frac = cfg.headSampleDocs.toDouble / builtDocs
+        val minSampled = math.max(1L, (cfg.saltDf * frac / 4).toLong)
+        docstore.sample(frac, 42L)
+          .select(explode(qube_tf(col("text"), dict, cfg.analyzer)).as("p"))
+          .select(col("p.term").as("term"))
+          .groupBy("term").agg(count(lit(1)).as("sdf"))
+          .filter(col("sdf") >= minSampled)
+          .orderBy(col("sdf").desc).limit(cfg.maxSaltedTerms)
+          .select("term").collect().map(_.getString(0)).toSet
+      }
     val bcHead = spark.sparkContext.broadcast(headSet)
     val numParts = cfg.numParts
     val fanout = cfg.saltFanout
@@ -1012,6 +1065,30 @@ object IndexBuilder {
       .options(IndexStore.postingsWriteOptionsFor(cfg.indexPositions))
       .parquet(IndexStore.postingsPath(root, seg))
     lap("postings_encode_write")
+
+    if (sampledStats) {
+      // term_stats DERIVED from the written blobs — the same shape the
+      // compaction path has always used (and exactly what IndexCheck
+      // cross-validates): df = Σ df_local (each (term, doc) lands in
+      // exactly one merged chunk), ttf = Σ per-blob sumTf, bounds fold
+      // over the stored per-chunk bounds. Values are identical to the
+      // tokenize-pass aggregation by construction; only the pass count
+      // changes. Read-back, never a cached blob Dataset (rule 17).
+      val fromBlobs = IndexStore.readPostingsOrEmpty(spark, root, seg)
+        .select("term", "df_local", "max_tf", "min_dl", "blob")
+        .as[(String, Long, Int, Int, Array[Byte])]
+        .map { case (t, dfl, mtf, mdl, blob) =>
+          (t, dfl, VarByte.sumTf(blob), mtf, mdl)
+        }
+        .toDF("term", "df_local", "ttf_local", "max_tf_l", "min_dl_l")
+        .groupBy("term")
+        .agg(sum("df_local").as("df"), sum("ttf_local").as("ttf"),
+          max("max_tf_l").cast("int").as("max_tf"),
+          min("min_dl_l").cast("int").as("min_dl"))
+      fromBlobs.observe(termObs, count(lit(1)).as("terms"))
+        .write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
+      lap("term_stats")
+    }
 
     // per-partition lineage + metrics (north rule): rows, bytes,
     // checksum — computed from a READ-BACK of the just-written files

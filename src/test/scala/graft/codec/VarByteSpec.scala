@@ -148,6 +148,29 @@ class VarByteSpec extends AnyFunSuite {
         assert(l2.toSeq == idx.map(dls(_)).toSeq)
       }
     }
+
+    test(s"v$ver: sumTf ≡ Σ decode tfs, positional and not (seeded)") {
+      val rnd = new scala.util.Random(19)
+      val blockSizes = Array(1, 7, 63, 64, 128, 1024)
+      for (withPos <- Seq(false, true); _ <- 1 to 60) {
+        val n = rnd.nextInt(400)
+        val gaps = Array.fill(n)(1L + rnd.nextLong(50000L))
+        val ids = gaps.scanLeft(0L)(_ + _).tail
+        val tfs = Array.fill(n)(1 + rnd.nextInt(if (withPos) 12 else 1 << 18))
+        val dls = Array.fill(n)(1 + rnd.nextInt(1 << 16))
+        val pos =
+          if (!withPos) null
+          else tfs.map { tf =>
+            Array.fill(tf)(1 + rnd.nextInt(9)).scanLeft(rnd.nextInt(4))(_ + _).tail
+          }
+        val bs = blockSizes(rnd.nextInt(blockSizes.length))
+        val blob = VarByte.encode(ids, tfs, dls, bs, pos, ver)
+        assert(VarByte.sumTf(blob) == tfs.map(_.toLong).sum,
+          s"n=$n bs=$bs withPos=$withPos")
+      }
+      assert(VarByte.sumTf(VarByte.encode(Array.empty[Long],
+        Array.empty[Int], Array.empty[Int], version = ver)) == 0L)
+    }
   }
 
   test("v3 short-block escape: blobs below V3EscapeMin carry varint " +

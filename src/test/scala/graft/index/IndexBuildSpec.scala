@@ -35,6 +35,38 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
     assert(ma == mb && ma.nonEmpty)
   }
 
+  test("sampled-stats build (headSampleDocs gate): term_stats and the " +
+    "logical posting content are identical to the exact pipeline; the " +
+    "integrity audit stays clean") {
+    val a = tmpDir("graft-samp-a-")
+    val b = tmpDir("graft-samp-b-")
+    // a: exact pipeline (default gate keeps 300 docs on the small path);
+    // b: forced onto the sampled path (300 > 2 * 50)
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, a, cfg, "x")
+    IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dict, b,
+      cfg.copy(headSampleDocs = 50), "x")
+    def stats(root: String) =
+      spark.read.parquet(IndexStore.termStatsPath(root, "seg-000000"))
+        .select("term", "df", "ttf", "max_tf", "min_dl")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4)))
+        .sortBy(_._1).toSeq
+    assert(stats(a) == stats(b))
+    // salting is layout-only: the flattened (term, doc, tf, dl) content
+    // must be identical no matter which terms the sample chose to salt
+    def logical(root: String) =
+      spark.read.parquet(IndexStore.postingsPath(root, "seg-000000"))
+        .select("term", "blob").collect()
+        .flatMap { r =>
+          val (d, t, l) = graft.codec.VarByte.decode(r.getAs[Array[Byte]](1))
+          d.indices.map(i => (r.getString(0), d(i), t(i), l(i)))
+        }.sortBy(x => (x._1, x._2)).toSeq
+    assert(logical(a) == logical(b))
+    assert(IndexCheck.check(spark, b).collect()
+      .map(_.getAs[String]("problem")).isEmpty)
+  }
+
   test("resume after a partial build rebuilds ONLY the missing posting " +
     "partitions and converges to the identical index") {
     val full = tmpDir("graft-res-full-")
