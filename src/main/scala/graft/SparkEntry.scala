@@ -809,17 +809,21 @@ object SparkEntry {
         finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
         // BOUNDED feed: the table streams through the driver one
-        // ts-ordered chunk at a time — toLocalIterator holds a single
-        // partition, and processAllAvailable between chunks lets the
-        // MemoryStream commit + purge processed blocks, so driver
-        // memory stays O(chunk) instead of O(table). Feeding in ts
-        // order keeps the watermark monotone across chunks, so no
+        // ts-ordered chunk at a time, and processAllAvailable between
+        // chunks lets the MemoryStream commit + purge processed blocks,
+        // so driver memory stays O(chunk) instead of O(table). Feeding
+        // in ts order keeps the watermark monotone across chunks, so no
         // event is ever late relative to an earlier chunk's watermark —
-        // and makes maxTs the LAST chunk's last element (no extra
-        // full-table agg job for the flush sentinels).
+        // which is also why the CHUNK SIZE cannot change the result:
+        // batch boundaries only delay watermark advancement, never drop
+        // an event, and the flush sentinels force every timeout at the
+        // end. 250k (~20 MB of events) quarters the number of
+        // micro-batch barriers vs the previous 50k; coalesce(1) keeps
+        // the sorted partitions' order and lets toLocalIterator fetch
+        // everything in ONE job instead of one per partition batch.
         var maxTs = Long.MinValue
-        evDs.orderBy("ts").toLocalIterator().asScala
-          .grouped(50000).foreach { chunk =>
+        evDs.orderBy("ts").coalesce(1).toLocalIterator().asScala
+          .grouped(250000).foreach { chunk =>
             maxTs = math.max(maxTs, chunk.last.ts.getTime)
             in.addData(chunk: _*)
             q.processAllAvailable()
