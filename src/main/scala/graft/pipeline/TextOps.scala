@@ -521,7 +521,11 @@ object TextOps {
     // join (which would be quadratic in corpus size at 10^12 docs)
     val candIds = candidates.select(col("id_a").as(idCol))
       .union(candidates.select(col("id_b").as(idCol))).distinct()
-    val sh = shingles(docs, idCol, textCol, n).join(candIds, Seq(idCol), "left_semi")
+    // semi-join the DOCS, not the exploded shingles: the id restriction
+    // commutes with the per-row explode, and filtering first keeps the
+    // shingle pass O(candidate docs) instead of re-shingling the corpus
+    val sh = shingles(docs.join(candIds, Seq(idCol), "left_semi"),
+      idCol, textCol, n)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val sa = sh.select(col(idCol).as("id_a"), col("shingle"))
     val sb = sh.select(col(idCol).as("id_b"), col("shingle"))
