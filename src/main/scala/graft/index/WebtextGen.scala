@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Deterministic Common-Crawl-style page generator (FIXTURES.md §1, the
   * input_hint shape): `(url STRING, warc_ts TIMESTAMP, html BINARY,
@@ -100,10 +101,31 @@ object WebtextGen {
 
   /** Distributed generation: `spark.range(n)` fans page construction out
     * across executors — the generator never materializes on the driver,
-    * so the same code path scales to bench sizes. */
+    * so the same code path scales to bench sizes.
+    *
+    * COLUMN-PRUNABLE: `url`/`warc_ts` are pure Catalyst expressions of
+    * the row id (they never consumed the page's rnd stream, so values
+    * are byte-identical to [[page]]), and only html/text/lang come from
+    * the page-construction UDF. A narrow consumer — the id-assignment
+    * boundary-sampling pass reads a url-ONLY projection — prunes the
+    * expensive construction (html build + text extraction) entirely,
+    * exactly as a parquet input would; the previous typed-map shape hid
+    * every field from Catalyst and generated the full corpus twice per
+    * build. Full-row reads evaluate the UDF once per row (deterministic
+    * ⇒ subexpression elimination shares it across the field gets). */
   def df(spark: SparkSession, seed: Long, n: Long): DataFrame = {
-    import spark.implicits._
-    spark.range(n).mapPartitions(_.map(i => page(seed, i))).toDF()
+    val rest = org.apache.spark.sql.functions.udf { (i: Long) =>
+      val p = page(seed, i)
+      (p.html, p.text, p.lang)
+    }
+    spark.range(n)
+      .select(
+        format_string("https://site-%d.example/page/%d",
+          col("id") % 97, col("id")).as("url"),
+        timestamp_millis(lit(epoch2026) + col("id") * 1000L).as("warc_ts"),
+        rest(col("id")).as("r"))
+      .select(col("url"), col("warc_ts"), col("r._1").as("html"),
+        col("r._2").as("text"), col("r._3").as("lang"))
   }
 
   /** Driver-side generation for small unit-test corpora. */
