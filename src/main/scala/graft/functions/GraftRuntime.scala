@@ -207,16 +207,29 @@ object GraftRuntime {
   def tfPairs(dict: SynonymDict, text: UTF8String): ArrayData =
     tfPairs(dict, text, Tokenizer.Text)
 
-  def tfPairs(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
+  /** Struct-of-arrays per-doc tf-count result: `keys(order(i))` /
+    * `counts(order(i))` for i < uniq walk the terms in first-occurrence
+    * order; `dl` is the post-expansion token count. Keys are STABLE
+    * UTF8Strings (each token owns its bytes — [[tokensU8]]), so callers
+    * may retain them across rows without cloning. [[tfPairs]] is a pure
+    * repackaging of this; the index build's fragment pass consumes it
+    * directly so the hot loop never materializes the struct array. */
+  final class TfCounts(val keys: Array[UTF8String], val counts: Array[Int],
+                       val order: Array[Int], val uniq: Int, val dl: Int)
+
+  private[this] val EMPTY_TF = new TfCounts(new Array[UTF8String](0),
+    new Array[Int](0), new Array[Int](0), 0, 0)
+
+  def tfCounts(dict: SynonymDict, text: UTF8String, mode: String): TfCounts = {
     val toks = tokensU8(text, mode)
     val expanded = if (dict.isEmpty) toks else dict.expandU8(toks)
     val dl = expanded.length
-    if (dl == 0) return new GenericArrayData(new Array[Any](0))
+    if (dl == 0) return EMPTY_TF
     // open-addressing tf count (linear probing, power-of-two capacity):
     // the LinkedHashMap formulation boxed an Integer per token put —
     // measured as the dominant term of this hot loop (build passes run
-    // it once per doc per pass). Same output: first-occurrence term
-    // order via the `order` slots, identical counts.
+    // it once per doc per pass). First-occurrence term order via the
+    // `order` slots.
     val cap = Integer.highestOneBit(math.max(4, dl * 2 - 1)) * 2
     val mask = cap - 1
     val keys = new Array[UTF8String](cap)
@@ -232,11 +245,16 @@ object GraftRuntime {
       counts(h) += 1
       ti += 1
     }
-    val out = new Array[Any](uniq)
+    new TfCounts(keys, counts, order, uniq, dl)
+  }
+
+  def tfPairs(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
+    val c = tfCounts(dict, text, mode)
+    val out = new Array[Any](c.uniq)
     var i = 0
-    while (i < uniq) {
-      val slot = order(i)
-      out(i) = InternalRow(keys(slot), counts(slot), dl)
+    while (i < c.uniq) {
+      val slot = c.order(i)
+      out(i) = InternalRow(c.keys(slot), c.counts(slot), c.dl)
       i += 1
     }
     new GenericArrayData(out)
@@ -309,12 +327,21 @@ object GraftRuntime {
   def tfPairsPos(dict: SynonymDict, text: UTF8String): ArrayData =
     tfPairsPos(dict, text, Tokenizer.Text)
 
-  def tfPairsPos(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
+  /** Positional twin of [[TfCounts]]: `poss(order(i))` is term i's
+    * 0-based position list in the post-expansion stream. */
+  final class TfPositions(val keys: Array[UTF8String], val poss: Array[IntVec],
+                          val order: Array[Int], val uniq: Int, val dl: Int)
+
+  private[this] val EMPTY_TFP = new TfPositions(new Array[UTF8String](0),
+    new Array[IntVec](0), new Array[Int](0), 0, 0)
+
+  def tfPositions(dict: SynonymDict, text: UTF8String,
+                  mode: String): TfPositions = {
     val toks = tokensU8(text, mode)
     val expanded = if (dict.isEmpty) toks else dict.expandU8(toks)
     val dl = expanded.length
-    if (dl == 0) return new GenericArrayData(new Array[Any](0))
-    // same open-addressing shape as [[tfPairs]], with an IntVec of
+    if (dl == 0) return EMPTY_TFP
+    // same open-addressing shape as [[tfCounts]], with an IntVec of
     // positions per slot instead of a count
     val cap = Integer.highestOneBit(math.max(4, dl * 2 - 1)) * 2
     val mask = cap - 1
@@ -333,12 +360,17 @@ object GraftRuntime {
       poss(h).add(p)
       p += 1
     }
-    val out = new Array[Any](uniq)
+    new TfPositions(keys, poss, order, uniq, dl)
+  }
+
+  def tfPairsPos(dict: SynonymDict, text: UTF8String, mode: String): ArrayData = {
+    val c = tfPositions(dict, text, mode)
+    val out = new Array[Any](c.uniq)
     var i = 0
-    while (i < uniq) {
-      val slot = order(i)
-      val ps = poss(slot)
-      out(i) = InternalRow(keys(slot), ps.size, dl,
+    while (i < c.uniq) {
+      val slot = c.order(i)
+      val ps = c.poss(slot)
+      out(i) = InternalRow(c.keys(slot), ps.size, c.dl,
         new GenericArrayData(ps.toArray))
       i += 1
     }

@@ -893,10 +893,14 @@ object IndexBuilder {
     val fmtVer = cfg.formatVersion
 
     val withPos = cfg.indexPositions
-    val analyzedRows = docstore
-      .select(col("doc_id"),
-        (if (withPos) qube_tf_pos(col("text"), dict, cfg.analyzer)
-         else qube_tf(col("text"), dict, cfg.analyzer)).as("p"))
+    val analyzerMode = cfg.analyzer
+    // the fragment pass consumes the runtime tf accumulation DIRECTLY
+    // (GraftRuntime.tfCounts/tfPositions — the exact functions behind
+    // qube_tf/qube_tf_pos): materializing the per-doc struct array just
+    // to re-walk it cost one boxed InternalRow per unique term, a full
+    // Unsafe serialization of every term's bytes, and a getStruct
+    // allocation per posting — all on the build's hottest pass
+    val analyzedRows = docstore.select(col("doc_id"), col("text"))
     val fragSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("part",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -968,40 +972,62 @@ object IndexBuilder {
               }
             }
           }
+          // tokens own their buffers (GraftRuntime.tokensU8), so they go
+          // into the map as-is — no defensive clone; the salt shard index
+          // depends only on (docId, fanout), hoisted out of the term loop
+          private def shardsFor(
+              term: org.apache.spark.unsafe.types.UTF8String): Array[FragBuf] = {
+            var shards = bufs.get(term)
+            if (shards == null) {
+              shards = Array.fill(
+                if (head.contains(term)) fanout else 1)(new FragBuf(withPos))
+              bufs.put(term, shards)
+            }
+            shards
+          }
           private def consume(): Unit = {
             while (rows.hasNext && entries < flushEntries) {
               val r = rows.next()
               val docId = r.getLong(0)
-              val arr = r.getArray(1)
-              var i = 0
-              val n = arr.numElements()
-              val nFields = if (withPos) 4 else 3
+              val text =
+                if (r.isNullAt(1)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
+                else r.getUTF8String(1)
+              val saltIdx = java.lang.Math.floorMod(
+                java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout)
               var cost = 0L
-              while (i < n) {
-                val s = arr.getStruct(i, nFields)
-                val termView = s.getUTF8String(0) // view into the scan row
-                var shards = bufs.get(termView)
-                if (shards == null) {
-                  shards = Array.fill(
-                    if (head.contains(termView)) fanout
-                    else 1)(new FragBuf(withPos))
-                  // clone: the view's buffer is reused by the next row
-                  bufs.put(termView.clone(), shards)
+              if (withPos) {
+                val tp = graft.functions.GraftRuntime
+                  .tfPositions(dict, text, analyzerMode)
+                var i = 0
+                while (i < tp.uniq) {
+                  val slot = tp.order(i)
+                  val shards = shardsFor(tp.keys(slot))
+                  val shard =
+                    if (shards.length == 1) shards(0) else shards(saltIdx)
+                  val ps = tp.poss(slot)
+                  val tf = ps.size
+                  shard.append(docId, tf, tp.dl, ps.toInts)
+                  // flushEntries budgets BYTES-in-buffers, in units of one
+                  // position-free posting (~16 B): a positional posting
+                  // additionally holds an Int[] (pointer + header + 4·tf),
+                  // ~4 + tf/4 units — without this weighting a 5M-doc
+                  // positional build OOMs where the plain build is flat
+                  cost += 4L + (tf >> 2)
+                  i += 1
                 }
-                val shard =
-                  if (shards.length == 1) shards(0)
-                  else shards(java.lang.Math.floorMod(
-                    java.lang.Long.hashCode(docId * 0x9E3779B97F4A7C15L), fanout))
-                val tf = s.getInt(1)
-                shard.append(docId, tf, s.getInt(2),
-                  if (withPos) s.getArray(3).toIntArray() else null)
-                // flushEntries budgets BYTES-in-buffers, in units of one
-                // position-free posting (~16 B): a positional posting
-                // additionally holds an Int[] (pointer + header + 4·tf),
-                // ~4 + tf/4 units — without this weighting a 5M-doc
-                // positional build OOMs where the plain build is flat
-                cost += (if (withPos) 4L + (tf >> 2) else 1L)
-                i += 1
+              } else {
+                val tc = graft.functions.GraftRuntime
+                  .tfCounts(dict, text, analyzerMode)
+                var i = 0
+                while (i < tc.uniq) {
+                  val slot = tc.order(i)
+                  val shards = shardsFor(tc.keys(slot))
+                  val shard =
+                    if (shards.length == 1) shards(0) else shards(saltIdx)
+                  shard.append(docId, tc.counts(slot), tc.dl, null)
+                  cost += 1L
+                  i += 1
+                }
               }
               entries += cost
             }

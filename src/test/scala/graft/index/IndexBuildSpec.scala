@@ -126,6 +126,43 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
     assert(postingsFingerprint(a) == postingsFingerprint(b))
   }
 
+  test("fragment pass consuming tfCounts/tfPositions directly yields the " +
+    "same logical postings as the qube_tf/qube_tf_pos expression shape " +
+    "(multi-word synonyms exercised, both layouts)") {
+    import graft.functions.graftFunctions.{qube_tf, qube_tf_pos}
+    val dictS = SynonymDict.parse(Seq(
+      "spark => apachespark", "big data => bigdata", "index,catalog"))
+    for (withPos <- Seq(false, true)) {
+      val root = tmpDir(s"graft-fuse-$withPos-")
+      val c = cfg.copy(indexPositions = withPos)
+      IndexBuilder.buildFull(spark, WebtextGen.df(spark, Seed, N), dictS,
+        root, c, "x")
+      val docstore =
+        spark.read.parquet(IndexStore.docstorePath(root, "seg-000000"))
+      val tfCol =
+        if (withPos) qube_tf_pos(col("text"), dictS, c.analyzer)
+        else qube_tf(col("text"), dictS, c.analyzer)
+      val expect = docstore
+        .select(col("doc_id"), explode(tfCol).as("p"))
+        .select(col("p.term"), col("doc_id"), col("p.tf"), col("p.dl"),
+          if (withPos) col("p.positions") else lit(null).cast("array<int>"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+          if (withPos) r.getSeq[Int](4).toList else Nil))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val got = spark.read
+        .parquet(IndexStore.postingsPath(root, "seg-000000"))
+        .select("term", "blob").collect()
+        .flatMap { r =>
+          val (d, t, l, p) =
+            graft.codec.VarByte.decodeWithPositions(r.getAs[Array[Byte]](1))
+          d.indices.map(i => (r.getString(0), d(i), t(i), l(i),
+            if (withPos) p(i).toList else Nil))
+        }.sortBy(x => (x._1, x._2)).toSeq
+      assert(got == expect, s"withPos=$withPos")
+    }
+  }
+
   test("empty corpus builds a valid empty index; searches MatchNoDocs " +
     "(S7, Searcher.java:248-284 create-empty-index)") {
     val root = tmpDir("graft-empty-")
