@@ -68,29 +68,72 @@ object WebtextGen {
 
   private val epoch2026 = 1767225600000L // 2026-01-01T00:00:00Z
 
-  /** Pure page construction from (seed, i). */
+  /** Bit-exact replica of java.util.Random's LCG on a plain long. The
+    * JDK generator guards its state with an AtomicLong, so every
+    * `nextDouble` pays two CAS round-trips — and a page draws ~220
+    * doubles, which made the thread-private generator the single largest
+    * cost of page construction. Identical draw sequence (same scramble,
+    * same 48-bit step, same nextInt rejection loop) is pinned by
+    * WebtextGenSpec's golden-CRC corpus fingerprints. */
+  private final class Lcg(seed: Long) {
+    private[this] var state = (seed ^ 0x5DEECE66DL) & ((1L << 48) - 1)
+    private def next(bits: Int): Int = {
+      state = (state * 0x5DEECE66DL + 0xBL) & ((1L << 48) - 1)
+      (state >>> (48 - bits)).toInt
+    }
+    def nextDouble(): Double =
+      ((next(26).toLong << 27) + next(27)) * 1.1102230246251565e-16 // 0x1.0p-53
+    def nextInt(bound: Int): Int = {
+      if ((bound & -bound) == bound)
+        return ((bound * next(31).toLong) >> 31).toInt
+      var bits = next(31)
+      var v = bits % bound
+      while (bits - v + (bound - 1) < 0) { bits = next(31); v = bits % bound }
+      v
+    }
+  }
+
+  /** Pure page construction from (seed, i). Draw order (nBody, title×2,
+    * body×nBody, lang) and every output byte are identical to the
+    * original scala.util.Random + string-interpolation formulation —
+    * WebtextGenSpec pins the corpus fingerprint. `text` for even ids is
+    * assembled directly as "title title body": for THIS template that is
+    * exactly `TextExtract.extractText(html)` (tags/style/script collapse
+    * to single spaces, vocab words contain no tags or entities) — the
+    * equality is spec-pinned, so the generator no longer re-parses the
+    * html it just built. */
   def page(seed: Long, i: Long): Page = {
-    val rnd = new scala.util.Random(seed * 0x9E3779B97F4A7C15L + i)
+    val rnd = new Lcg(seed * 0x9E3779B97F4A7C15L + i)
     val nBody = 20 + rnd.nextInt(181)
-    val title = s"${zipfPick(rnd.nextDouble())} ${zipfPick(rnd.nextDouble())}"
-    val body = new StringBuilder
+    val t1 = zipfPick(rnd.nextDouble())
+    val t2 = zipfPick(rnd.nextDouble())
+    val sb = new java.lang.StringBuilder(96 + 8 * nBody)
+    sb.append("<html><head><title>").append(t1).append(' ').append(t2)
+      .append("</title><style>x{}</style></head><body><h1>")
+      .append(t1).append(' ').append(t2).append("</h1><p>")
+    val bodyStart = sb.length
     var k = 0
     while (k < nBody) {
-      if (k > 0) body.append(' ')
-      body.append(zipfPick(rnd.nextDouble()))
+      if (k > 0) sb.append(' ')
+      sb.append(zipfPick(rnd.nextDouble()))
       k += 1
     }
-    val html =
-      s"<html><head><title>$title</title><style>x{}</style></head><body>" +
-        s"<h1>$title</h1><p>$body</p><script>var a=1;</script></body></html>"
-    val htmlBytes = html.getBytes(StandardCharsets.UTF_8)
+    val bodyEnd = sb.length
+    sb.append("</p><script>var a=1;</script></body></html>")
+    val htmlBytes = sb.toString.getBytes(StandardCharsets.UTF_8)
     val lang = {
       val u = rnd.nextDouble()
       if (u < 0.80) "en" else if (u < 0.95) "ko" else "de"
     }
     val text =
-      if (i % 2 == 0) graft.analysis.TextExtract.extractText(htmlBytes)
-      else null
+      if (i % 2 == 0) {
+        val tb = new java.lang.StringBuilder(10 + (bodyEnd - bodyStart) +
+          2 * (t1.length + t2.length))
+        tb.append(t1).append(' ').append(t2).append(' ')
+          .append(t1).append(' ').append(t2).append(' ')
+          .append(sb, bodyStart, bodyEnd)
+        tb.toString
+      } else null
     Page(
       url = s"https://site-${i % 97}.example/page/$i",
       warc_ts = new Timestamp(epoch2026 + i * 1000L),
