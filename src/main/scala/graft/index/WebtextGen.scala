@@ -56,7 +56,42 @@ object WebtextGen {
     cum
   }
 
+  /** Bucket index over the monotone CDF: bucket b holds the first rank
+    * whose cum ≥ b/4096, so a draw's binary search runs over the 0-30
+    * ranks its bucket can reach instead of all 10,000 (~13 iterations →
+    * ~2, and a page draws ~220 times). The ±1-bucket widening makes the
+    * bracket immune to the ≤1-ulp rounding of `u * 4096` (drift is
+    * ~4e-13 buckets); [[zipfPickRef]] + WebtextGenSpec pin bucketed ≡
+    * plain over randomized draws and the golden corpus CRCs. */
+  private val ZipfBuckets = 4096
+  private val zipfBucketLo: Array[Int] = {
+    val lo = new Array[Int](ZipfBuckets)
+    var idx = 0
+    var b = 0
+    while (b < ZipfBuckets) {
+      while (idx < VocabSize - 1 && zipfCum(idx) < b.toDouble / ZipfBuckets)
+        idx += 1
+      lo(b) = idx
+      b += 1
+    }
+    lo
+  }
+
   private def zipfPick(u: Double): String = {
+    val b = (u * ZipfBuckets).toInt
+    var lo = zipfBucketLo(if (b <= 0) 0 else b - 1)
+    var hi =
+      if (b >= ZipfBuckets - 2) VocabSize - 1 else zipfBucketLo(b + 2)
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (zipfCum(mid) < u) lo = mid + 1 else hi = mid
+    }
+    vocabulary(lo)
+  }
+
+  /** The original full-range binary search — kept as the equivalence
+    * reference for the bucketed [[zipfPick]]. */
+  private[index] def zipfPickRef(u: Double): String = {
     var lo = 0
     var hi = VocabSize - 1
     while (lo < hi) {
@@ -65,6 +100,8 @@ object WebtextGen {
     }
     vocabulary(lo)
   }
+
+  private[index] def zipfPickBucketed(u: Double): String = zipfPick(u)
 
   private val epoch2026 = 1767225600000L // 2026-01-01T00:00:00Z
 

@@ -37,6 +37,29 @@ class WebtextGenSpec extends AnyFunSuite {
     assert(corpusCrc(7L, 5000L) == 39001065L)
   }
 
+  test("bucketed zipf pick is identical to the full-range binary search " +
+    "over randomized and adversarial draws") {
+    val rnd = new java.util.Random(1234L)
+    var i = 0
+    while (i < 1000000) {
+      val u = rnd.nextDouble()
+      assert(WebtextGen.zipfPickBucketed(u) == WebtextGen.zipfPickRef(u), s"u=$u")
+      i += 1
+    }
+    // bucket-boundary adversaries: u at and 1-ulp around every k/4096
+    var b = 0
+    while (b < 4096) {
+      val edge = b.toDouble / 4096
+      for (u <- Seq(Math.nextDown(edge), edge, Math.nextUp(edge))
+           if u >= 0.0 && u < 1.0)
+        assert(WebtextGen.zipfPickBucketed(u) == WebtextGen.zipfPickRef(u), s"u=$u")
+      b += 1
+    }
+    // the largest double below 1.0 (the u*4096 == 4096.0 rounding edge)
+    val top = Math.nextDown(1.0)
+    assert(WebtextGen.zipfPickBucketed(top) == WebtextGen.zipfPickRef(top))
+  }
+
   test("even-id text is byte-equal to extract_text(html); odd ids stay " +
     "null (the generator's stated contract)") {
     var i = 0L
