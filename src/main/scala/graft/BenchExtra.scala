@@ -115,6 +115,75 @@ object BenchExtra {
         }
 
       case "build" =>
+        if (sys.env.contains("BX_JOBLOG")) {
+          val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          val jobDesc = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+          spark.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onJobStart(
+                  e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+                jobDesc.put(e.jobId, e.stageInfos.lastOption.map(_.name)
+                  .getOrElse("?").replace('\n', ' ').take(90))
+                jobStart.put(e.jobId, System.nanoTime()); ()
+              }
+              override def onJobEnd(
+                  e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+                val t0 = jobStart.remove(e.jobId)
+                if (t0 != 0L) println(f"[bxjob] ${e.jobId}%4d " +
+                  f"${(System.nanoTime() - t0) / 1e9}%7.3f  " +
+                  jobDesc.getOrDefault(e.jobId, "?"))
+              }
+            })
+        }
+        // BX_PROF: sample executor-task stacks in-process (jstack/attach
+        // are unavailable in the sandbox) and print the hottest frames
+        if (sys.env.contains("BX_PROF")) {
+          val hits = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+          val t = new Thread(() => {
+            while (true) {
+              Thread.sleep(29)
+              val stacks = Thread.getAllStackTraces
+              stacks.forEach { (th, frames) =>
+                if (th.getName.startsWith("Executor task launch")) {
+                  // deepest graft/spark frame below the generic runners
+                  val f = frames.find { fr =>
+                    val c = fr.getClassName
+                    c.startsWith("graft.") ||
+                      c.startsWith("org.apache.parquet") ||
+                      c.startsWith("org.apache.spark.sql.execution") ||
+                      c.startsWith("org.apache.spark.shuffle") ||
+                      c.startsWith("org.apache.spark.util.collection") ||
+                      c.startsWith("net.jpountz") || c.startsWith("org.xerial")
+                  }
+                  val key = f.map(fr => fr.getClassName + "." + fr.getMethodName)
+                    .getOrElse {
+                      // no recognized frame: name the first non-JDK frame
+                      // so exception-throwing / third-party hotspots are
+                      // attributable, falling back to the top frame
+                      val alt = frames.find { fr =>
+                        val c = fr.getClassName
+                        !c.startsWith("java.") && !c.startsWith("jdk.") &&
+                          !c.startsWith("sun.")
+                      }.orElse(frames.headOption)
+                      alt.map(fr => "other:" + fr.getClassName + "." + fr.getMethodName)
+                        .getOrElse("idle")
+                    }
+                  hits.computeIfAbsent(key,
+                    _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+                }
+              }
+            }
+          })
+          t.setDaemon(true)
+          t.start()
+          Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            import scala.jdk.CollectionConverters._
+            val total = hits.asScala.values.map(_.get).sum.max(1L)
+            hits.asScala.toSeq.sortBy(-_._2.get).take(30).foreach { case (k, v) =>
+              println(f"[bxprof] ${v.get * 100.0 / total}%5.1f%% $k")
+            }
+          }))
+        }
         val n = args(1).toLong
         val fmt = if (args.length > 2 && args(2) == "v2")
           graft.codec.VarByte.FormatV2 else graft.codec.VarByte.FormatV3

@@ -86,6 +86,20 @@ final class SynonymDict(
     m
   }
 
+  /** (first byte, byte length) bitmap over [[byFirstU8]]'s keys: entry
+    * `firstByte` has bit `min(len, 63)` set iff some rule's first token
+    * starts with that byte at that byte length. A token failing the test
+    * cannot equal ANY first-token key, so the per-position murmur hash +
+    * map probe is skipped — a pure prefilter, match results unchanged
+    * (lengths ≥ 63 share one bit and fall through to the exact probe). */
+  @transient private lazy val u8FirstFilter: Array[Long] = {
+    val f = new Array[Long](256)
+    byFirstU8.keySet.forEach { k =>
+      f(k.getByte(0) & 0xFF) |= 1L << math.min(k.numBytes, 63)
+    }
+    f
+  }
+
   /** UTF8String twin of [[expand]] — the exact greedy recursion with the
     * String probe replaced by a byte-equality probe (identical matches:
     * UTF-8 encoding is injective on tokenizer output, so String equality
@@ -95,12 +109,18 @@ final class SynonymDict(
       : Array[org.apache.spark.unsafe.types.UTF8String] = {
     if (entries.isEmpty) return tokens
     val idx = byFirstU8
+    val filter = u8FirstFilter
     val out = new java.util.ArrayList[org.apache.spark.unsafe.types.UTF8String](
       tokens.length + 8)
     var i = 0
     val n = tokens.length
     while (i < n) {
-      val cands = idx.get(tokens(i))
+      val t = tokens(i)
+      val cands =
+        if (t.numBytes == 0 ||
+            (filter(t.getByte(0) & 0xFF) & (1L << math.min(t.numBytes, 63))) == 0L)
+          null
+        else idx.get(t)
       var matched: SynonymDict.U8Rule = null
       if (cands != null) {
         var c = 0

@@ -371,12 +371,23 @@ object VarByte {
   def encode(docIds: Array[Long], tfs: Array[Int], dls: Array[Int],
              blockSize: Int = DefaultBlockSize,
              positions: Array[Array[Int]] = null,
-             version: Int = DefaultFormatVersion): Array[Byte] = {
-    require(docIds.length == tfs.length && docIds.length == dls.length)
-    require(positions == null || positions.length == docIds.length)
+             version: Int = DefaultFormatVersion): Array[Byte] =
+    encodeN(docIds, tfs, dls, docIds.length, blockSize, positions, version)
+
+  /** [[encode]] over the first `n` entries of possibly-larger buffers —
+    * the fragment flush encodes straight out of its growth arrays
+    * without the exact-size copy. Byte-identical to
+    * `encode(copyOf(docIds, n), ...)` by construction (same appends in
+    * the same order). */
+  def encodeN(docIds: Array[Long], tfs: Array[Int], dls: Array[Int], n: Int,
+              blockSize: Int = DefaultBlockSize,
+              positions: Array[Array[Int]] = null,
+              version: Int = DefaultFormatVersion): Array[Byte] = {
+    require(n <= docIds.length && n <= tfs.length && n <= dls.length)
+    require(positions == null || n <= positions.length)
     val be = new BlockEncoder(blockSize, version, positions != null)
     var i = 0
-    while (i < docIds.length) {
+    while (i < n) {
       be.append(docIds(i), tfs(i), dls(i),
         if (positions == null) null else positions(i))
       i += 1

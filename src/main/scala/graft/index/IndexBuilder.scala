@@ -223,18 +223,57 @@ object IndexBuilder {
       if (withPos) poss(len) = ps
       len += 1
     }
-    /** Input is ascending per file chunk; only bin-packed out-of-order
-      * chunks trigger the permutation sort. */
-    def sorted(): (Array[Long], Array[Int], Array[Int], Array[Array[Int]]) =
-      if (asc)
-        (java.util.Arrays.copyOf(ids, len), java.util.Arrays.copyOf(tfs, len),
-          java.util.Arrays.copyOf(dls, len),
-          if (withPos) java.util.Arrays.copyOf(poss, len) else null)
-      else {
-        val perm = (0 until len).sortBy(ids).toArray
-        (perm.map(ids), perm.map(tfs), perm.map(dls),
-          if (withPos) perm.map(poss) else null)
+    /** Encode the buffer's doc-ascending content directly out of the
+      * growth arrays ([[VarByte.encodeN]] — no exact-size copy). Inputs
+      * arrive ascending per file chunk; bin-packed out-of-order chunks
+      * pay a primitive in-place sort (doc ids are UNIQUE within one
+      * (term, shard) buffer, so any correct sort yields the same
+      * layout — the previous boxed `sortBy` permutation was a measured
+      * cost of the flush path). Returns (blob, minDoc). */
+    def encodeSorted(blockSize: Int, version: Int): (Array[Byte], Long) = {
+      if (!asc) { sortInPlace(0, len - 1); asc = true }
+      (VarByte.encodeN(ids, tfs, dls, len, blockSize,
+        if (withPos) poss else null, version), ids(0))
+    }
+
+    private def swap(a: Int, b: Int): Unit = {
+      val d = ids(a); ids(a) = ids(b); ids(b) = d
+      val t = tfs(a); tfs(a) = tfs(b); tfs(b) = t
+      val l = dls(a); dls(a) = dls(b); dls(b) = l
+      if (withPos) { val p = poss(a); poss(a) = poss(b); poss(b) = p }
+    }
+
+    /** Quicksort (median-of-three) + insertion tail over the parallel
+      * arrays, keyed by doc id. */
+    private def sortInPlace(lo0: Int, hi0: Int): Unit = {
+      var lo = lo0
+      var hi = hi0
+      while (hi - lo > 16) {
+        val mid = (lo + hi) >>> 1
+        // median-of-three pivot to ids(mid)
+        if (ids(mid) < ids(lo)) swap(mid, lo)
+        if (ids(hi) < ids(lo)) swap(hi, lo)
+        if (ids(hi) < ids(mid)) swap(hi, mid)
+        val pivot = ids(mid)
+        var i = lo
+        var j = hi
+        while (i <= j) {
+          while (ids(i) < pivot) i += 1
+          while (ids(j) > pivot) j -= 1
+          if (i <= j) { swap(i, j); i += 1; j -= 1 }
+        }
+        // recurse into the smaller half, loop on the larger
+        if (j - lo < hi - i) { sortInPlace(lo, j); lo = i }
+        else { sortInPlace(i, hi); hi = j }
       }
+      var k = lo + 1
+      while (k <= hi) {
+        var m = k
+        while (m > lo && ids(m - 1) > ids(m)) { swap(m - 1, m); m -= 1 }
+        k += 1
+      }
+    }
+
   }
 
   /** Posting hash partition for a (term, salt-shard) — shared with the
@@ -957,11 +996,9 @@ object IndexBuilder {
                   it.remove() // buffer becomes collectible once encoded
                   inner = shards.iterator.zipWithIndex
                     .filter(_._1.nonEmpty).map { case (buf, salt) =>
-                      val (ids, tfs, dls, poss) = buf.sorted()
+                      val (blob, minDoc) = buf.encodeSorted(blockSize, fmtVer)
                       InternalRow(partOf(term, salt, numParts), termUtf,
-                        ids(0),
-                        VarByte.encode(ids, tfs, dls, blockSize, poss,
-                          fmtVer)): InternalRow
+                        minDoc, blob): InternalRow
                     }
                 }
                 inner.hasNext

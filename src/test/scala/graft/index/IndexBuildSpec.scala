@@ -163,6 +163,35 @@ class IndexBuildSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("FragBuf.encodeSorted sorts bin-packed out-of-order appends " +
+    "in place: decode returns doc-ascending (id, tf, dl, positions) " +
+    "rows identical to the input set (randomized, both layouts)") {
+    val rnd = new scala.util.Random(7L)
+    for (withPos <- Seq(false, true); trial <- 1 to 50) {
+      val n = 1 + rnd.nextInt(400)
+      val docs = rnd.shuffle((0 until 3 * n).toList).take(n).map(_.toLong)
+      val rows = docs.map { d =>
+        val tf = 1 + rnd.nextInt(9)
+        (d, tf, 1 + rnd.nextInt(50),
+          if (withPos) Array.iterate(rnd.nextInt(100), tf)(_ + 1 + rnd.nextInt(5))
+          else null)
+      }
+      val buf = new IndexBuilder.FragBuf(withPos)
+      rows.foreach { case (d, tf, dl, ps) => buf.append(d, tf, dl, ps) }
+      val (blob, minDoc) = buf.encodeSorted(graft.codec.VarByte.DefaultBlockSize,
+        graft.codec.VarByte.FormatV3)
+      val (ds, tfs, dls, pss) = graft.codec.VarByte.decodeWithPositions(blob)
+      assert(minDoc == ds.head && ds.toSeq == ds.sorted.toSeq,
+        s"withPos=$withPos trial=$trial")
+      val got = ds.indices.map(i => (ds(i), tfs(i), dls(i),
+        if (withPos) pss(i).toList else Nil)).toSet
+      val want = rows.map { case (d, tf, dl, ps) =>
+        (d, tf, dl, if (withPos) ps.toList else Nil)
+      }.toSet
+      assert(got == want, s"withPos=$withPos trial=$trial")
+    }
+  }
+
   test("empty corpus builds a valid empty index; searches MatchNoDocs " +
     "(S7, Searcher.java:248-284 create-empty-index)") {
     val root = tmpDir("graft-empty-")
