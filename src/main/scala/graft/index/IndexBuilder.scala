@@ -1129,51 +1129,68 @@ object IndexBuilder {
       .parquet(IndexStore.postingsPath(root, seg))
     lap("postings_encode_write")
 
-    if (sampledStats) {
-      // term_stats DERIVED from the written blobs — the same shape the
-      // compaction path has always used (and exactly what IndexCheck
-      // cross-validates): df = Σ df_local (each (term, doc) lands in
-      // exactly one merged chunk), ttf = Σ per-blob sumTf, bounds fold
-      // over the stored per-chunk bounds. Values are identical to the
-      // tokenize-pass aggregation by construction; only the pass count
-      // changes. Read-back, never a cached blob Dataset (rule 17).
-      val fromBlobs = IndexStore.readPostingsOrEmpty(spark, root, seg)
-        .select("term", "df_local", "max_tf", "min_dl", "blob")
-        .as[(String, Long, Int, Int, Array[Byte])]
-        .map { case (t, dfl, mtf, mdl, blob) =>
-          (t, dfl, VarByte.sumTf(blob), mtf, mdl)
-        }
-        .toDF("term", "df_local", "ttf_local", "max_tf_l", "min_dl_l")
-        .groupBy("term")
-        .agg(sum("df_local").as("df"), sum("ttf_local").as("ttf"),
-          max("max_tf_l").cast("int").as("max_tf"),
-          min("min_dl_l").cast("int").as("min_dl"))
-      fromBlobs.observe(termObs, count(lit(1)).as("terms"))
-        .write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
-      lap("term_stats")
-    }
-
     // per-partition lineage + metrics (north rule): rows, bytes,
     // checksum — computed from a READ-BACK of the just-written files
-    // (one column-pruned disk scan, zero heap retention) rather than a
+    // (column-pruned disk scan, zero heap retention) rather than a
     // cached copy of the blobs; lineage over the DURABLE bytes also
     // verifies the write. Under resume, restrict to the parts this run
     // actually wrote (prior parts already have manifest rows).
-    val wallMs = (System.nanoTime() - t0) / 1000000
-    // readPostingsOrEmpty: an empty corpus writes a footer-less dir
-    val written = IndexStore.readPostingsOrEmpty(spark, root, seg)
-    val newParts =
-      if (done.isEmpty) written
-      else written.filter(!col("part").isin(done.toSeq: _*))
-    val manifestRows = newParts
-      .groupBy("part").agg(
-        count(lit(1)).as("rows"),
-        sum(length(col("blob"))).as("bytes"),
-        sum(crc32(concat(col("term"), lit("|"), col("df_local").cast("string")))).as("cks"))
-      .collect().map { r =>
+    def rowsOf(parts: org.apache.spark.sql.DataFrame) = {
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      parts.collect().map { r =>
         IndexStore.ManifestRow(r.getInt(0), r.getLong(1), r.getLong(2),
           r.getLong(3), inputSnapshot, wallMs)
       }.toSeq
+    }
+    val partAgg = Seq(count(lit(1)).as("rows"), sum(col("bytes")).as("bytes"),
+      sum(crc32(concat(col("term"), lit("|"),
+        col("df_local").cast("string")))).as("cks"))
+    val manifestRows = if (sampledStats) {
+      // Sampled-stats builds derive term_stats from the written blobs —
+      // the same shape the compaction path has always used (and exactly
+      // what IndexCheck cross-validates): df = Σ df_local (each
+      // (term, doc) lands in exactly one merged chunk), ttf = Σ per-blob
+      // sumTf, bounds fold over the stored per-chunk bounds. Values are
+      // identical to the tokenize-pass aggregation by construction.
+      // ONE read-back pass serves BOTH term_stats and the manifest: the
+      // narrow per-row frame (stats + blob length, NO blob bytes — rule
+      // 17 is about the blobs, not metrics derived from them) persists,
+      // the term agg and the part agg each read the cache, and the
+      // postings parquet's blob column is scanned once instead of twice.
+      val derived = IndexStore.readPostingsOrEmpty(spark, root, seg)
+        .select("part", "term", "df_local", "max_tf", "min_dl", "blob")
+        .as[(Int, String, Long, Int, Int, Array[Byte])]
+        .map { case (p, t, dfl, mtf, mdl, blob) =>
+          (p, t, dfl, VarByte.sumTf(blob), mtf, mdl, blob.length.toLong)
+        }
+        .toDF("part", "term", "df_local", "ttf_local", "max_tf_l",
+          "min_dl_l", "bytes")
+        .persist()
+      try {
+        val fromBlobs = derived
+          .groupBy("term")
+          .agg(sum("df_local").as("df"), sum("ttf_local").as("ttf"),
+            max("max_tf_l").cast("int").as("max_tf"),
+            min("min_dl_l").cast("int").as("min_dl"))
+        fromBlobs.observe(termObs, count(lit(1)).as("terms"))
+          .write.mode("overwrite").parquet(IndexStore.termStatsPath(root, seg))
+        lap("term_stats")
+        val newParts =
+          if (done.isEmpty) derived
+          else derived.filter(!col("part").isin(done.toSeq: _*))
+        rowsOf(newParts.groupBy("part").agg(partAgg.head, partAgg.tail: _*))
+      } finally derived.unpersist()
+    } else {
+      // exact-stats builds wrote term_stats from the tokenize agg; the
+      // manifest is the only read-back (no sumTf walk added here)
+      // (readPostingsOrEmpty: an empty corpus writes a footer-less dir)
+      val written = IndexStore.readPostingsOrEmpty(spark, root, seg)
+        .withColumn("bytes", length(col("blob")).cast("long"))
+      val newParts =
+        if (done.isEmpty) written
+        else written.filter(!col("part").isin(done.toSeq: _*))
+      rowsOf(newParts.groupBy("part").agg(partAgg.head, partAgg.tail: _*))
+    }
     IndexStore.appendManifest(spark, root, seg, manifestRows)
 
     IndexStore.writeSegmentConfig(spark, root, seg,
@@ -1184,7 +1201,8 @@ object IndexBuilder {
     val termCount = termObs.get("terms").asInstanceOf[Long]
     lap("manifest_and_counts")
     val postingRows = manifestRows.map(_.rows).sum // no extra job
-    BuildReport(seg, docCount, termCount, postingRows, wallMs,
+    BuildReport(seg, docCount, termCount, postingRows,
+      (System.nanoTime() - t0) / 1000000,
       phases.result())
   }
 
