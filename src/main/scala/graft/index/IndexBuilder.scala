@@ -538,32 +538,6 @@ object IndexBuilder {
     touched
   }
 
-  /** Dedup+id-assign sort key: (url asc, warc_ts desc). The exact
-    * (url, warc_ts) tie-break — text desc, nulls last — is applied
-    * STREAMING in the assignment pass over each url run's head group
-    * (the contiguous prefix sharing the max ts), so the shuffle key no
-    * longer carries the full document text a second time (the value row
-    * already ships it once — guide §2.3: keys carry metadata, not
-    * payloads). Winner identical by construction. */
-  private[index] final case class SortKey(url: String, tsMs: Long)
-  private[index] object SortKey {
-    implicit val ord: Ordering[SortKey] = new Ordering[SortKey] {
-      def compare(a: SortKey, b: SortKey): Int = {
-        val c = a.url.compareTo(b.url)
-        if (c != 0) c
-        else java.lang.Long.compare(b.tsMs, a.tsMs) // ts desc
-      }
-    }
-  }
-
-  /** Partition by url only; sort within partitions by the full key. */
-  private final class UrlRangePartitioner(rp: org.apache.spark.Partitioner)
-      extends org.apache.spark.Partitioner {
-    def numPartitions: Int = rp.numPartitions
-    def getPartition(key: Any): Int =
-      rp.getPartition(key.asInstanceOf[SortKey].url)
-  }
-
   /** Latest-wins dedup + deterministic dense doc_id assignment over the
     * RAW pages, fused into ONE shuffle: range partition by url, sort each
     * partition by (url asc, warc_ts desc, text desc) — the first row of
@@ -573,15 +547,16 @@ object IndexBuilder {
     * partition the way `row_number().over(orderBy)` would) and
     * parallelism-independent: ids depend only on the total url order.
     *
-    * Deliberately RDD-level (the one imperative per-partition step in the
-    * engine): range boundaries live in a driver-constructed
-    * RangePartitioner OBJECT, so the counts job and the assignment job
-    * share one shuffle whose map stage Spark computes once and then
-    * reuses from shuffle files (skipped stage) — no O(corpus) staging
-    * cache at all. (The Dataset alternatives both failed at scale:
-    * un-cached repartitionByRange re-samples boundaries per job →
+    * The shuffle+sort is the Dataset-level Tungsten machinery
+    * (repartitionByRange + sortWithinPartitions), with BOTH per-partition
+    * jobs derived from ONE physical-plan instance so boundaries sample
+    * once and the map output is reused from shuffle files — no O(corpus)
+    * staging cache at all. (The alternatives all failed at scale:
+    * re-instantiated repartitionByRange re-samples boundaries per job →
     * duplicate doc_ids; persisting the sorted pages — deserialized OR
-    * serialized — OOMs the columnar cache builder at 5M docs on 8g.)
+    * serialized — OOMs the columnar cache builder at 5M docs on 8g; a
+    * hand-rolled RDD shuffle of (key, row-bytes) Java objects OOM'd the
+    * object-buffering ExternalSorter at 20M docs.)
     *
     * Runs BEFORE the analysis chain on purpose: the extra boundary-
     * sampling pass touches raw pages, keeping the expensive extract/
@@ -611,50 +586,60 @@ object IndexBuilder {
     val df = df0.withColumn("warc_ts", col("warc_ts").cast("timestamp"))
     val schema = df.schema
     val urlIdx = schema.fieldIndex("url")
-    val tsIdx = schema.fieldIndex("warc_ts")
-    val tieIdx = schema.fieldIndex(tieCol)
-    val nFields = schema.fields.length
-    // the shuffle ships (SortKey(url, tsMs), UnsafeRow bytes): compact
-    // Tungsten row bytes instead of Java-serialized external Rows (the
-    // previous shape paid a full external-Row materialization on the map
-    // side plus generic object serialization on every shuffle write AND
-    // both shuffle reads — measured CPU, worst on the low-thread scaling
-    // legs). InternalRow timestamps are epoch-MICROS longs, floor-divided
-    // to ms so the ordering is bit-compatible with the previous
-    // Timestamp.getTime / Instant.toEpochMilli path (and independent of
-    // spark.sql.datetime.java8API.enabled by construction).
-    val keyed = org.apache.spark.sql.graft.Bridge.internalRdd(df)
-      .mapPartitions { it =>
-        val toUnsafe = org.apache.spark.sql.catalyst.expressions
-          .UnsafeProjection.create(schema)
-        it.map { r =>
-          val u = r match {
-            case ur: org.apache.spark.sql.catalyst.expressions.UnsafeRow => ur
-            case other => toUnsafe(other)
-          }
-          val url = u.getUTF8String(urlIdx).toString
-          val tsMs =
-            if (u.isNullAt(tsIdx)) Long.MinValue
-            else Math.floorDiv(u.getLong(tsIdx), 1000L)
-          (SortKey(url, tsMs), u.copy().getBytes)
-        }
-      }
-    // boundary sampling over a url-ONLY projection: Catalyst prunes every
-    // other column from the sample pass (the full-row rdd forced a
-    // complete materialization of text/html just to sample urls — at
-    // parquet inputs the pruned scan reads one narrow column). Boundaries
-    // only affect partition balance, never results: ids come from the
-    // per-partition counts + offsets over the contiguous url ranges, so
-    // ANY boundary choice yields the same dense url-ordered assignment.
-    val urlRp = new org.apache.spark.RangePartitioner(
-      math.max(rangeParts, 1),
-      df.select(col("url")).rdd.map(r => (r.getString(0), null)))
-    val sorted = keyed.repartitionAndSortWithinPartitions(
-      new UrlRangePartitioner(urlRp))
-    val counts = sorted.mapPartitions { it =>
+    // Scale-adaptive range-partition count (guide §2.5/§5: smaller
+    // per-task state beats a constant tuned for one scale): each reduce
+    // task of this shuffle SORTS its partition's rows (and the docstore
+    // write later stacks parquet buffers on the same partitioning), so a
+    // fixed rangeParts leaves per-task state O(corpus/rangeParts) — at
+    // 20M docs that was 625k docs (~600 MB) per task × 32 concurrent
+    // tasks, which OOM'd the flat 8 GiB heap. The configured value stays
+    // the FLOOR (bench and test builds are untouched); larger corpora
+    // get more, smaller partitions. The count job is cheap where it
+    // matters (parquet count() is row-group metadata; the generator's
+    // count prunes every column) and ids are partitioning-independent by
+    // construction, so the partition count affects memory and file
+    // layout only, never results.
+    val targetDocsPerRangePart = 200000L
+    val nRows = df.count()
+    val parts = math.max(math.max(rangeParts, 1), math.min(20000L,
+      (nRows + targetDocsPerRangePart - 1) / targetDocsPerRangePart).toInt)
+    // The shuffle+sort is a Dataset-level repartitionByRange +
+    // sortWithinPartitions: Tungsten rows through the exchange and the
+    // radix UnsafeExternalRowSorter on the reduce side — binary records
+    // with EXACT memory accounting that spill reliably. (The previous
+    // RDD formulation shipped (SortKey, row-bytes) JAVA objects through
+    // the object-buffering ExternalSorter, whose sampled size estimates
+    // under 32 concurrent fat tasks OOM'd the 8 GiB heap at 20M docs —
+    // and paid a full row copy per map-side record.) Sort order
+    // replicates the assignment contract exactly: url ascending,
+    // unix_millis(warc_ts) DESC NULLS LAST (the previous path compared
+    // floorDiv(micros, 1000) with null → Long.MinValue), tie column
+    // DESC NULLS LAST (the previous head-group max-tie logic) — the
+    // first row of every url run is the latest-wins winner. String
+    // comparisons are UTF8String byte order (≡ java.lang.String order
+    // for ASCII; for exotic codepoints byte order is also what the SQL
+    // oracle's ORDER BY compares).
+    val sortedDs = df
+      .repartitionByRange(parts, col("url"))
+      .sortWithinPartitions(col("url").asc,
+        unix_millis(col("warc_ts")).desc_nulls_last,
+        col(tieCol).desc_nulls_last)
+    // ONE physical-plan instance feeds BOTH jobs below (invariant 1):
+    // the exchange samples its range boundaries once when this RDD
+    // first executes and caches its shuffle dependency, so the counts
+    // job and the assignment job read the SAME shuffle files with the
+    // SAME partitioning — no re-sampling between jobs and no O(corpus)
+    // staging cache. (Boundaries affect balance only, never results:
+    // ids come from the per-partition deduped counts + offsets over
+    // contiguous url ranges.)
+    val sortedRdd = org.apache.spark.sql.graft.Bridge.internalRdd(sortedDs)
+    val counts = sortedRdd.mapPartitions { it =>
       var n = 0L
-      var prev: String = null
-      it.foreach { case (k, _) => if (k.url != prev) { n += 1; prev = k.url } }
+      var prev: org.apache.spark.unsafe.types.UTF8String = null
+      it.foreach { r =>
+        val u = r.getUTF8String(urlIdx)
+        if (prev == null || !u.equals(prev)) { n += 1; prev = u.clone() }
+      }
       Iterator.single((TaskContext.getPartitionId(), n))
     }.collect().sortBy(_._1)
     val offsets: Map[Int, Long] = {
@@ -662,64 +647,25 @@ object IndexBuilder {
       counts.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
     }
     val bcOff = spark.sparkContext.broadcast(offsets)
-    // streaming dedup + assignment: rows arrive (url asc, ts desc); each
-    // url run's winner is the text-desc (nulls last) best of its HEAD
-    // group — the contiguous prefix sharing the run's max ts — exactly
-    // the old (url, ts desc, text desc) sort's first row, with O(1)
-    // state (current best bytes + its tie string, extracted lazily only
-    // when a same-ts duplicate actually appears).
-    val ids = sorted.mapPartitions { it =>
+    // streaming dedup + assignment: rows arrive fully sorted, so the
+    // FIRST row of each url run is its winner — emit it with the next
+    // dense id, skip the rest of the run. The emitted JoinedRow wraps
+    // the sorter's reused row (valid until the consumer's next call,
+    // the standard iterator contract the parquet writer honors).
+    val ids = sortedRdd.mapPartitions { it =>
       var nextId = bcOff.value.getOrElse(TaskContext.getPartitionId(), 0L)
-      new Iterator[InternalRow] {
-        private var curUrl: String = null
-        private var headTs = 0L
-        private var bestBytes: Array[Byte] = null
-        private var bestTie: String = null
-        private var bestTieSet = false
-        private var out: InternalRow = null
-        private def tieOf(bytes: Array[Byte]): String = {
-          val row = new org.apache.spark.sql.catalyst.expressions
-            .UnsafeRow(nFields)
-          row.pointTo(bytes, bytes.length)
-          if (row.isNullAt(tieIdx)) null
-          else row.getUTF8String(tieIdx).toString
-        }
-        private def emit(): InternalRow = {
-          val row = new org.apache.spark.sql.catalyst.expressions
-            .UnsafeRow(nFields)
-          row.pointTo(bestBytes, bestBytes.length)
-          val joined = new org.apache.spark.sql.catalyst.expressions
-            .JoinedRow(
-              new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(Array[Any](nextId)), row)
+      var curUrl: org.apache.spark.unsafe.types.UTF8String = null
+      val idRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.flatMap { r =>
+        val u = r.getUTF8String(urlIdx)
+        if (curUrl == null || !u.equals(curUrl)) {
+          curUrl = u.clone()
+          idRow.update(0, nextId)
           nextId += 1
-          joined
-        }
-        private def advance(): Unit = {
-          while (out == null && it.hasNext) {
-            val (k, bytes) = it.next()
-            if (curUrl == null || k.url != curUrl) {
-              if (curUrl != null) out = emit()
-              curUrl = k.url; headTs = k.tsMs
-              bestBytes = bytes; bestTie = null; bestTieSet = false
-            } else if (k.tsMs == headTs) {
-              if (!bestTieSet) { bestTie = tieOf(bestBytes); bestTieSet = true }
-              val t = tieOf(bytes)
-              if (t != null && (bestTie == null || t.compareTo(bestTie) > 0)) {
-                bestBytes = bytes; bestTie = t
-              }
-            } // else: older version inside the url run — a loser, skip
-          }
-          if (out == null && bestBytes != null) {
-            out = emit()
-            bestBytes = null; curUrl = null
-          }
-        }
-        def hasNext: Boolean = { if (out == null) advance(); out != null }
-        def next(): InternalRow = {
-          if (!hasNext) throw new NoSuchElementException
-          val r = out; out = null; r
-        }
+          Iterator.single(joined(idRow, r): InternalRow)
+        } else Iterator.empty
       }
     }
     val outSchema = org.apache.spark.sql.types.StructType(

@@ -145,12 +145,18 @@ object IndexCheck {
         .as[(String, String)]
         .map { case (t, p) => Issue(seg, -1, Option(t).getOrElse("?"), p) }
 
-      // 3b: docstore count + ceiling vs stats
+      // 3b: docstore count + ceiling vs stats, and doc_id UNIQUENESS —
+      // the id-assignment shuffle's counts job and assignment job must
+      // see identical partitioning (invariant 1); a boundary re-sample
+      // between them would overlap per-partition id ranges, which no
+      // other audit catches (row counts and stats still agree)
       val ds = spark.read.parquet(IndexStore.docstorePath(root, seg))
       val stats = spark.read.parquet(IndexStore.statsPath(root, seg))
-      val agg = ds.agg(count(lit(1)), max("doc_id")).head()
+      val agg = ds.agg(count(lit(1)), max("doc_id"),
+        countDistinct("doc_id")).head()
       val (nDocs, maxId) = (agg.getLong(0),
         if (agg.isNullAt(1)) -1L else agg.getLong(1))
+      val nDistinct = agg.getLong(2)
       val srow = stats.agg(sum("doc_count"),
         if (stats.columns.contains("id_ceiling")) max("id_ceiling")
         else lit(null).cast("long")).head()
@@ -159,6 +165,10 @@ object IndexCheck {
       if (statCount != nDocs)
         statIssues += Issue(seg, -1, "",
           s"stats.doc_count=$statCount but docstore has $nDocs rows")
+      if (nDistinct != nDocs)
+        statIssues += Issue(seg, -1, "",
+          s"docstore holds $nDocs rows but only $nDistinct distinct " +
+            "doc_ids (duplicate assignment)")
       if (!srow.isNullAt(1) && srow.getLong(1) <= maxId)
         statIssues += Issue(seg, -1, "",
           s"id_ceiling=${srow.getLong(1)} <= max doc_id $maxId")
@@ -172,18 +182,23 @@ object IndexCheck {
       // hold ~8 B/posting vs the ~2-4 B/posting the compressed blobs
       // re-decode from, so at audit scale the re-decode is the cheaper
       // plan
+      // the join input is projected to (part, doc_id) BEFORE the
+      // exchange (guide: never shuffle strings you only need for
+      // labels): carrying the term per posting row OOM'd the audit at
+      // 20M docs (billions of short-lived strings under 32 concurrent
+      // sort tasks); orphans — expected zero — are labeled per part
       val orphanIssues = postings
-        .mapPartitions(_.flatMap { case (part, term, _, _, _, blob) =>
-          try VarByte.decode(blob)._1.iterator.map(id => (part, term, id))
+        .mapPartitions(_.flatMap { case (part, _, _, _, _, blob) =>
+          try VarByte.decode(blob)._1.iterator.map(id => (part, id))
           catch { case _: Exception => Iterator.empty }
         })
-        .toDF("part", "term", "doc_id")
+        .toDF("part", "doc_id")
         .join(ds.select("doc_id"), Seq("doc_id"), "left_anti")
-        .groupBy("part", "term").agg(count(lit(1)).as("n"),
+        .groupBy("part").agg(count(lit(1)).as("n"),
           min("doc_id").as("first_id"))
-        .as[(Int, String, Long, Long)]
-        .map { case (part, term, n, first) =>
-          Issue(seg, part, term,
+        .as[(Int, Long, Long)]
+        .map { case (part, n, first) =>
+          Issue(seg, part, "",
             s"$n posting doc_id(s) missing from docstore (first: $first)")
         }
 
